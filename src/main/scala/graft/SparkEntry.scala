@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2; [[oracleSql]]
+  * carries the DuckDB-dialect twin the driver hash-compares against. Column
+  * names and row order are aligned on both sides (total-order ORDER BY,
+  * DECIMAL-exact money sums cast to DOUBLE — SURVEY.md §5.4/§7.5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-schema join + aggregate — exercises scan, pushdown, broadcast
+    * join, hash agg, sort (SURVEY.md §7.3 step 2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 projections / filters / predicates
+    "q_filter_eq"       -> (Relational.filterEq _),
+    "q_point_lookup"    -> (Relational.pointLookup _),
+    "q_prefix_like"     -> (Relational.prefixLike _),
+    "q_search_contains" -> (Relational.searchContains _),
+    "q_inlist_series"   -> (Relational.inlistSeries _),
+    // §2.6 sorts / limits / top-k
+    "q_list_sort_limit" -> (Relational.listSortLimit _),
+    "q_series_fetch"    -> (Relational.seriesFetch _),
+    // §2.4 aggregations
+    "q_distinct_keys"   -> (Relational.distinctKeys _),
+    "q_last_per_group"  -> (Relational.lastPerGroup _),
+    // §2.3 joins
+    "q_join_agg"        -> (Relational.joinAgg _),
+    "q_antijoin_absent" -> (Relational.antijoinAbsent _),
+    // tracking semantics (§2.3 J3-J5, §2.4 A1, §2.5, §2.8)
+    "q_stale_detect"    -> (Tracking.staleDetect _),
+    "q_upsert_latest"   -> (Tracking.upsertLatest _),
+    "q_window_rank"     -> (Tracking.windowRank _),
+    "q_delete_cascade"  -> (Tracking.deleteCascade _),
+    "q_param_pivot"     -> (Tracking.paramPivot _),
+    "q_duration_derive" -> (Tracking.durationDerive _),
+    "q_json_extract"    -> (Tracking.jsonExtract _),
+  )
+
+  /** DuckDB-runnable twin per query key (driver registers each parquet file
+    * as a view named by table). Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_point_lookup" ->
+      "SELECT * FROM orders WHERE o_orderkey = 42 ORDER BY o_orderkey",
+    "q_prefix_like" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_type NOT LIKE 's%'
+        |ORDER BY event_id""".stripMargin,
+    "q_search_contains" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE lower(concat_ws(' ', c_name, c_mktsegment)) LIKE '%building%'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_inlist_series" ->
+      """SELECT event_id, user_id, event_type, ts, value
+        |FROM events WHERE user_id IN (1, 2, 3, 5, 8, 13)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_list_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey ASC
+        |LIMIT 200 OFFSET 20""".stripMargin,
+    "q_series_fetch" ->
+      """SELECT event_id, ts, value
+        |FROM events WHERE user_id = 7 AND event_type = 'click'
+        |ORDER BY ts, event_id LIMIT 5000""".stripMargin,
+    "q_distinct_keys" ->
+      """SELECT DISTINCT event_type FROM events
+        |WHERE event_type NOT LIKE 's%' ORDER BY event_type""".stripMargin,
+    "q_last_per_group" ->
+      """SELECT user_id, event_type,
+        |       max(event_id) AS last_event_id,
+        |       max_by(value, event_id) AS last_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_antijoin_absent" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_stale_detect" ->
+      """SELECT user_id, max(ts) AS last_ts,
+        |       CASE WHEN max(ts) < TIMESTAMP '2024-01-30 23:55:00'
+        |            THEN 'aborted' ELSE 'running' END AS status
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type, ts, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_window_rank" ->
+      """SELECT user_id, rn, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q_delete_cascade" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events
+        |                      WHERE event_type = 'error' AND value > 150.0)
+        |ORDER BY event_id""".stripMargin,
+    "q_param_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_duration_derive" ->
+      """SELECT user_id, duration_sec, n_events,
+        |       CASE WHEN duration_sec < 60 THEN concat(duration_sec, 's')
+        |            ELSE concat(duration_sec // 60, 'm') END AS duration_label
+        |FROM (SELECT user_id,
+        |             date_diff('second', min(ts), max(ts)) AS duration_sec,
+        |             count(*) AS n_events
+        |      FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+  )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Run-tracking semantics re-expressed as pure DataFrame transforms
+  * (SURVEY.md §2.3 J3/J4/J5, §2.4 A1, §2.5, §2.8 F1/F2).
+  *
+  * The reference mutates state in place (upsert/delete); on immutable
+  * storage the honest Spark idiom is the *view* form — keep-latest windows
+  * and anti-joins — which is also what a lakehouse MERGE compiles to.
+  */
+object Tracking {
+
+  /** Fixed "now" for the staleness cutoff: testdata events end 2024-01-30
+    * 23:57; the reference's threshold is now − 300 s
+    * (/root/reference/waddle/_dashboard_api.py:65-67).
+    */
+  private val staleCutoff = "2024-01-30 23:55:00"
+
+  /** A1/T2 — staleness inference: entities whose last heartbeat is older than
+    * the cutoff are rewritten running→aborted.
+    * Reference does this as an N+1 loop of per-run MAX(ts) queries
+    * (/root/reference/waddle/_dashboard_api.py:60-68); here it is ONE hash
+    * aggregate over the fact table — the headline de-N+1 rewrite.
+    * Scale: single shuffle on user_id with map-side partial max; no
+    * driver-side iteration at any cardinality.
+    */
+  def staleDetect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"))
+      .withColumn(
+        "status",
+        when(col("last_ts") < to_timestamp(lit(staleCutoff)), "aborted")
+          .otherwise("running"))
+      .orderBy("user_id")
+
+  /** J3 — upsert view: keep the latest row per (entity, key).
+    * Reference: `ON CONFLICT DO UPDATE SET value = EXCLUDED.value`,
+    * /root/reference/waddle/_run.py:140-141. On append-only storage the merge
+    * is a keep-latest window over the append sequence.
+    * Scale: one shuffle on (user_id, event_type); rank within group sorts
+    * only per-group slices. For heavy-hitter groups pre-aggregate with
+    * max_by first (Relational.lastPerGroup is that plan) — this operator
+    * keeps the full-row window form because upsert must carry ALL columns.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "ts", "value", "props")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** §2.5 — ranking window: top-3 most recent events per entity.
+    * Reference does this client-side (sorts at
+    * /root/reference/waddle/static/index.html:301,323) — engine-side it is a
+    * row_number window.
+    * Scale: shuffle on user_id, per-group sort on (ts,event_id) desc; the
+    * rn<=3 filter is applied streaming during the window scan (Spark's
+    * WindowGroupLimit pushes the limit into the sort), so no group
+    * materializes fully.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type")
+      .orderBy("user_id", "rn")
+  }
+
+  /** J4 — cascading delete as anti-join: drop every event of entities that
+    * ever emitted an 'error'.
+    * Reference: manual 5-table cascade DELETE,
+    * /root/reference/waddle/_dashboard_api.py:237-249.
+    * Scale: victims is a distinct-key set (small) → broadcast anti-join; the
+    * fact table never shuffles. The same victims frame anti-joins each child
+    * table — one broadcast reused across the cascade.
+    */
+  def deleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val victims = events
+      .where(col("event_type") === "error" && col("value") > 150.0)
+      .select("user_id").distinct()
+    events.join(broadcast(victims), Seq("user_id"), "left_anti")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** J5 — param-diff pivot: align values across entities into one wide row
+    * per key. Reference does this in dashboard JS
+    * (/root/reference/waddle/static/index.html:373-389); engine-side it is a
+    * pivot with an explicit value list (no extra distinct-values job).
+    * DECIMAL sum → DOUBLE keeps every cell order-insensitive.
+    * Scale: explicit pivot values compile to conditional aggregates in a
+    * single hash aggregate — one shuffle on user_id, 5 counters per row, no
+    * wide-row explosion.
+    */
+  def paramPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .orderBy("user_id")
+  }
+
+  /** F1 — derived duration: whole seconds between first and last activity.
+    * Reference: `ended_at - started_at` + humanize,
+    * /root/reference/waddle/cli.py:62-68. unix_timestamp truncates to whole
+    * seconds on both engines (DuckDB date_diff('second')), keeping the
+    * integers hash-identical.
+    * Scale: one hash aggregate; min/max partials map-side.
+    */
+  def durationDerive(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"),
+        count(lit(1)).as("n_events"))
+      .withColumn(
+        "duration_label",
+        when(col("duration_sec") < 60, concat(col("duration_sec"), lit("s")))
+          .otherwise(concat((col("duration_sec") / 60).cast("long"), lit("m"))))
+      .orderBy("user_id")
+
+  /** F2 — JSON extraction from a dynamic-schema column.
+    * Reference: json.loads over params/config values,
+    * /root/reference/waddle/_dashboard_api.py:86-108; engine-side it is
+    * get_json_object + cast, evaluated in codegen over the scan.
+    * Scale: no shuffle before the output sort; at 100 TB prefer `from_json`
+    * with an explicit schema once known (single parse, typed struct) — kept
+    * as get_json_object here because the reference's value schema is open.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .where(col("k") > 50)
+      .select("event_id", "user_id", "k")
+      .orderBy("event_id")
+}

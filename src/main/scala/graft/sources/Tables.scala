@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table catalog over the driver-generated Parquet testdata (TESTDATA.md).
+  *
+  * Reference analog: the DuckDB file open + DDL bootstrap in
+  * `/root/reference/waddle/_db.py:27-48` (SURVEY.md §2.1 S1/S2). On Spark the
+  * schema is self-describing Parquet and readers are immutable DataFrames, so
+  * the reference's lock-serialized connection machinery has no equivalent.
+  *
+  * Scale notes (100 TB): each table is a plain `spark.read.parquet(dir)` —
+  * partition discovery, predicate pushdown and column pruning are handled by
+  * the Parquet datasource; at cluster scale the same call points at a
+  * partitioned directory tree (e.g. `metrics/project=…/date=…`) and Catalyst
+  * prunes partitions from the query predicates. Nothing here collects to the
+  * driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (see [[graft.GraftSession]]), so the column arrives as Long nanos; we
+    * floor-divide to micros (integer `div` — a double division would lose
+    * precision at 1e18) and rebuild the timestamp, matching DuckDB's own
+    * nanos→micros truncation so oracle hashes agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
