@@ -44,6 +44,24 @@ object SparkEntry {
     "q_param_pivot"     -> (Tracking.paramPivot _),
     "q_duration_derive" -> (Tracking.durationDerive _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
+    // extensions: similarity search (§2.6 O4)
+    "q_sim_topk"        -> (Similarity.simTopK _),
+    "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
+    // extensions: deduplication (§2.4 A4 + north_star)
+    "q_dedup_exact"     -> (Dedup.dedupExact _),
+    "q_dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "q_dedup_simhash"   -> (Dedup.dedupSimhash _),
+    "q_dedup_ngram"     -> (Dedup.dedupNgram _),
+    "q_dedup_embed"     -> (Dedup.dedupEmbed _),
+    // extensions: text analysis (§2.8 F9)
+    "q_text_stats"      -> (TextAnalysis.textStats _),
+    "q_text_tokens"     -> (TextAnalysis.textTokens _),
+    "q_text_quality"    -> (TextAnalysis.textQuality _),
+    "q_text_langid"     -> (TextAnalysis.textLangId _),
+    "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    // extensions: multimodal binary columns (§2.1 S4)
+    "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
+    "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
   )
 
   /** DuckDB-runnable twin per query key (driver registers each parquet file
@@ -152,5 +170,49 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
         |ORDER BY event_id""".stripMargin,
+    "q_sim_topk" ->
+      """SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    q.qv), 6) AS sim
+        |FROM embeddings e,
+        |     (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |       round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       length(string_split(text, ' ')) AS n_ws_tokens,
+        |       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(n_words AS INTEGER) AS n_words,
+        |       floor(uniq_ratio * 1e6) / 1e6 AS uniq_ratio,
+        |       floor(avg_word_len * 1e6) / 1e6 AS avg_word_len,
+        |       floor((uniq_ratio * 0.5 +
+        |              least(avg_word_len / 10.0, 1.0) * 0.3 +
+        |              least(n_words / 100.0, 1.0) * 0.2) * 1e6) / 1e6 AS quality_score
+        |FROM (SELECT doc_id,
+        |             CAST(length(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |             CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |               / length(string_split(text, ' ')) AS uniq_ratio,
+        |             (CAST(length(text) AS DOUBLE) - (length(string_split(text, ' ')) - 1))
+        |               / length(string_split(text, ' ')) AS avg_word_len
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

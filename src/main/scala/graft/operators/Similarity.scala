@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (driver extension; SURVEY.md §2.6 O4).
+  *
+  * Two tiers:
+  *  - [[simTopK]]: exact brute-force cosine top-k — the correctness baseline,
+  *    oracle-verified against DuckDB `list_cosine_similarity`.
+  *  - [[simAnnLsh]]: random-hyperplane LSH — the 100 TB path. Signatures are
+  *    computed map-side from plan-time literal hyperplanes; candidate
+  *    retrieval is a bucket equi-join on band keys instead of an O(n) scan
+  *    per query (or O(n²) all-pairs).
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Deterministic seeded hyperplanes, shipped as a literal — no shuffle, no
+    * fit step, identical on every executor.
+    */
+  private def planes(nBits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def withVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+
+  /** O4 — exact cosine top-k for query vector vec_id=0.
+    * Scale: the single query row is broadcast; similarity is evaluated
+    * map-side over the corpus scan and the global top-k is
+    * TakeOrderedAndProject (per-partition heaps, driver merges k rows, never
+    * the corpus). Rounded similarity + vec_id tiebreak keep the boundary
+    * deterministic for the oracle hash.
+    */
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withVec(spark, dir)
+    val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
+    emb.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
+    * twin above is the oracle-verified baseline and its recall reference).
+    *
+    * 16 hyperplane bits → 4 bands × 4 bits; candidates = corpus rows sharing
+    * ≥1 band key with the query; exact cosine re-rank of candidates only.
+    * Scale: corpus signatures are computed once map-side (at 100 TB:
+    * persisted/bucketed by band key so a query touches ~n/2⁴ rows per band);
+    * the bucket join shuffles only band keys + ids, and the re-rank touches
+    * the few colliding vectors. Multi-probe = more bands, not more scan.
+    */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pl = typedlit(planes(16, seed = 42L))
+    val emb = withVec(spark, dir)
+      .withColumn("bands", VectorOps.bandKeys(
+        VectorOps.hyperplaneBits(pl, col("v")), nBands = 4, bandBits = 4))
+
+    val corpus = emb.select(
+      col("vec_id"), col("v"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val qBands = emb.where(col("vec_id") === 0L).select(
+      col("v").as("qv"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+
+    corpus
+      .join(broadcast(qBands), Seq("band_id", "band_key"))
+      .where(col("vec_id") =!= 0L)
+      .groupBy("vec_id")
+      .agg(first("v").as("v"), first("qv").as("qv"))
+      .select(
+        col("vec_id"),
+        round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+}

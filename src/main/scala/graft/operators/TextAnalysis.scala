@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text analysis over the `documents` table (driver extension: language-ID,
+  * quality scoring, token counting, fingerprinting; SURVEY.md §2.8 F9).
+  *
+  * Everything is native column expressions — split/transform/aggregate run
+  * inside the engine, there is no UDF and no driver-side loop, so each
+  * operator is a single map-side pass plus (at most) one aggregation
+  * shuffle regardless of corpus size.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** F9 — corpus statistics per language: doc count, total whitespace
+    * tokens, average char length.
+    * total_words stays integer (exact, order-insensitive sum); avg goes
+    * through exact long sum / count → double, so the hash is stable.
+    * Scale: classic map-side-partial hash aggregate; 5 output groups.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("total_words"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy("lang")
+
+  /** F9 — per-document token counting: whitespace tokens and a BPE-ish
+    * regex tokenization (letter runs / digit runs / single other chars —
+    * the pre-tokenizer split most BPE vocabularies assume).
+    * Scale: pure map work over the scan; no shuffle before the output sort.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** F9 — quality scoring: unique-token ratio, average word length, length
+    * saturation, folded into one [0,1] score. The formula is evaluated with
+    * the same operation order as the oracle SQL so doubles match bit-for-bit.
+    * Ratios here are dyadic rationals (word counts are often powers of two)
+    * that can land exactly on a decimal .5 rounding boundary, where Spark
+    * (HALF_UP on the shortest decimal repr) and DuckDB (binary value)
+    * disagree — so all doubles are truncated via floor(x·10⁶)/10⁶, which has
+    * no tie-breaking semantics at all.
+    * Scale: map-only.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val uniqRatio = size(array_distinct(w)).cast("double") / nWords
+    val avgWordLen = (length(col("text")).cast("double") - (nWords - 1)) / nWords
+    val score =
+      uniqRatio * 0.5 +
+        least(avgWordLen / 10.0, lit(1.0)) * 0.3 +
+        least(nWords / 100.0, lit(1.0)) * 0.2
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        trunc6(uniqRatio).as("uniq_ratio"),
+        trunc6(avgWordLen).as("avg_word_len"),
+        trunc6(score).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** F9 — n-gram language ID, self-trained: build per-language char-bigram
+    * profiles (top-40 bigrams by frequency) from the corpus, score every
+    * document against every profile, emit the confusion matrix
+    * (true lang × predicted lang × count).
+    * Deterministic: rank ties break on bigram, argmax ties break on lang.
+    * Scale: profiles are a tiny aggregate (≤ 5 langs × 40 bigrams) →
+    * broadcast to the scoring join; scoring is one shuffle on doc_id for
+    * the per-doc argmax. At 100 TB the profile pass runs on a sample.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs.select(
+      col("doc_id"), col("lang"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+        i => col("text").substr(i, lit(2)))).as("bigram"))
+
+    val profiles = bigrams
+      .groupBy(col("lang").as("profile_lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("profile_lang").orderBy(desc("cnt"), asc("bigram"))))
+      .where(col("rank") <= 40)
+      .select(col("profile_lang"), col("bigram"), (lit(41) - col("rank")).as("weight"))
+
+    val scored = bigrams
+      .join(broadcast(profiles), Seq("bigram"))
+      .groupBy("doc_id", "lang", "profile_lang")
+      .agg(sum("weight").as("score"))
+      .groupBy("doc_id", "lang")
+      .agg(max_by(col("profile_lang"),
+        struct(col("score"), col("profile_lang"))).as("predicted"))
+
+    scored.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** F9 — rolling-hash document fingerprint: char-5-gram rolling hashes,
+    * bottom-32 sketch (the 32 smallest distinct gram hashes) as the
+    * fingerprint set; emitted as set size + one stable 64-bit digest.
+    *
+    * Deliberately bottom-k rather than per-window winnowing minima: a
+    * sliding `slice`+`array_min` per position would put the kgram array
+    * inside a lambda body, and Spark re-evaluates lambda-body subtrees per
+    * element (no CSE inside higher-order functions) — O(len²) hashing per
+    * document. Bottom-k is one sort over the array evaluated once per row
+    * and has the same near-dup-index semantics.
+    * Scale: map-only; fingerprints (8 bytes + size) are what a 100 TB
+    * near-dup index stores instead of text.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val kgrams = transform(
+      sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+      i => xxhash64(col("text").substr(i, lit(5))))
+    val fp = slice(array_sort(array_distinct(kgrams)), 1, 32)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(fp).as("fp_size"),
+        xxhash64(fp).as("fp_digest"))
+      .orderBy("doc_id")
+  }
+}
