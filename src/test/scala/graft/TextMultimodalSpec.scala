@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("textTokens: both counts positive, regex count >= ws count on plain text") {
+    val df = TextAnalysis.textTokens(spark, sf)
+    assert(df.where(col("n_ws_tokens") <= 0 || col("n_bpe_tokens") <= 0).count() == 0)
+    // corpus is space-separated alnum words: the two tokenizations agree
+    assert(df.where(col("n_ws_tokens") =!= col("n_bpe_tokens")).count() == 0)
+  }
+
+  test("textQuality scores within [0,1] and ratios within (0,1]") {
+    val df = TextAnalysis.textQuality(spark, sf)
+    val bad = df.where(
+      col("quality_score") < 0 || col("quality_score") > 1 ||
+        col("uniq_ratio") <= 0 || col("uniq_ratio") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("textLangId confusion matrix covers every document once") {
+    val conf = TextAnalysis.textLangId(spark, sf)
+    val totalDocs = Tables.documents(spark, sf).count()
+    val classified = conf.agg(sum("n_docs")).head().getLong(0)
+    assert(classified == totalDocs)
+  }
+
+  test("textFingerprint: equal texts get equal digests, fp_size bounded") {
+    val df = TextAnalysis.textFingerprint(spark, sf)
+    assert(df.where(col("fp_size") > 32).count() == 0)
+    // join fingerprints back to texts: identical text => identical digest
+    val joined = Tables.documents(spark, sf).select("doc_id", "text")
+      .join(df, "doc_id")
+      .groupBy("text").agg(countDistinct("fp_digest").as("n"))
+    assert(joined.where(col("n") > 1).count() == 0)
+  }
+
+  test("multimodalMeta sha matches JVM sha256 of the same bytes") {
+    val row = Multimodal.multimodalMeta(spark, sf).head()
+    val text = Tables.documents(spark, sf)
+      .where(col("doc_id") === row.getAs[Long]("doc_id"))
+      .head().getAs[String]("text")
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("sha") == want)
+    assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+  }
+
+  test("multimodalDecode is deterministic and schema-complete") {
+    val a = Multimodal.multimodalDecode(spark, sf).collect()
+    val b = Multimodal.multimodalDecode(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_frames") >= 1))
+  }
+}
