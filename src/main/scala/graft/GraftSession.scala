@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions { ext =>
+        graft.plans.MinHashSignature.inject(ext)
+        graft.plans.NGramHashes.inject(ext)
+        graft.plans.IntersectCountSorted.inject(ext)
+      }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -36,47 +36,20 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** Word 3-gram shingle hashes for a text column: array<long>. */
-  private def shingleHashes(text: Column, n: Int = 3): Column = {
-    val tokens = split(text, " ")
-    transform(
-      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-      i => xxhash64(array_join(slice(tokens, i + 1, lit(n)), " ")))
-  }
-
-  /** MinHash signature (64 permutations) over a set of shingle hashes.
-    * Permutation family: Carter-Wegman `(a·x + b) mod (2³¹−1)` with seeded
-    * literal coefficients and the base hash folded to 31 bits first, so
-    * every product stays < 2⁶² (Spark 4 runs ANSI mode — a wraparound
-    * multiply would throw ARITHMETIC_OVERFLOW). Map-side only, no fit step,
-    * no shuffle; MLlib's MinHashLSH fit/transform is unnecessary machinery
-    * for a fixed seeded family.
-    */
-  private def minhashSig(sh: Column, nPerm: Int = 64, seed: Long = 7L): Column = {
-    val p = 2147483647L // Mersenne prime 2³¹−1
-    val rnd = new scala.util.Random(seed)
-    val as = typedlit(Seq.fill(nPerm)(1L + math.abs(rnd.nextLong()) % (p - 1)))
-    val bs = typedlit(Seq.fill(nPerm)(math.abs(rnd.nextLong()) % p))
-    // fold over the shingle array (HOF argument — evaluated once per row,
-    // NOT per permutation): each shingle contributes its 64 permuted values
-    // via an elementwise min into the accumulator
-    aggregate(
-      sh,
-      typedlit(Seq.fill(nPerm)(Long.MaxValue)),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(nPerm - 1)), i =>
-          pmod(element_at(as, i + 1) * pmod(h, lit(p)) + element_at(bs, i + 1), lit(p))),
-        (x, y) => least(x, y)))
-  }
+  // Shingle/gram hashing and MinHash signatures come from the native
+  // Catalyst expressions graft.plans.{NGramHashes, MinHashSignature}
+  // (`ngram_hashes`, `minhash_sig`), registered by GraftSession — tight
+  // primitive loops instead of ~100 M interpreted HOF-lambda evaluations
+  // at sf0.1.
 
   /** Near-dup candidates via MinHash + LSH banding, verified by exact
     * Jaccard; top-20 most similar pairs.
     *
-    * 64-perm signature → 32 bands × 2 rows (aggressive banding so moderate
-    * similarity still collides); candidate pairs come from a self-join on
-    * (band_id, band_hash); each candidate is then verified with the exact
-    * shingle-set Jaccard.
+    * 64-perm signature → 16 bands × 4 rows (S-curve threshold
+    * (1/16)^(1/4) ≈ 0.5 — random same-vocabulary pairs almost never
+    * collide, true near-dups almost always do); candidate pairs come from a
+    * self-join on (band_id, band_hash); each candidate is then verified
+    * with the exact shingle-set Jaccard.
     * Scale: the self-join shuffles (band_id, band_hash, doc_id, sig) only —
     * never text; exact verification joins the shingle arrays back for just
     * the candidate ids. A hot bucket (boilerplate text) is the skew risk —
@@ -84,28 +57,37 @@ object Dedup {
     * width. No O(n²) stage exists at any cardinality.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
+    // repartition by doc_id: the testdata is one parquet file (one input
+    // split) and shingling/signatures are the expensive map stage — at
+    // 100 TB the input is already many splits and this is a no-op choice
+    val sh = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
 
-    val banded = docs.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(31)), b =>
-        xxhash64(slice(col("sig"), b * 2 + 1, lit(2))))).as(Seq("band_id", "band_hash")))
+    // bands carry ONLY (band, doc_id) — never the shingle arrays: the
+    // candidate join must shuffle 24-byte rows, not kilobyte payloads
+    val banded = sh
+      .withColumn("sig", expr("minhash_sig(sh)"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)), b =>
+          xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band_id", "band_hash")))
 
-    val a = banded.select(
-      col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(
-      col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band_id", "band_hash"))
+    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .select("doc_a", "doc_b").distinct()
+
+    // exact-Jaccard verification joins the shingle sets back for candidate
+    // ids only
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("ca", size(array_distinct(col("sh_a"))).cast("double"))
+      .withColumn("cb", size(array_distinct(col("sh_b"))).cast("double"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
@@ -153,23 +135,38 @@ object Dedup {
     * shuffle once (hash join on the block key).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    // char 3-gram set via substring over an index sequence
-    val gramArr = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-      i => col("text").substr(i, lit(3))))
+    // char 3-grams hashed to longs natively: set ops compare 8-byte ints,
+    // not strings, and hashing is one pass per row (plans.NGramHashes)
+    val gramArr = expr("ngram_hashes(text, 3, 'char_distinct')")
 
+    // blocking key: (lang, source) — the partition a corpus pipeline already
+    // has — plus a 32-char length band (each doc also probes the previous
+    // band): a high-Jaccard pair can't differ much in length, so banding
+    // bounds block width without losing near-dup pairs
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), gramArr.as("grams"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        gramArr.as("grams"))
+      .withColumn("n_grams", size(col("grams")))
     val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      (col("n_chars") / 32).cast("int").as("lband"),
+      col("doc_id").as("doc_a"), col("grams").as("g_a"), col("n_grams").as("sz_a"))
     val b = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("grams").as("g_b"))
-    a.join(b, Seq("lang", "source"))
-      .where(col("doc_a") < col("doc_b"))
+      explode(array((col("n_chars") / 32).cast("int"),
+        (col("n_chars") / 32).cast("int") - 1)).as("lband"),
+      col("doc_id").as("doc_b"), col("grams").as("g_b"), col("n_grams").as("sz_b"))
+    // |A∪B| = |A|+|B|−|A∩B|, with the intersection counted by a native
+    // merge walk over the sorted gram sets (plans.IntersectCountSorted)
+    a.join(b, Seq("lang", "source", "lband"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .withColumn("c", expr("intersect_count_sorted(g_a, g_b)").cast("double"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 6))
-      .select("doc_a", "doc_b", "jaccard")
+        col("c") / (col("sz_a") + col("sz_b") - col("c")), 6))
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("jaccard"))
+      .distinct()
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
   }
@@ -182,22 +179,29 @@ object Dedup {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val pl = typedlit {
       val rnd = new scala.util.Random(1234L)
-      Seq.fill(12)(Seq.fill(64)(rnd.nextGaussian()))
+      Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
     }
-    val emb = Tables.embeddings(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
       .withColumn("v", col("embedding").cast("array<double>"))
-      .select(col("vec_id"), col("v"),
-        posexplode(VectorOps.bandKeys(
-          VectorOps.hyperplaneBits(pl, col("v")), nBands = 3, bandBits = 4))
-          .as(Seq("band_id", "band_key")))
+      .select("vec_id", "v")
+    // 2 bands × 8 bits: 256 buckets/band keeps bucket width ~n/256, and the
+    // candidate join shuffles ONLY (band, id) — the 64-dim vectors join back
+    // for the distinct candidate pairs afterwards
+    val banded = vecs.select(col("vec_id"),
+      posexplode(VectorOps.bandKeys(
+        VectorOps.hyperplaneBits(pl, col("v")), nBands = 2, bandBits = 8))
+        .as(Seq("band_id", "band_key")))
 
-    val a = emb.select(col("band_id"), col("band_key"),
-      col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = emb.select(col("band_id"), col("band_key"),
-      col("vec_id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band_id", "band_key"))
+    val pairs = banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_b")),
+        Seq("band_id", "band_key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
       .select("id_a", "id_b", "sim")
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))

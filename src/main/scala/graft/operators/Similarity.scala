@@ -64,6 +64,7 @@ object Similarity {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val pl = typedlit(planes(16, seed = 42L))
     val emb = withVec(spark, dir)
+      .repartition(col("vec_id"))
       .withColumn("bands", VectorOps.bandKeys(
         VectorOps.hyperplaneBits(pl, col("v")), nBands = 4, bandBits = 4))
 

@@ -85,14 +85,19 @@ object TextAnalysis {
     * the per-doc argmax. At 100 TB the profile pass runs on a sample.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // repartition: the testdata is a single input split and the bigram
+    // explode (~400 rows/doc) is the heavy stage; spread it across cores
+    // bigrams ride as 8-byte hashes (native one-pass extraction, duplicates
+    // kept — frequencies are the signal), not strings
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
     val bigrams = docs.select(
       col("doc_id"), col("lang"),
-      explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
-        i => col("text").substr(i, lit(2)))).as("bigram"))
+      explode(expr("ngram_hashes(text, 2, 'char')")).as("bigram"))
 
-    val profiles = bigrams
+    // profiles train on a deterministic 1-in-4 sample — frequency ranks are
+    // stable under sampling and it quarters the profile-side explode (at
+    // 100 TB the profile pass runs on a small sample by necessity)
+    val profiles = bigrams.where(col("doc_id") % 4 === 0)
       .groupBy(col("lang").as("profile_lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** `intersect_count_sorted(a, b)` — size of the intersection of two SORTED
+  * distinct `array<long>` columns via a linear merge walk (primitive longs,
+  * no hash set, no boxing). Pairs with `ngram_hashes(..., 'char_distinct')`,
+  * which emits sorted sets; `array_intersect` would build a boxed hash set
+  * per pair — measured ~4 s over the ~10⁵ candidate pairs at sf0.1.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+object IntersectCountSorted {
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
+      (children: Seq[Expression]) => IntersectCountSorted(children(0), children(1))))
+}
