@@ -47,6 +47,7 @@ object SparkEntry {
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
+    "q_sim_ann_ivf"     -> (Similarity.simAnnIvf _),
     // extensions: deduplication (§2.4 A4 + north_star)
     "q_dedup_exact"     -> (Dedup.dedupExact _),
     "q_dedup_minhash"   -> (Dedup.dedupMinhash _),

@@ -51,6 +51,23 @@ object Multimodal {
     }
   }
 
+  /** S4 — artifact file ingestion via the binaryFile source: read raw file
+    * bytes distributed, derive the content address (sha256), size, and
+    * path — the reference's artifact capture
+    * (/root/reference/waddle/_run.py:160-188) as a scan instead of a
+    * driver-side file read.
+    * Scale: binaryFile splits by file across executors;
+    * `spark.sql.files.maxPartitionBytes` packs small artifacts per task.
+    */
+  def ingestArtifacts(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(
+        col("path"),
+        length(col("content")).cast("long").as("size_bytes"),
+        sha2(col("content"), 256).as("sha256"),
+        col("modificationTime"))
+      .orderBy("path")
+
   /** S4 — binary metadata extraction: byte length + sha256 content address,
     * all native expressions (codegen'd), oracle-verified.
     * Scale: map-only over the scan; at 100 TB the binary column lives in

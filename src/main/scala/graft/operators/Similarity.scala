@@ -51,6 +51,47 @@ object Similarity {
       .limit(10)
   }
 
+  /** O4'' — IVF (inverted-file) ANN: coarse quantization over deterministic
+    * pivot vectors, probe the query's nearest clusters only.
+    *
+    * Pivots are the first 16 vectors (deterministic; a production build
+    * would k-means a sample — the plumbing is identical). Assignment is a
+    * broadcast cross-join + argmax (map-side: 16 cosines per vector, no
+    * shuffle of the corpus); the query probes nprobe=2 clusters, so the
+    * exact re-rank touches ~2/16 of the corpus.
+    * Scale: the IVF index is `(cluster, vec)` — written partitioned by
+    * cluster, a query reads only its probed partitions (partition pruning
+    * does the "inverted file" part); nothing collects to the driver.
+    */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withVec(spark, dir).repartition(col("vec_id")).select("vec_id", "v")
+    val pivots = emb.where(col("vec_id") < 16L)
+      .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
+
+    val assigned = emb
+      .crossJoin(broadcast(pivots))
+      .withColumn("psim", VectorOps.cosine(col("v"), col("pv")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("pivot_id"), struct(col("psim"), col("pivot_id"))).as("cluster"),
+        first(col("v")).as("v"))
+
+    val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
+    val probe = pivots.crossJoin(broadcast(q))
+      .select(col("pivot_id"), VectorOps.cosine(col("pv"), col("qv")).as("psim"))
+      .orderBy(desc("psim"), asc("pivot_id"))
+      .limit(2)
+      .select(col("pivot_id").as("cluster"))
+
+    assigned
+      .join(broadcast(probe), Seq("cluster"))
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
     * twin above is the oracle-verified baseline and its recall reference).
     *

@@ -26,6 +26,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so `spark.sql` / catalog
+    * introspection work over the star schema (SURVEY.md §2.11 — the
+    * reference's `information_schema.tables` probe,
+    * /root/reference/tests/test_waddle.py:58-60, maps to
+    * `spark.catalog.listTables`).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    all.foreach(n => apply(s, d, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -52,6 +52,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("IVF ANN scores candidates identically to brute force") {
+    val brute = Similarity.simTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    val ivf = Similarity.simAnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      if (brute.contains(id)) assert(brute(id) == r.getAs[Double]("sim"))
+    }
+  }
+
+  test("catalog introspection lists all registered tables") {
+    graft.sources.Tables.registerAll(spark, sf)
+    val listed = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(graft.sources.Tables.all.toSet.subsetOf(listed))
+    // SQL works over the registered views
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+  }
+
+  test("binaryFile artifact ingestion computes sha256 and size") {
+    val dir = java.nio.file.Files.createTempDirectory("artifacts")
+    java.nio.file.Files.write(dir.resolve("a.bin"), "model weights".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array[Byte](1, 2, 3))
+    val got = graft.operators.Multimodal.ingestArtifacts(spark, dir.toString + "/*.bin")
+      .collect()
+    assert(got.length == 2)
+    val a = got.find(_.getAs[String]("path").endsWith("a.bin")).get
+    val wantSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("model weights".getBytes).map("%02x".format(_)).mkString
+    assert(a.getAs[String]("sha256") == wantSha)
+    assert(a.getAs[Long]("size_bytes") == 13L)
+  }
+
   test("brute-force topk and LSH ANN agree on the best match") {
     val brute = Similarity.simTopK(spark, sf).collect()
     val ann = Similarity.simAnnLsh(spark, sf).collect()

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan assertions: the scale properties (pushdown, pruning,
+  * broadcast, top-k) are part of each operator's contract, not an accident
+  * of the current optimizer mood. If one of these fails, a plan regressed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("filterEq pushes both equality predicates into the parquet scan") {
+    val p = plan(Relational.filterEq(spark, sf))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"))
+  }
+
+  test("pointLookup pushes the key predicate (index-probe analog)") {
+    val p = plan(Relational.pointLookup(spark, sf))
+    assert(p.contains("EqualTo(o_orderkey,42)"))
+  }
+
+  test("joinAgg broadcasts both dimension sides and prunes the fact scan") {
+    val p = plan(Relational.joinAgg(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both dimension joins must be broadcast — no fact-table shuffle")
+    assert(!p.contains("SortMergeJoin"))
+    // lineitem scan reads only the 3 needed columns
+    assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("antijoinAbsent is a broadcast anti-join") {
+    val p = plan(Relational.antijoinAbsent(spark, sf))
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"))
+  }
+
+  test("listSortLimit is top-k (TakeOrderedAndProject), not a global sort") {
+    val p = plan(Relational.listSortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("lastPerGroup is a hash aggregate with map-side partials, no window sort") {
+    val p = plan(Relational.lastPerGroup(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("simTopK broadcasts the query vector") {
+    val p = plan(Similarity.simTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
