@@ -33,6 +33,7 @@ object SparkEntry {
     // §2.4 aggregations
     "q_distinct_keys"   -> (Relational.distinctKeys _),
     "q_last_per_group"  -> (Relational.lastPerGroup _),
+    "q_best_per_entity" -> (Relational.bestPerEntity _),
     // §2.3 joins
     "q_join_agg"        -> (Relational.joinAgg _),
     "q_antijoin_absent" -> (Relational.antijoinAbsent _),
@@ -107,6 +108,11 @@ object SparkEntry {
         |       max_by(value, event_id) AS last_value
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_best_per_entity" ->
+      """SELECT o_custkey,
+        |       min_by(o_orderkey, o_totalprice) AS best_orderkey,
+        |       min(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_join_agg" ->
       """SELECT c_mktsegment,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -129,6 +129,24 @@ object Relational {
         max_by(col("value"), col("event_id")).as("last_value"))
       .orderBy("user_id", "event_type")
 
+  /** A5 — best-result-per-entity: each customer's cheapest order
+    * (argmin). Reference: min-over-runs best result selection,
+    * /root/reference/examples/hyperparameter_sweep.py:68, done client-side
+    * there; engine-side it is `min_by` in one hash aggregate.
+    * Scale: identical shape to [[lastPerGroup]] — one shuffle, map-side
+    * partial argmin.
+    */
+  def bestPerEntity(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        // (o_custkey, o_totalprice) has no ties in the testdata at any SF,
+        // so the scalar ordering key is deterministic (DuckDB 1.0 min_by
+        // lacks struct ordering keys for a composite tiebreak)
+        min_by(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"),
+        min("o_totalprice").as("best_price"))
+      .orderBy("o_custkey")
+
   /** J1 — fact ⋈ dimensions + hash aggregate (revenue per market segment).
     * Reference shape: `metrics JOIN runs`, /root/reference/waddle/_dashboard_api.py:222-231,
     * lifted onto the star schema (SURVEY.md §7.2).
