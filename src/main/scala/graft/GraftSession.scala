@@ -16,6 +16,8 @@ object GraftSession {
         graft.plans.MinHashSignature.inject(ext)
         graft.plans.NGramHashes.inject(ext)
         graft.plans.IntersectCountSorted.inject(ext)
+        graft.plans.CosineSim.inject(ext)
+        graft.plans.HyperplaneBits.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -61,7 +61,7 @@ object Dedup {
     // split) and shingling/signatures are the expensive map stage — at
     // 100 TB the input is already many splits and this is a no-op choice
     val sh = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
 
     // bands carry ONLY (band, doc_id) — never the shingle arrays: the
@@ -143,8 +143,11 @@ object Dedup {
     // has — plus a 32-char length band (each doc also probes the previous
     // band): a high-Jaccard pair can't differ much in length, so banding
     // bounds block width without losing near-dup pairs
+    // repartition with an explicit partition count: AQE happily coalesces
+    // an unpinned repartition of ~40 MB down to one partition, which would
+    // serialize the pair join + intersect into a single task
     val docs = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))
@@ -177,12 +180,8 @@ object Dedup {
     * full O(n²) cross product).
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val pl = typedlit {
-      val rnd = new scala.util.Random(1234L)
-      Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-    }
     val vecs = Tables.embeddings(spark, dir)
-      .repartition(col("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
     // 2 bands × 8 bits: 256 buckets/band keeps bucket width ~n/256, and the
@@ -190,7 +189,7 @@ object Dedup {
     // for the distinct candidate pairs afterwards
     val banded = vecs.select(col("vec_id"),
       posexplode(VectorOps.bandKeys(
-        VectorOps.hyperplaneBits(pl, col("v")), nBands = 2, bandBits = 8))
+        expr("hyperplane_bits(v, 16, 1234)"), nBands = 2, bandBits = 8))
         .as(Seq("band_id", "band_key")))
 
     val pairs = banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_a"))
@@ -202,7 +201,7 @@ object Dedup {
     pairs
       .join(vecs.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("sim", round(VectorOps.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("sim", round(expr("cosine_sim(v_a, v_b)"), 6))
       .select("id_a", "id_b", "sim")
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(20)

@@ -18,16 +18,6 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val Dim = 64
-
-  /** Deterministic seeded hyperplanes, shipped as a literal — no shuffle, no
-    * fit step, identical on every executor.
-    */
-  private def planes(nBits: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Seq.fill(Dim)(rnd.nextGaussian()))
-  }
-
   private def withVec(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -46,7 +36,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
@@ -64,13 +54,13 @@ object Similarity {
     * does the "inverted file" part); nothing collects to the driver.
     */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withVec(spark, dir).repartition(col("vec_id")).select("vec_id", "v")
+    val emb = withVec(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("vec_id")).select("vec_id", "v")
     val pivots = emb.where(col("vec_id") < 16L)
       .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
 
     val assigned = emb
       .crossJoin(broadcast(pivots))
-      .withColumn("psim", VectorOps.cosine(col("v"), col("pv")))
+      .withColumn("psim", expr("cosine_sim(v, pv)"))
       .groupBy("vec_id")
       .agg(
         max_by(col("pivot_id"), struct(col("psim"), col("pivot_id"))).as("cluster"),
@@ -78,7 +68,7 @@ object Similarity {
 
     val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
     val probe = pivots.crossJoin(broadcast(q))
-      .select(col("pivot_id"), VectorOps.cosine(col("pv"), col("qv")).as("psim"))
+      .select(col("pivot_id"), expr("cosine_sim(pv, qv)").as("psim"))
       .orderBy(desc("psim"), asc("pivot_id"))
       .limit(2)
       .select(col("pivot_id").as("cluster"))
@@ -87,7 +77,7 @@ object Similarity {
       .join(broadcast(probe), Seq("cluster"))
       .where(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+      .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
@@ -103,11 +93,10 @@ object Similarity {
     * the few colliding vectors. Multi-probe = more bands, not more scan.
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val pl = typedlit(planes(16, seed = 42L))
     val emb = withVec(spark, dir)
-      .repartition(col("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("bands", VectorOps.bandKeys(
-        VectorOps.hyperplaneBits(pl, col("v")), nBands = 4, bandBits = 4))
+        expr("hyperplane_bits(v, 16, 42)"), nBands = 4, bandBits = 4))
 
     val corpus = emb.select(
       col("vec_id"), col("v"),
@@ -123,7 +112,7 @@ object Similarity {
       .agg(first("v").as("v"), first("qv").as("qv"))
       .select(
         col("vec_id"),
-        round(VectorOps.cosine(col("v"), col("qv")), 6).as("sim"))
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }

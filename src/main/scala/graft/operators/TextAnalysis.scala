@@ -89,7 +89,7 @@ object TextAnalysis {
     // explode (~400 rows/doc) is the heavy stage; spread it across cores
     // bigrams ride as 8-byte hashes (native one-pass extraction, duplicates
     // kept — frequencies are the signal), not strings
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val bigrams = docs.select(
       col("doc_id"), col("lang"),
       explode(expr("ngram_hashes(text, 2, 'char')")).as("bigram"))
@@ -97,6 +97,7 @@ object TextAnalysis {
     // profiles train on a deterministic 1-in-4 sample — frequency ranks are
     // stable under sampling and it quarters the profile-side explode (at
     // 100 TB the profile pass runs on a small sample by necessity)
+    val langs = Seq("de", "en", "es", "fr", "zh")
     val profiles = bigrams.where(col("doc_id") % 4 === 0)
       .groupBy(col("lang").as("profile_lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
@@ -105,13 +106,27 @@ object TextAnalysis {
       .where(col("rank") <= 40)
       .select(col("profile_lang"), col("bigram"), (lit(41) - col("rank")).as("weight"))
 
+    // pivot profiles to ONE row per bigram with a weight column per
+    // language: the scoring join then never multiplies rows (a bigram
+    // shared by all 5 profiles would otherwise fan each event ×5)
+    val profileWide = profiles
+      .groupBy("bigram")
+      .pivot("profile_lang", langs)
+      .agg(first("weight"))
+      .na.fill(0L, langs)
+
     val scored = bigrams
-      .join(broadcast(profiles), Seq("bigram"))
-      .groupBy("doc_id", "lang", "profile_lang")
-      .agg(sum("weight").as("score"))
+      .join(broadcast(profileWide), Seq("bigram"))
       .groupBy("doc_id", "lang")
-      .agg(max_by(col("profile_lang"),
-        struct(col("score"), col("profile_lang"))).as("predicted"))
+      .agg(
+        sum(col(langs.head)).as(s"s_${langs.head}"),
+        langs.tail.map(l => sum(col(l)).as(s"s_$l")): _*)
+      // argmax over the 5 score columns; struct comparison breaks ties on
+      // the later language code, deterministically
+      .withColumn("predicted",
+        array_max(array(langs.map(l =>
+          struct(coalesce(col(s"s_$l"), lit(0L)).as("s"), lit(l).as("l"))): _*))
+          .getField("l"))
 
     scored.groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
