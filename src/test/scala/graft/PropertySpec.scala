@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{IntersectCountSorted, MinHashSignature, NGramHashes}
+
+/** ScalaCheck properties for the native expressions (SURVEY.md §5.3) —
+  * evaluated directly via `eval`, no Spark jobs, so hundreds of cases run
+  * in milliseconds. Fixed initial seed keeps runs deterministic.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(100)
+        .withInitialSeed(Seed(42L)),
+      p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def arr(xs: Seq[Long]): ArrayData = new GenericArrayData(xs.toArray)
+
+  private def minhash(xs: Seq[Long]): Array[Long] =
+    MinHashSignature(BoundReference(0, ArrayType(LongType), nullable = false))
+      .nullSafeEval(arr(xs)).asInstanceOf[ArrayData].toLongArray()
+
+  test("minhash signature agreement approximates Jaccard similarity") {
+    val genSets = for {
+      common <- Gen.listOfN(60, Gen.long)
+      onlyA <- Gen.listOfN(30, Gen.long)
+      onlyB <- Gen.listOfN(30, Gen.long)
+    } yield (common.toSet ++ onlyA.toSet, common.toSet ++ onlyB.toSet)
+    check("minhash≈jaccard", Prop.forAll(genSets) { case (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+        val (sa, sb) = (minhash(a.toSeq.sorted), minhash(b.toSeq.sorted))
+        val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+        math.abs(est - trueJ) < 0.3 // 64 perms → σ ≈ 0.06, 5σ bound
+      }
+    })
+  }
+
+  test("minhash is permutation-invariant over the input set") {
+    val gen = Gen.nonEmptyListOf(Gen.long)
+    check("minhash-perm-invariant", Prop.forAll(gen) { xs =>
+      minhash(xs).sameElements(minhash(scala.util.Random.shuffle(xs)))
+    })
+  }
+
+  test("intersect_count_sorted matches Set intersection") {
+    val genPair = for {
+      a <- Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+      b <- Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    } yield (a.toSet.toSeq.sorted, b.toSet.toSeq.sorted)
+    val expr = IntersectCountSorted(
+      BoundReference(0, ArrayType(LongType), nullable = false),
+      BoundReference(1, ArrayType(LongType), nullable = false))
+    check("intersect-count", Prop.forAll(genPair) { case (a, b) =>
+      expr.nullSafeEval(arr(a), arr(b)) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    })
+  }
+
+  test("ngram_hashes word mode emits max(tokens-n+1, 1) shingles") {
+    val genText = Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
+      .map(_.mkString(" "))
+    val e = NGramHashes(BoundReference(0, StringType, nullable = false), 3, "word")
+    check("word-shingle-count", Prop.forAll(genText) { t =>
+      val n = e.nullSafeEval(UTF8String.fromString(t))
+        .asInstanceOf[ArrayData].numElements()
+      n == math.max(t.split(" ").length - 2, 1)
+    })
+  }
+
+  test("ngram_hashes char_distinct is sorted, distinct, and text-order-stable") {
+    val genText = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val e = NGramHashes(BoundReference(0, StringType, nullable = false), 3, "char_distinct")
+    check("char-distinct-sorted", Prop.forAll(genText) { t =>
+      val out = e.nullSafeEval(UTF8String.fromString(t))
+        .asInstanceOf[ArrayData].toLongArray()
+      out.sameElements(out.sorted) && out.distinct.length == out.length
+    })
+  }
+
+  test("minhash signature agreement is 1 for identical sets, regardless of size") {
+    val gen = Gen.nonEmptyListOf(Gen.long)
+    check("minhash-identity", Prop.forAll(gen) { xs =>
+      minhash(xs).sameElements(minhash(xs))
+    })
+  }
+}
