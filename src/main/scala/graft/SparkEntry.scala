@@ -45,6 +45,10 @@ object SparkEntry {
     "q_param_pivot"     -> (Tracking.paramPivot _),
     "q_duration_derive" -> (Tracking.durationDerive _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
+    // temporal alignment + multi-level aggregates
+    "q_asof_align"      -> (Temporal.asofAlign _),
+    "q_sessionize"      -> (Temporal.sessionize _),
+    "q_rollup_revenue"  -> (Relational.rollupRevenue _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
@@ -177,6 +181,41 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
         |ORDER BY event_id""".stripMargin,
+    "q_asof_align" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, value, FALSE AS is_view, value AS view_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL BY NAME
+        |  SELECT event_id, user_id, ts, value, TRUE AS is_view, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT event_id, user_id, ts, value,
+        |       last_value(CASE WHEN is_view THEN view_value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, is_view DESC, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+        |FROM tagged QUALIFY NOT is_view ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

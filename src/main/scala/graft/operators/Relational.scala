@@ -179,6 +179,29 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** §2.4 note — multi-level aggregate via ROLLUP: revenue at (segment,
+    * status), per segment, and grand total in ONE pass. The reference has
+    * no grouping sets; Spark's built-in covers it (SURVEY.md §2.4 "not
+    * present" row) — included because a dashboard summary at 100 TB should
+    * be one scan, not three.
+    * Scale: rollup compiles to a single Expand + hash aggregate — the fact
+    * table is read once; DECIMAL money math keeps every level exact.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    // SQL form: the DataFrame rollup re-mints grouping attributes, which
+    // makes a post-rollup ORDER BY on those columns resolve ambiguously
+    // (Spark's self-join ambiguity check trips); the SQL path resolves
+    // cleanly and plans identically. customer auto-broadcasts (< threshold).
+    spark.sql(
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |       count(*) AS n_orders
+         |FROM parquet.`$dir/orders.parquet` JOIN parquet.`$dir/customer.parquet`
+         |  ON o_custkey = c_custkey
+         |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+         |""".stripMargin)
+
   /** J2 — anti-join: rows in the parent with no child (insert-if-absent probe).
     * Reference: commit existence probe, /root/reference/waddle/_db.py:111-134.
     * Scale: left_anti join; AQE converts to broadcast when the probe side is
