@@ -108,8 +108,24 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
 
 /** Read-side views over a [[WaddleSession]] store. */
 final class WaddleStore(spark: SparkSession, root: String) {
+  import org.apache.spark.sql.{Encoders, Row}
+  import WaddleSchema._
 
-  private def tbl(name: String): DataFrame = spark.read.parquet(s"$root/$name")
+  private val schemas = Map(
+    "runs" -> Encoders.product[RunRow].schema,
+    "metrics" -> Encoders.product[MetricRow].schema,
+    "kv" -> Encoders.product[KvRow].schema,
+    "artifacts" -> Encoders.product[ArtifactRow].schema)
+
+  /** A table nobody has written yet reads as empty with its declared
+    * schema (the reference's DDL bootstrap creates empty tables up front —
+    * /root/reference/waddle/_schema.py; on a file store absence IS empty).
+    */
+  private def tbl(name: String): DataFrame =
+    if (new java.io.File(s"$root/$name").exists())
+      spark.read.parquet(s"$root/$name")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
 
   /** Runs with read-time staleness inference: running runs whose last
     * metric is older than `staleAfterSec` before `nowSec` show as aborted
@@ -143,6 +159,72 @@ final class WaddleStore(spark: SparkSession, root: String) {
   def artifacts(runId: String): DataFrame =
     tbl("artifacts").where(col("run_id") === runId)
       .select("id", "name", "kind", "sha256", "size_bytes")
+
+  /** Dashboard run list: optional equality filters, whitelist-validated
+    * sort column, limit/offset — the reference's `list_runs`
+    * (/root/reference/waddle/_dashboard_api.py:22-51) including its
+    * injection-guard whitelist (moot on a typed API, kept as contract).
+    */
+  def listRuns(
+      nowSec: Double,
+      project: Option[String] = None,
+      status: Option[String] = None,
+      sortBy: String = "started_at",
+      descending: Boolean = true,
+      limit: Int = 200,
+      offset: Int = 0): DataFrame = {
+    val sortable = Set("started_at", "ended_at", "name", "status", "project")
+    require(sortable.contains(sortBy), s"unsortable column: $sortBy")
+    var df = runs(nowSec)
+    project.foreach(p => df = df.where(col("project") === p))
+    status.foreach(s => df = df.where(col("status") === s))
+    val key = if (descending) desc(sortBy) else asc(sortBy)
+    df.orderBy(key, asc("id")).offset(offset).limit(limit)
+  }
+
+  /** Substring search over name+project+status, the dashboard's client-side
+    * filter (/root/reference/waddle/static/index.html:185-191) engine-side.
+    */
+  def searchRuns(nowSec: Double, term: String): DataFrame =
+    runs(nowSec).where(
+      lower(concat_ws(" ", col("name"), col("project"), col("status")))
+        .contains(term.toLowerCase))
+
+  /** Metric summary: latest value per (run, key), the reference's
+    * correlated-subquery argmax (/root/reference/waddle/_dashboard_api.py:218-235)
+    * as one `max_by` aggregate.
+    */
+  def metricSummary(runIds: Seq[String]): DataFrame =
+    tbl("metrics")
+      .where(col("run_id").isin(runIds: _*))
+      .groupBy("run_id", "key")
+      .agg(max("step").as("last_step"),
+        max_by(col("value"), col("step")).as("last_value"))
+      .orderBy("run_id", "key")
+
+  /** Param-diff pivot across runs: one wide row per param key, one column
+    * per run (/root/reference/waddle/static/index.html:373-389 engine-side).
+    */
+  def compareParams(runIds: Seq[String]): DataFrame =
+    latestKv("param")
+      .where(col("run_id").isin(runIds: _*))
+      .groupBy("key")
+      .pivot("run_id", runIds)
+      .agg(first("value"))
+      .orderBy("key")
+
+  /** Cascading run delete as anti-join views: returns each table minus the
+    * victims (/root/reference/waddle/_dashboard_api.py:237-249). On
+    * immutable storage the caller overwrites with these frames.
+    */
+  def deleteRuns(runIds: Seq[String]): Map[String, DataFrame] = {
+    val victims = runIds
+    Map(
+      "runs" -> tbl("runs").where(!col("id").isin(victims: _*)),
+      "metrics" -> tbl("metrics").where(!col("run_id").isin(victims: _*)),
+      "kv" -> tbl("kv").where(!col("run_id").isin(victims: _*)),
+      "artifacts" -> tbl("artifacts").where(!col("run_id").isin(victims: _*)))
+  }
 }
 
 object WaddleSchema {

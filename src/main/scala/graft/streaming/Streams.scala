@@ -112,6 +112,17 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the ingestion-side guard a training-data
+    * pipeline runs before anything else: drop events whose id was already
+    * seen, with the watermark bounding dedup state (ids older than the
+    * watermark are GC'd — at 100 TB unbounded dedup state is the failure
+    * mode, so the lateness horizon IS the dedup guarantee window).
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

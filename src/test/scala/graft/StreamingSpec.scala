@@ -38,6 +38,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.streamingDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1704067200L
+      mem.addData(
+        Event(1, ts(t0), 1, "a", 1.0),
+        Event(1, ts(t0), 1, "a", 1.0), // exact dup in-batch
+        Event(2, ts(t0 + 5), 2, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(t0 + 10), 1, "a", 1.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0))
+      assert(ids.sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("staleDetector times out idle runs as aborted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -50,6 +50,43 @@ class WaddleApiSpec extends SparkSpec {
     assert(art.getAs[Long]("size_bytes") == "model weights".getBytes.length.toLong)
   }
 
+  test("dashboard endpoints: list, search, summary, compare, delete views") {
+    val root = Files.createTempDirectory("waddle").toString
+    val sess = new WaddleSession(spark, root, project = "projA")
+    val r1 = sess.initRun("alpha", Map("lr" -> "0.1"))
+    sess.log(r1, Map("loss" -> 1.0)); sess.log(r1, Map("loss" -> 0.5))
+    sess.finishRun(r1, "completed")
+    val r2 = sess.initRun("beta", Map("lr" -> "0.2"))
+    sess.log(r2, Map("loss" -> 0.9))
+    sess.finishRun(r2, "failed")
+
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+
+    val listed = store.listRuns(now, project = Some("projA")).collect()
+    assert(listed.length == 2)
+    assert(store.listRuns(now, status = Some("failed")).count() == 1)
+    intercept[IllegalArgumentException] {
+      store.listRuns(now, sortBy = "id; DROP TABLE runs")
+    }
+
+    assert(store.searchRuns(now, "alph").count() == 1)
+    assert(store.searchRuns(now, "projA").count() == 2)
+
+    val summary = store.metricSummary(Seq(r1, r2)).collect()
+    val r1Loss = summary.find(r => r.getString(0) == r1).get
+    assert(r1Loss.getAs[Int]("last_step") == 1)
+    assert(r1Loss.getAs[Double]("last_value") == 0.5)
+
+    val cmp = store.compareParams(Seq(r1, r2)).collect()
+    assert(cmp.length == 1) // one key: lr
+    assert(cmp.head.getAs[String](r1) == "0.1" && cmp.head.getAs[String](r2) == "0.2")
+
+    val after = store.deleteRuns(Seq(r1))
+    assert(after("runs").count() == 1)
+    assert(after("metrics").where(col("run_id") === r1).count() == 0)
+  }
+
   test("running run with stale metrics shows aborted at read time") {
     val root = Files.createTempDirectory("waddle").toString
     val sess = new WaddleSession(spark, root)
