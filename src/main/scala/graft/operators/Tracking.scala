@@ -141,6 +141,10 @@ object Tracking {
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // pinned repartition: the single-file scan would otherwise run the
+      // JSON parse serially in one task (and the filter substitution makes
+      // it parse twice per row)
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .where(col("k") > 50)
       .select("event_id", "user_id", "k")

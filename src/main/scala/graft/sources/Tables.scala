@@ -23,8 +23,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-table cache: `spark.read.parquet` re-lists the path and
+    * re-reads footers on every call — a real engine resolves a table once
+    * per catalog. Keyed by session so plans never leak across sessions.
+    * (This caches the immutable logical plan, NOT data.)
+    */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every table as a temp view so `spark.sql` / catalog
     * introspection work over the star schema (SURVEY.md §2.11 — the

@@ -112,6 +112,23 @@ object Streams {
       }
   }
 
+  /** Streaming sessionization — the streaming twin of
+    * [[graft.operators.Temporal.sessionize]]: 30-minute-gap session windows
+    * with a 10-minute watermark. Spark's `session_window` keeps one
+    * open-window state per (user, session); the watermark closes and emits
+    * sessions, bounding state.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the ingestion-side guard a training-data
     * pipeline runs before anything else: drop events whose id was already
     * seen, with the watermark bounding dedup state (ids older than the

@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows merges events within 30min gaps, splits beyond") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1704067200L
+      mem.addData(
+        Event(1, ts(t0), 7, "a", 1.0),
+        Event(2, ts(t0 + 600), 7, "b", 2.0),   // same session (10 min gap)
+        Event(3, ts(t0 + 60 * 60 * 2), 7, "c", 3.0)) // new session (2h later)
+      q.processAllAvailable()
+      // push watermark far ahead so both sessions close
+      mem.addData(Event(4, ts(t0 + 60 * 60 * 10), 8, "d", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sessions WHERE user_id = 7")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(rows.sameElements(Array((1L, 3.0), (2L, 3.0))))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
