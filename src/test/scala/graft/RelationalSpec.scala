@@ -80,6 +80,23 @@ class RelationalSpec extends SparkSpec {
       Tables.events(spark, sf).select("user_id").distinct().count())
   }
 
+  test("saltedJoin matches a plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail, joined to a 3-row dimension
+    val fact = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (3L, 2L))).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (3L, "cold")).toDF("k", "label")
+    val plain = fact.join(dim, "k")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", col("payload"), 8)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("label").count().collect().sortBy(_.getString(0)).toSeq ==
+      plain.groupBy("label").count().collect().sortBy(_.getString(0)).toSeq)
+    // hot key really is spread over multiple salts
+    val spread = fact.withColumn("s", pmod(xxhash64(col("payload")), lit(8)))
+      .where(col("k") === 1L).select("s").distinct().count()
+    assert(spread > 1)
+  }
+
   test("windowRank emits at most 3 rows per user, ranks 1..3") {
     val df = Tracking.windowRank(spark, sf)
     val perUser = df.groupBy("user_id").agg(
