@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * per pair — measured ~4 s over the ~10⁵ candidate pairs at sf0.1.
   */
 case class IntersectCountSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count_sorted"
@@ -23,9 +23,10 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): IntersectCountSorted =
     copy(left = newLeft, right = newRight)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(x: ArrayData, y: ArrayData): Long = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -40,6 +41,13 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     }
     c
   }
+
+  // keep the surrounding stage in whole-stage codegen (see CosineSim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("icsExpr", this, classOf[IntersectCountSorted].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
 }
 
 object IntersectCountSorted {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -16,15 +16,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   * 64-perm × ~300-shingle fold costs ~100 M boxed evaluations at sf0.1
   * (~8 s measured). This `eval` runs the same arithmetic as a tight
   * primitive loop over `ArrayData` (~0.1 s), with no serialization
-  * boundary (unlike a Scala UDF). CodegenFallback is fine: the loop is
-  * per-row work, not per-element expression dispatch.
+  * boundary (unlike a Scala UDF). doGenCode keeps the surrounding stage in
+  * whole-stage codegen via a reference-object callback.
   *
   * Permutation family: Carter-Wegman `(a·x + b) mod (2³¹−1)` with the base
   * hash folded into [0, p); coefficients derive from a fixed seed, so
   * signatures are deterministic across executors, sessions, and rounds.
   */
 case class MinHashSignature(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -32,9 +32,11 @@ case class MinHashSignature(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): GenericArrayData = {
     import MinHashSignature._
-    val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(NPerm)(Long.MaxValue)
     var i = 0
@@ -51,6 +53,13 @@ case class MinHashSignature(child: Expression)
     }
     new GenericArrayData(mins)
   }
+
+  // keep the surrounding stage in whole-stage codegen (see CosineSim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("mhExpr", this, classOf[MinHashSignature].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
 }
 
 object MinHashSignature {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * quality; only determinism matters, not any specific function.
   */
 case class NGramHashes(child: Expression, n: Int, mode: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
@@ -38,8 +38,10 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): GenericArrayData = {
     mode match {
       case "word" =>
         val toks = text.split(UTF8String.fromString(" "), -1)
@@ -75,6 +77,13 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
         }
     }
   }
+
+  // keep the surrounding stage in whole-stage codegen (see CosineSim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("ngramExpr", this, classOf[NGramHashes].getName)
+      s"${ev.value} = $ref.compute($t);"
+    })
 }
 
 object NGramHashes {

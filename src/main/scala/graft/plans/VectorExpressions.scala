@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * bit-for-bit before rounding.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -25,9 +25,10 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
@@ -43,6 +44,17 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  /** Whole-stage-codegen support: the generated Java calls back into
+    * [[compute]] through a reference object — the surrounding stage stays
+    * compiled (CodegenFallback would eject the entire stage to the
+    * interpreted path).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("cosineExpr", this, classOf[CosineSim].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
 }
 
 object CosineSim {
@@ -60,7 +72,7 @@ object CosineSim {
   * identical on every executor with nothing shuffled or broadcast.
   */
 case class HyperplaneBits(child: Expression, nBits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bits"
@@ -76,8 +88,10 @@ case class HyperplaneBits(child: Expression, nBits: Int, seed: Long)
       Array.fill(nBits)(Array.fill(d)(rnd.nextGaussian()))
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val pl = planes(dim)
     val out = new Array[Long](nBits)
@@ -92,6 +106,12 @@ case class HyperplaneBits(child: Expression, nBits: Int, seed: Long)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("hpExpr", this, classOf[HyperplaneBits].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
 }
 
 object HyperplaneBits {
