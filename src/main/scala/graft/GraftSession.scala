@@ -18,6 +18,7 @@ object GraftSession {
         graft.plans.IntersectCountSorted.inject(ext)
         graft.plans.CosineSim.inject(ext)
         graft.plans.HyperplaneBits.inject(ext)
+        graft.plans.MinHashUnion.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

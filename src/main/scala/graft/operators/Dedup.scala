@@ -174,6 +174,37 @@ object Dedup {
       .limit(20)
   }
 
+  /** Collection-level overlap: estimated Jaccard similarity between SOURCES
+    * (document collections), via the MinHash union property
+    * sig(A∪B) = min(sig(A), sig(B)) — the custom TypedImperativeAggregate
+    * `minhash_union` (graft.plans.MinHashUnion) merges per-doc signatures
+    * into one 512-byte sketch per source; pairwise overlap then compares
+    * sketches, never documents.
+    * Scale: the aggregate is map-side partial + 512 B/group shuffle; the
+    * pairwise stage is |sources|² over sketches (sources are bounded — for
+    * unbounded grouping keys, band the sketches like [[dedupMinhash]]).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sketches = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"),
+        expr("minhash_sig(ngram_hashes(text, 3, 'word'))").as("sig"))
+      .groupBy("source")
+      .agg(expr("minhash_union(sig)").as("msig"))
+
+    val a = sketches.select(col("source").as("source_a"), col("msig").as("m_a"))
+    val b = sketches.select(col("source").as("source_b"), col("msig").as("m_b"))
+    a.crossJoin(b)
+      .where(col("source_a") < col("source_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(
+          zip_with(col("m_a"), col("m_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / 64.0, 6))
+      .select("source_a", "source_b", "est_jaccard")
+      .orderBy(desc("est_jaccard"), asc("source_a"), asc("source_b"))
+      .limit(20)
+  }
+
   /** Embedding-cosine near-dup: top-20 most similar vector pairs, candidates
     * from hyperplane-LSH band collisions (same 100 TB shape as
     * [[Similarity.simAnnLsh]] — the self-join streams band keys, never the

@@ -46,6 +46,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(js.head > 0.5) // sf0.001 corpus contains near-identical docs
   }
 
+  test("sourceOverlap: estimates bounded in [0,1], self-overlap would be 1") {
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("est_jaccard"); j >= 0.0 && j <= 1.0
+    })
+    // union aggregate sanity: a source sketched against itself matches fully
+    import org.apache.spark.sql.functions._
+    val sketches = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), expr("minhash_sig(ngram_hashes(text, 3, 'word'))").as("sig"))
+      .groupBy("source").agg(expr("minhash_union(sig)").as("m"))
+    val self = sketches
+      .withColumn("eq", aggregate(
+        zip_with(col("m"), col("m"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, x) => a + x))
+    assert(self.where(col("eq") =!= 64).count() == 0)
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val a = Dedup.dedupSimhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.dedupSimhash(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
