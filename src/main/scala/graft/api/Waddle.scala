@@ -34,6 +34,8 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   Files.createDirectories(Paths.get(root))
 
   private val runBuf = mutable.ArrayBuffer.empty[RunRow]
+  private val repoBuf = mutable.ArrayBuffer.empty[RepoRow]
+  private val commitBuf = mutable.ArrayBuffer.empty[CommitRow]
   private val metricBuf = mutable.ArrayBuffer.empty[MetricRow]
   private val kvBuf = mutable.ArrayBuffer.empty[KvRow]
   private val artifactBuf = mutable.ArrayBuffer.empty[ArtifactRow]
@@ -43,10 +45,25 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   private def nextSeq(): Long = { seq += 1; seq }
   private def nowSec(): Double = System.currentTimeMillis() / 1000.0
 
-  /** Start a run (reference `waddle.init`, _api.py:14-70). Returns run id. */
-  def initRun(name: String, config: Map[String, String] = Map.empty): String = {
+  /** Start a run (reference `waddle.init`, _api.py:14-70). Optionally links
+    * git provenance (repo + commit rows, nullable on the run — the
+    * reference's repos/commits tables, _schema.py:4-21, upserted at
+    * _db.py:76-134). Returns run id.
+    */
+  def initRun(
+      name: String,
+      config: Map[String, String] = Map.empty,
+      repo: Option[GitInfo.RepoInfo] = None): String = synchronized {
     val id = UUID.randomUUID().toString.replace("-", "")
-    runBuf += RunRow(id, project, name, "running", nowSec(), None)
+    val repoId = repo.map(r => java.util.UUID.nameUUIDFromBytes(
+      r.root.getBytes("UTF-8")).toString.replace("-", ""))
+    repo.foreach { r =>
+      repoBuf += RepoRow(repoId.get, r.name, r.root, r.originUrl, r.branch, nowSec())
+      commitBuf += CommitRow(repoId.get, r.commitSha, r.commitAuthor,
+        nowSec(), r.commitMessage)
+    }
+    runBuf += RunRow(id, project, name, "running", nowSec(), None,
+      repoId, repo.map(_.commitSha))
     config.foreach { case (k, v) =>
       kvBuf += KvRow(id, "param", k, v, nextSeq())
     }
@@ -56,7 +73,7 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   /** Log metrics; step auto-increments per run when not given
     * (reference `Run.log`, _run.py:114-126).
     */
-  def log(runId: String, metrics: Map[String, Double], step: Option[Int] = None): Unit = {
+  def log(runId: String, metrics: Map[String, Double], step: Option[Int] = None): Unit = synchronized {
     val s = step.getOrElse(steps.getOrElse(runId, -1) + 1)
     steps(runId) = s
     val ts = nowSec()
@@ -64,13 +81,15 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   }
 
   /** Upsert-semantics key/value (reference params/tags, _run.py:138-152). */
-  def logParam(runId: String, key: String, value: String): Unit =
+  def logParam(runId: String, key: String, value: String): Unit = synchronized {
     kvBuf += KvRow(runId, "param", key, value, nextSeq())
-  def logTag(runId: String, key: String, value: String): Unit =
+  }
+  def logTag(runId: String, key: String, value: String): Unit = synchronized {
     kvBuf += KvRow(runId, "tag", key, value, nextSeq())
+  }
 
   /** Content-addressed artifact capture (reference _run.py:160-188). */
-  def logArtifact(runId: String, name: String, bytes: Array[Byte]): Unit = {
+  def logArtifact(runId: String, name: String, bytes: Array[Byte]): Unit = synchronized {
     val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
     artifactBuf += ArtifactRow(
@@ -82,7 +101,7 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     * (reference `Run.finish`, _run.py:190-209; statuses: completed /
     * failed / aborted, _schema.py:29 + _run.py:83).
     */
-  def finishRun(runId: String, status: String = "completed"): Unit = {
+  def finishRun(runId: String, status: String = "completed"): Unit = synchronized {
     runBuf.transform {
       case r if r.id == runId => r.copy(status = status, ended_at = Some(nowSec()))
       case r => r
@@ -93,13 +112,15 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   /** Batched append of everything buffered — the micro-batch that replaces
     * the reference's row-at-a-time INSERTs.
     */
-  def flush(): Unit = {
+  def flush(): Unit = synchronized {
     import spark.implicits._
     def append[T <: Product : org.apache.spark.sql.Encoder](
         rows: Seq[T], table: String): Unit =
       if (rows.nonEmpty)
         rows.toDF().write.mode("append").parquet(s"$root/$table")
     append(runBuf.toSeq, "runs"); runBuf.clear()
+    append(repoBuf.toSeq, "repos"); repoBuf.clear()
+    append(commitBuf.toSeq, "commits"); commitBuf.clear()
     append(metricBuf.toSeq, "metrics"); metricBuf.clear()
     append(kvBuf.toSeq, "kv"); kvBuf.clear()
     append(artifactBuf.toSeq, "artifacts"); artifactBuf.clear()
@@ -113,6 +134,8 @@ final class WaddleStore(spark: SparkSession, root: String) {
 
   private val schemas = Map(
     "runs" -> Encoders.product[RunRow].schema,
+    "repos" -> Encoders.product[RepoRow].schema,
+    "commits" -> Encoders.product[CommitRow].schema,
     "metrics" -> Encoders.product[MetricRow].schema,
     "kv" -> Encoders.product[KvRow].schema,
     "artifacts" -> Encoders.product[ArtifactRow].schema)
@@ -159,6 +182,39 @@ final class WaddleStore(spark: SparkSession, root: String) {
   def artifacts(runId: String): DataFrame =
     tbl("artifacts").where(col("run_id") === runId)
       .select("id", "name", "kind", "sha256", "size_bytes")
+
+  /** Repos with insert-if-absent semantics over the append log: the first
+    * row per id wins (reference upsert, /root/reference/waddle/_db.py:76-99).
+    */
+  def repos(): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(asc("created_at"))
+    tbl("repos").withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Commits, first-write-wins per (repo_id, commit_sha)
+    * (reference ON CONFLICT DO NOTHING, /root/reference/waddle/_db.py:109-134).
+    */
+  def commits(): DataFrame = {
+    val w = Window.partitionBy("repo_id", "commit_sha").orderBy(asc("author_time"))
+    tbl("commits").withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Runs joined to their git provenance (FK walk runs→commits→repos,
+    * /root/reference/waddle/_schema.py:14,26-27).
+    */
+  def runsWithProvenance(nowSec: Double): DataFrame =
+    runs(nowSec)
+      .join(broadcast(commits().select(
+        col("repo_id").as("c_repo_id"), col("commit_sha").as("c_sha"),
+        col("author"), col("message"))),
+        col("repo_id") === col("c_repo_id") && col("commit_sha") === col("c_sha"),
+        "left_outer")
+      .join(broadcast(repos().select(
+        col("id").as("r_id"), col("name").as("repo_name"), col("origin_url"))),
+        col("repo_id") === col("r_id"), "left_outer")
+      .drop("c_repo_id", "c_sha", "r_id")
 
   /** Dashboard run list: optional equality filters, whitelist-validated
     * sort column, limit/offset — the reference's `list_runs`
@@ -230,7 +286,14 @@ final class WaddleStore(spark: SparkSession, root: String) {
 object WaddleSchema {
   case class RunRow(
       id: String, project: String, name: String, status: String,
-      started_at: Double, ended_at: Option[Double])
+      started_at: Double, ended_at: Option[Double],
+      repo_id: Option[String] = None, commit_sha: Option[String] = None)
+  case class RepoRow(
+      id: String, name: String, path: String, origin_url: Option[String],
+      default_branch: String, created_at: Double)
+  case class CommitRow(
+      repo_id: String, commit_sha: String, author: String,
+      author_time: Double, message: String)
   case class MetricRow(
       run_id: String, key: String, step: Int, ts: Double, value: Double)
   case class KvRow(run_id: String, kind: String, key: String, value: String, seq: Long)

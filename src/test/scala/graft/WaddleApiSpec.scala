@@ -87,6 +87,68 @@ class WaddleApiSpec extends SparkSpec {
     assert(after("metrics").where(col("run_id") === r1).count() == 0)
   }
 
+  test("git provenance: repo + commit rows link to the run") {
+    import scala.sys.process._
+    val repoDir = Files.createTempDirectory("gitrepo").toFile
+    Process(Seq("git", "init", "-q"), repoDir).!
+    Process(Seq("git", "config", "user.email", "t@t"), repoDir).!
+    Process(Seq("git", "config", "user.name", "t"), repoDir).!
+    Files.write(repoDir.toPath.resolve("f.txt"), "hello".getBytes)
+    Process(Seq("git", "add", "."), repoDir).!
+    Process(Seq("git", "commit", "-qm", "initial"), repoDir).!
+
+    val info = graft.api.GitInfo.detect(repoDir.toString)
+    assert(info.isDefined)
+    assert(info.get.commitSha.length == 40)
+    assert(info.get.commitMessage == "initial")
+    assert(!info.get.dirty)
+
+    val root = Files.createTempDirectory("waddle").toString
+    val sess = new WaddleSession(spark, root)
+    val run = sess.initRun("with-git", repo = info)
+    sess.finishRun(run)
+
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+    val prov = store.runsWithProvenance(now).where(col("id") === run).head()
+    assert(prov.getAs[String]("commit_sha") == info.get.commitSha)
+    assert(prov.getAs[String]("message") == "initial")
+    assert(store.repos().count() == 1 && store.commits().count() == 1)
+
+    // re-running from the same repo does not duplicate repo/commit rows
+    val run2 = sess.initRun("again", repo = info)
+    sess.finishRun(run2)
+    assert(store.repos().count() == 1 && store.commits().count() == 1)
+  }
+
+  test("no-git mode: runs proceed with null provenance") {
+    val root = Files.createTempDirectory("waddle").toString
+    val sess = new WaddleSession(spark, root)
+    val run = sess.initRun("plain")
+    sess.finishRun(run)
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+    val row = store.runs(now).head()
+    assert(row.isNullAt(row.fieldIndex("repo_id")))
+    assert(store.runsWithProvenance(now).count() == 1)
+  }
+
+  test("system monitor samples system/ metrics on its own thread") {
+    val root = Files.createTempDirectory("waddle").toString
+    val sess = new WaddleSession(spark, root)
+    val run = sess.initRun("monitored")
+    val mon = new graft.api.SystemMonitor(sess, run, intervalMillis = 50L).start()
+    Thread.sleep(300L)
+    mon.stop()
+    sess.finishRun(run)
+    val store = new WaddleStore(spark, root)
+    val sys = store.metrics(run).where(col("key").startsWith("system/"))
+    assert(sys.count() >= 4) // at least one full sample of 4 keys
+    val keys = sys.select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(keys.contains("system/cpu.load_avg"))
+    assert(keys.contains("system/mem.heap_used_mb"))
+  }
+
   test("running run with stale metrics shows aborted at read time") {
     val root = Files.createTempDirectory("waddle").toString
     val sess = new WaddleSession(spark, root)
