@@ -45,6 +45,8 @@ object SparkEntry {
     "q_param_pivot"     -> (Tracking.paramPivot _),
     "q_duration_derive" -> (Tracking.durationDerive _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
+    "q_quantiles"       -> (Tracking.quantiles _),
+    "q_histogram"       -> (Tracking.histogram _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -182,6 +184,15 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
         |ORDER BY event_id""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_align" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value, FALSE AS is_view, value AS view_value

@@ -131,6 +131,35 @@ object Tracking {
           .otherwise(concat((col("duration_sec") / 60).cast("long"), lit("m"))))
       .orderBy("user_id")
 
+  /** Distribution summary — exact interpolated quantiles per series key
+    * (the dashboard-summary shape a metrics store needs; the reference
+    * computes nothing distributional). `percentile` (exact, sort-based)
+    * matches DuckDB's `quantile_cont` definition bit-for-bit on the same
+    * doubles; `approx_percentile` is the 100 TB swap-in (t-digest sketch,
+    * mergeable map-side) — exact kept here because the oracle hashes it.
+    * Scale: sort-based exact percentile buffers each group; at real scale
+    * use approx_percentile (documented trade).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Value histogram via fixed-width bucketing — one hash aggregate, the
+    * distribution-shape query every monitoring dashboard runs.
+    * Scale: bucket id is computed map-side; the shuffle carries one row
+    * per bucket per partition (map-side partial counts).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** F2 — JSON extraction from a dynamic-schema column.
     * Reference: json.loads over params/config values,
     * /root/reference/waddle/_dashboard_api.py:86-108; engine-side it is

@@ -49,6 +49,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("bucketed tables join with zero shuffle (co-located SMJ)") {
+    import spark.implicits._
+    // warehouse.dir is static config — default ./spark-warehouse is fine
+    // (gitignored); force a shuffle-join regime so only bucketing can
+    // remove the exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1L to 1000L).map(i => (i, s"n$i")).toDF("k", "name")
+        .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("dim_b")
+      (1L to 5000L).map(i => (i % 1000 + 1, i.toDouble)).toDF("k", "v")
+        .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("fact_b")
+      val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n${p.take(2000)}")
+      assert(joined.count() == 5000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS dim_b")
+      spark.sql("DROP TABLE IF EXISTS fact_b")
+    }
+  }
+
   test("simTopK broadcasts the query vector") {
     val p = plan(Similarity.simTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
