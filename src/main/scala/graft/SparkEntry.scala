@@ -67,6 +67,7 @@ object SparkEntry {
     "q_text_tokens"     -> (TextAnalysis.textTokens _),
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_text_langid"     -> (TextAnalysis.textLangId _),
+    "q_text_tfidf"      -> (TextAnalysis.textTfidf _),
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -267,6 +268,22 @@ object SparkEntry {
         |               / length(string_split(text, ' ')) AS avg_word_len
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT lang, token, count(*) AS tf FROM toks GROUP BY lang, token)
+        |SELECT lang, rank, token, round(raw_score, 6) AS tfidf
+        |FROM (SELECT lang, token,
+        |             tf * ln(CAST(n_docs AS DOUBLE) / df) AS raw_score,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, token)
+        |               AS rank
+        |      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS n_bytes,

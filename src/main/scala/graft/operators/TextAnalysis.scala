@@ -133,6 +133,40 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** F9 — TF-IDF term salience: top-3 terms per language by corpus-level
+    * tf·idf (term frequency within the language × inverse document
+    * frequency across the corpus).
+    * Scale: two hash aggregates over the exploded tokens (tf keyed by
+    * (lang, token), df keyed by token with map-side partial distinct), a
+    * broadcast of the tiny df/count sides, and a WindowGroupLimit top-3 —
+    * the idf table is vocabulary-sized, never corpus-sized.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("token"))
+
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    val tf = toks.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw_score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("raw_score"), asc("token"))))
+      .where(col("rank") <= 3)
+    scored
+      .select(col("lang"), col("rank"), col("token"),
+        round(col("raw_score"), 6).as("tfidf"))
+      .orderBy("lang", "rank")
+  }
+
   /** F9 — rolling-hash document fingerprint: char-5-gram rolling hashes,
     * bottom-32 sketch (the 32 smallest distinct gram hashes) as the
     * fingerprint set; emitted as set size + one stable 64-bit digest.
