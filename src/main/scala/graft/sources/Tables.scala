@@ -33,7 +33,10 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent(
-      (System.identityHashCode(spark).toString, dir, name),
+      // applicationId + identity: identityHashCode alone could collide with
+      // a GC'd stopped session's address; the app id disambiguates contexts
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every table as a temp view so `spark.sql` / catalog
