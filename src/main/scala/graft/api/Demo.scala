@@ -22,6 +22,21 @@ object Demo {
       sess.logArtifact(run, "weights.bin", Array.fill[Byte](64)(i.toByte))
       sess.finishRun(run, if (i == 2) "failed" else "completed")
     }
+    // best-run selection (reference examples/hyperparameter_sweep.py:68:
+    // min over runs of the final loss) — engine-side min_by over the
+    // metric summary instead of a client-side loop
+    val store = new WaddleStore(spark, root)
+    val runIds = store.runs(System.currentTimeMillis() / 1000.0)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val best = store.metricSummary(runIds)
+      .where(org.apache.spark.sql.functions.col("key") === "loss")
+      .agg(org.apache.spark.sql.functions.min_by(
+        org.apache.spark.sql.functions.col("run_id"),
+        org.apache.spark.sql.functions.col("last_value")).as("best_run"),
+        org.apache.spark.sql.functions.min("last_value").as("best_loss"))
+      .head()
+    println(s"best run: ${best.getString(0).take(8)} loss=${best.getDouble(1)}")
+
     spark.stop()
     println(s"seeded store at $root")
     Cli.main(Array(root, "10"))

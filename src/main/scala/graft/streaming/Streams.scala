@@ -140,6 +140,16 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the live metric stream joined to the runs
+    * dimension — how a live dashboard labels incoming points without
+    * re-querying the store per event. The static side re-resolves per
+    * micro-batch (picking up new runs); Spark broadcasts it when small.
+    */
+  def enrichedStream(events: DataFrame, runsDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(runsDim),
+      Seq("user_id"), "left_outer")
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -108,6 +108,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedStream labels events from the static runs dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((7L, "exp-seven"), (8L, "exp-eight")).toDF("user_id", "run_name")
+    val q = Streams.enrichedStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(1704067200L), 7, "click", 1.0),
+        Event(2, ts(1704067201L), 99, "view", 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, run_name FROM enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      assert(rows(7L).contains("exp-seven"))
+      assert(rows(99L).isEmpty) // left outer keeps unmatched events
+    } finally q.stop()
+  }
+
+  test("fanout hands every micro-batch to the broadcast function") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = Streams.fanout(mem.toDF(), ckpt) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }.start()
+    try {
+      mem.addData(Event(1, ts(1704067200L), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1704067201L), 1, "b", 2.0),
+        Event(3, ts(1704067202L), 2, "c", 3.0))
+      q.processAllAvailable()
+      assert(seen.get() == 3L)
+    } finally q.stop()
+  }
+
   test("stepAssigner numbers events per run in ts order across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
