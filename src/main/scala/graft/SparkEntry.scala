@@ -47,6 +47,8 @@ object SparkEntry {
     "q_json_extract"    -> (Tracking.jsonExtract _),
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
+    "q_approx_distinct" -> (Tracking.approxDistinct _),
+    "q_sample_balanced" -> (Sampling.sampleDocuments _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),

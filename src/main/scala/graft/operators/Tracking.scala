@@ -149,6 +149,21 @@ object Tracking {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Sketch-based distinct counting — `approx_count_distinct` (HLL++) next
+    * to the exact count. At 100 TB the exact distinct is a full shuffle of
+    * the key; the HLL sketch is a few KB per group, merged bitwise
+    * (commutative/associative → deterministic under any partitioning).
+    * Rows-only check: DuckDB's approx algorithm differs; a spec asserts
+    * the estimate lands within HLL's error bound of the exact value.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** Value histogram via fixed-width bucketing — one hash aggregate, the
     * distribution-shape query every monitoring dashboard runs.
     * Scale: bucket id is computed map-side; the shuffle carries one row
