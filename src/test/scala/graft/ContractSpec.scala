@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.Tables
+
+/** Guards on the driver contract itself: a typo'd key or an oracle
+  * referencing a nonexistent table would silently zero a round's
+  * correctness score.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("query names follow the q_ convention and are nonempty") {
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.queries.keySet.forall(_.startsWith("q_")))
+  }
+
+  test("oracle SQL references only known tables") {
+    val known = Tables.all.toSet
+    // table tokens appearing after FROM/JOIN in each statement
+    val word = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val refs = word.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        .filterNot(Set("parquet")) // parquet.`path` form
+      val unknown = refs -- known -- Set("tagged", "flagged", "sess", "toks",
+        "dfreq", "n", "tf") // CTE names
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  test("entry returns >0 rows at sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("canonical JSON rows sort columns and round-trip values") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey").limit(2)
+    val rows = graft.api.Json.canonicalRows(df).collect()
+    assert(rows.length == 2)
+    assert(rows.head.startsWith("""{"o_orderkey":"""))
+    // column order is name-sorted regardless of select order
+    val df2 = Tables.orders(spark, sf).select("o_orderstatus", "o_orderkey")
+      .orderBy("o_orderkey").limit(2)
+    assert(graft.api.Json.canonicalRows(df2).collect().sameElements(rows))
+    val body = graft.api.Json.responseBody(df)
+    assert(body.startsWith("[{") && body.endsWith("}]"))
+  }
+}

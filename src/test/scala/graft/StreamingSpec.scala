@@ -108,6 +108,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregates flow to a durable parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h0 = 1704067200L
+      mem.addData(Event(1, ts(h0 + 60), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(h0 + 3600 * 3), 1, "view", 1.0)) // closes window
+      q.processAllAvailable()
+      val persisted = spark.read.parquet(out)
+      assert(persisted.count() >= 1)
+      assert(persisted.columns.toSet ==
+        Set("window_start", "event_type", "n_events", "total_value"))
+    } finally q.stop()
+  }
+
   test("enrichedStream labels events from the static runs dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
