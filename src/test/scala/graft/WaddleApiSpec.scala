@@ -87,6 +87,40 @@ class WaddleApiSpec extends SparkSpec {
     assert(after("metrics").where(col("run_id") === r1).count() == 0)
   }
 
+  test("module-level API: active-run lifecycle mirrors the reference") {
+    import graft.api.Graft
+    Graft.resetForTest()
+    // log without init errors (reference test_api.py:163-166)
+    intercept[IllegalStateException] { Graft.log(Map("loss" -> 1.0)) }
+
+    val root = Files.createTempDirectory("waddle").toString
+    // context-manager success -> completed (test_api.py:100-113)
+    Graft.withRun(spark, root, name = "ctx-ok") { _ =>
+      Graft.log(Map("loss" -> 0.5, "acc" -> 0.9))
+      Graft.logParam("lr", "0.01")
+    }
+    // context-manager failure -> failed, exception propagates (:115-127)
+    intercept[RuntimeException] {
+      Graft.withRun(spark, root, name = "ctx-boom") { _ =>
+        Graft.log(Map("loss" -> 9.9))
+        throw new RuntimeException("boom")
+      }
+    }
+    // after finish, no active run remains
+    intercept[IllegalStateException] { Graft.log(Map("x" -> 1.0)) }
+
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+    val statuses = store.runs(now).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("status")).toMap
+    assert(statuses("ctx-ok") == "completed")
+    assert(statuses("ctx-boom") == "failed")
+    // metrics round-trip with approx float compare (test_api.py:71-72)
+    val okId = store.runs(now).where(col("name") === "ctx-ok").head().getAs[String]("id")
+    val loss = store.metrics(okId).where(col("key") === "loss").head().getAs[Double]("value")
+    assert(math.abs(loss - 0.5) < 1e-9)
+  }
+
   test("git provenance: repo + commit rows link to the run") {
     import scala.sys.process._
     val repoDir = Files.createTempDirectory("gitrepo").toFile
