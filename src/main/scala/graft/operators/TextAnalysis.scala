@@ -87,12 +87,15 @@ object TextAnalysis {
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the testdata is a single input split and the bigram
     // explode (~400 rows/doc) is the heavy stage; spread it across cores
-    // bigrams ride as 8-byte hashes (native one-pass extraction, duplicates
-    // kept — frequencies are the signal), not strings
+    // bigrams ride as pre-counted 8-byte hashes (native run-length encoded
+    // extraction): one exploded row per DISTINCT bigram with its count,
+    // not per occurrence — frequencies preserved at ~half the row volume
     val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val bigrams = docs.select(
       col("doc_id"), col("lang"),
-      explode(expr("ngram_hashes(text, 2, 'char')")).as("bigram"))
+      explode(expr("ngram_hashes(text, 2, 'char_counts')")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.h").as("bigram"), col("bg.c").as("cnt"))
 
     // profiles train on a deterministic 1-in-4 sample — frequency ranks are
     // stable under sampling and it quarters the profile-side explode (at
@@ -100,9 +103,9 @@ object TextAnalysis {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val profiles = bigrams.where(col("doc_id") % 4 === 0)
       .groupBy(col("lang").as("profile_lang"), col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("freq"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy("profile_lang").orderBy(desc("cnt"), asc("bigram"))))
+        Window.partitionBy("profile_lang").orderBy(desc("freq"), asc("bigram"))))
       .where(col("rank") <= 40)
       .select(col("profile_lang"), col("bigram"), (lit(41) - col("rank")).as("weight"))
 
@@ -119,8 +122,8 @@ object TextAnalysis {
       .join(broadcast(profileWide), Seq("bigram"))
       .groupBy("doc_id", "lang")
       .agg(
-        sum(col(langs.head)).as(s"s_${langs.head}"),
-        langs.tail.map(l => sum(col(l)).as(s"s_$l")): _*)
+        sum(col(langs.head) * col("cnt")).as(s"s_${langs.head}"),
+        langs.tail.map(l => sum(col(l) * col("cnt")).as(s"s_$l")): _*)
       // argmax over the 5 score columns; struct comparison breaks ties on
       // the later language code, deterministically
       .withColumn("predicted",

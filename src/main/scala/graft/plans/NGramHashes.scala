@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,6 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *                      preserving — language-ID profiles need counts)
   *  - 'char_distinct' : distinct char n-gram hashes, sorted (set semantics
   *                      for Jaccard)
+  *  - 'char_counts'   : array<struct<h,c>> of distinct char n-gram hashes
+  *                      with occurrence counts — pre-aggregated frequencies,
+  *                      so downstream explodes emit one row per DISTINCT
+  *                      gram instead of per occurrence (~2× less volume)
   *
   * Why native: the equivalent `transform(sequence(...), i -> xxhash64(
   * substr(...)))` runs interpreted per element with boxing and, when the
@@ -28,7 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NGramHashes(child: Expression, n: Int, mode: String)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (mode == "char_counts")
+      ArrayType(StructType(Seq(
+        StructField("h", LongType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
 
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
@@ -55,7 +65,7 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
           i += 1
         }
         new GenericArrayData(out)
-      case "char" | "char_distinct" =>
+      case "char" | "char_distinct" | "char_counts" =>
         val nc = text.numChars()
         val m = math.max(nc - n + 1, 1)
         val out = new Array[Long](m)
@@ -67,13 +77,25 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
         if (mode == "char") new GenericArrayData(out)
         else {
           java.util.Arrays.sort(out)
-          var w = 0
-          var r = 0
-          while (r < m) {
-            if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
-            r += 1
+          if (mode == "char_distinct") {
+            var w = 0
+            var r = 0
+            while (r < m) {
+              if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+              r += 1
+            }
+            new GenericArrayData(java.util.Arrays.copyOf(out, w))
+          } else { // char_counts: run-length encode the sorted hashes
+            val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            var r = 0
+            while (r < m) {
+              var c = 1L
+              while (r + 1 < m && out(r + 1) == out(r)) { c += 1; r += 1 }
+              rows += InternalRow(out(r), c)
+              r += 1
+            }
+            new GenericArrayData(rows.toArray[Any])
           }
-          new GenericArrayData(java.util.Arrays.copyOf(out, w))
         }
     }
   }
