@@ -70,6 +70,7 @@ object SparkEntry {
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_text_langid"     -> (TextAnalysis.textLangId _),
     "q_text_tfidf"      -> (TextAnalysis.textTfidf _),
+    "q_text_chunks"     -> (TextAnalysis.textChunks _),
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -270,6 +271,14 @@ object SparkEntry {
         |               / length(string_split(text, ' ')) AS avg_word_len
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |             unnest(range(0, greatest(len(toks), 1), 80)) AS start FROM t)
+        |SELECT doc_id, CAST(start / 80 AS INT) AS chunk_id,
+        |       array_to_string(toks[start+1 : start+100], ' ') AS chunk,
+        |       CAST(least(100, n - start) AS INTEGER) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

@@ -136,6 +136,31 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** Training-sequence chunking: split each document into 100-token chunks
+    * with a 20-token overlap (stride 80) — the windowing step between a raw
+    * corpus and a tokenized training set. Emits (doc, chunk_id, chunk
+    * text, token count).
+    * Scale: map-side explode — each row expands to ceil(n/stride) chunks
+    * with no shuffle before the output sort; chunk text is rebuilt by
+    * slicing the token array once per chunk (token array evaluated once
+    * per row as the HOF argument).
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(80)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / 80).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(100)), " ").as("chunk"),
+        least(lit(100), col("n") - col("start")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** F9 — TF-IDF term salience: top-3 terms per language by corpus-level
     * tf·idf (term frequency within the language × inverse document
     * frequency across the corpus).
