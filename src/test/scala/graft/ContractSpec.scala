@@ -22,11 +22,12 @@ class ContractSpec extends SparkSpec {
     val known = Tables.all.toSet
     // table tokens appearing after FROM/JOIN in each statement
     val word = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
+    val cte = "(?i)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
     for ((name, sql) <- SparkEntry.oracleSql) {
+      val ctes = cte.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = word.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         .filterNot(Set("parquet")) // parquet.`path` form
-      val unknown = refs -- known -- Set("tagged", "flagged", "sess", "toks",
-        "dfreq", "n", "tf") // CTE names
+      val unknown = refs -- known -- ctes
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
