@@ -48,6 +48,7 @@ object SparkEntry {
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
     "q_approx_distinct" -> (Tracking.approxDistinct _),
+    "q_series_smooth"   -> (Tracking.seriesSmooth _),
     "q_sample_balanced" -> (Sampling.sampleDocuments _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
@@ -187,6 +188,17 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q_series_smooth" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       round(avg(value) OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+        |       round(sum(value) OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |         AS running_total
+        |FROM events WHERE user_id = 7
         |ORDER BY event_id""".stripMargin,
     "q_quantiles" ->
       """SELECT event_type,

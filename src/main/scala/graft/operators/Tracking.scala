@@ -149,6 +149,28 @@ object Tracking {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** §2.5 frame specs — series smoothing + running totals per (run, key):
+    * 5-point trailing moving average (the dashboard smoothing overlay the
+    * reference leaves client-side, SURVEY.md §2.5) and a cumulative sum,
+    * in one window pass. Both frames evaluate left-to-right over the same
+    * ordered rows in both engines, so doubles match before rounding.
+    * Scale: one shuffle on the series key; both frames are streaming
+    * (running state, no buffered partitions beyond the 5-row frame).
+    */
+  def seriesSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .where(col("user_id") === 7L)
+      .withColumn("ma5",
+        round(avg("value").over(w.rowsBetween(-4, Window.currentRow)), 6))
+      .withColumn("running_total",
+        round(sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select("event_id", "user_id", "event_type", "value", "ma5", "running_total")
+      .orderBy("event_id")
+  }
+
   /** Sketch-based distinct counting — `approx_count_distinct` (HLL++) next
     * to the exact count. At 100 TB the exact distinct is a full shuffle of
     * the key; the HLL sketch is a few KB per group, merged bitwise
