@@ -185,9 +185,9 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, user_id,
-        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
         |ORDER BY event_id""".stripMargin,
     "q_series_smooth" ->
       """SELECT event_id, user_id, event_type, value,

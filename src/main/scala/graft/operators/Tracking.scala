@@ -211,7 +211,10 @@ object Tracking {
       // JSON parse serially in one task (and the filter substitution makes
       // it parse twice per row)
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // try_cast: ANSI mode would THROW on a malformed value at scale;
+      // null-on-bad is the robust corpus semantics and DuckDB TRY_CAST
+      // matches it exactly
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
       .where(col("k") > 50)
       .select("event_id", "user_id", "k")
       .orderBy("event_id")

@@ -36,6 +36,36 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SQL API over registered views matches the DataFrame operator") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).collect()
+    val viaDf = graft.operators.Relational.joinAgg(spark, sf).collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
+  test("native expressions keep their stage in whole-stage codegen") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Similarity.simTopK(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the codegen stage marker *(N) must wrap the cosine projection —
+      // CodegenFallback would leave it unstarred
+      assert(plan.linesIterator.exists(l =>
+        l.contains("cosine_sim") && l.trim.matches("""[+:-]*\s*\*\(\d+\).*""")),
+        s"cosine projection not in a codegen stage:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("canonical JSON rows sort columns and round-trip values") {
     import org.apache.spark.sql.functions._
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
