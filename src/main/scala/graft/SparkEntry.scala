@@ -54,6 +54,14 @@ object SparkEntry {
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
     "q_rollup_revenue"  -> (Relational.rollupRevenue _),
+    // analytic composites (§2.7 set ops, §2.4 A3+J1+O3 summary, §2.5
+    // deltas/analytics, §2.3 range join, §2.4 cube)
+    "q_set_ops"         -> (Analytics.setOps _),
+    "q_metric_summary"  -> (Analytics.metricSummary _),
+    "q_lag_delta"       -> (Analytics.lagDelta _),
+    "q_range_join"      -> (Analytics.rangeJoin _),
+    "q_cube_orders"     -> (Analytics.cubeOrders _),
+    "q_window_analytics" -> (Analytics.windowAnalytics _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
@@ -307,6 +315,59 @@ object SparkEntry {
         |      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS cohort, count(*) AS n_users
+        |FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'click_only', count(*)
+        |FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'purchase_only', count(*)
+        |FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
+        |ORDER BY cohort""".stripMargin,
+    "q_metric_summary" ->
+      """WITH recent AS (
+        |  SELECT user_id FROM (
+        |    SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+        |    ORDER BY last_ts DESC, user_id ASC LIMIT 20) t)
+        |SELECT e.user_id, e.event_type,
+        |       max(e.event_id) AS last_event_id,
+        |       max_by(e.value, e.event_id) AS last_value,
+        |       count(*) AS n_points
+        |FROM events e JOIN recent ON e.user_id = recent.user_id
+        |GROUP BY e.user_id, e.event_type
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       round(value - lag(value) OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id), 6) AS delta
+        |FROM events WHERE user_id <= 50
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT s.event_id AS event_id, s.user_id AS user_id,
+        |       count(c.event_id) AS n_clicks_1h
+        |FROM events s LEFT JOIN events c
+        |  ON c.user_id = s.user_id AND c.event_type = 'click'
+        | AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+        |WHERE s.event_type = 'signup'
+        |GROUP BY s.event_id, s.user_id
+        |ORDER BY s.event_id""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT event_id, event_type, value,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE user_id <= 20
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Analytic composites rounding out SURVEY.md §2: set operations (§2.7 —
+  * absent in the reference, the key-set union at
+  * /root/reference/waddle/_dashboard_api.py:185-188 is the nearest miss),
+  * the dashboard metric-summary composite (§2.4 A3 + §2.3 J1 + §2.6 O3
+  * in one query, /root/reference/waddle/_dashboard_api.py:218-235), series
+  * deltas, time-range joins, CUBE grouping, and analytic windows — the
+  * query shapes an ML-metrics store at 100 TB serves daily.
+  */
+object Analytics {
+
+  /** §2.7 — set operations over entity cohorts: INTERSECT / EXCEPT of the
+    * click-ers vs purchase-rs user sets, as cohort counts.
+    * Spark `intersect`/`except` compile to distinct + hash semi/anti joins.
+    * Scale: each set op shuffles only the distinct key set (8-byte ids), not
+    * events. At extreme cardinality the single-pass rewrite — one groupBy
+    * over user_id with bool_or flags, then one 3-row aggregate — halves the
+    * shuffles; kept in set-op form here because §2.7 is the operator under
+    * test and the id-set shuffle is already minimal.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click").select("user_id")
+    val buys = ev.where(col("event_type") === "purchase").select("user_id")
+    def counted(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).withColumn("cohort", lit(label))
+    counted(clicks.intersect(buys), "both")
+      .unionByName(counted(clicks.except(buys), "click_only"))
+      .unionByName(counted(buys.except(clicks), "purchase_only"))
+      .select("cohort", "n_users")
+      .orderBy("cohort")
+  }
+
+  /** §2.4/§2.3/§2.6 composite — the reference's dashboard summary: for the
+    * 20 most-recently-active entities, the latest value and point count of
+    * every series (/root/reference/waddle/_dashboard_api.py:218-235, which
+    * does it with a correlated subquery + IN-list + LIMIT 20).
+    * Spark-first: top-k recency via TakeOrderedAndProject (20 rows to the
+    * driver), broadcast semi-join back onto the fact table, then ONE hash
+    * aggregate with `max_by` — no correlated subquery, no window sort.
+    * Scale: the fact table is scanned once and never shuffles for the join
+    * (20-row broadcast); the aggregate shuffles only (entity, key) partials.
+    */
+  def metricSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val recent = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+      .orderBy(desc("last_ts"), asc("user_id")).limit(20)
+      .select("user_id")
+    ev.join(broadcast(recent), Seq("user_id"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        max("event_id").as("last_event_id"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        count(lit(1)).as("n_points"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** §2.5 — step-over-step series delta (the "loss improvement per step"
+    * query): `lag` over each (entity, key) series. The reference computes
+    * nothing like it; its dashboard plots raw points only.
+    * Scale: one shuffle on the series key; lag is a streaming window
+    * (single-row state). The subtraction is one double op — bit-identical
+    * across engines — rounded to 6dp as belt-and-braces.
+    */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .where(col("user_id") <= 50L)
+      .withColumn("delta", round(col("value") - lag("value", 1).over(w), 6))
+      .select("event_id", "user_id", "event_type", "value", "delta")
+      .orderBy("event_id")
+  }
+
+  /** §2.3 — equi + range join: for each signup event, the count of that
+    * user's clicks in the following hour (conversion-window attribution).
+    * The equi key (user_id) keeps this a hash/sort-merge join with the range
+    * predicate as a post-join filter — NOT a nested-loop cross product.
+    * Scale: shuffles both sides on user_id once (zero-shuffle when events is
+    * bucketed by user_id); per-user partitions are small so the range filter
+    * is cheap. For range-only joins (no equi key) the scale path is coarse
+    * time-bucket equi-keys + filter, never BroadcastNestedLoop.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_event_id"), col("user_id").as("s_user_id"),
+        col("ts").as("s_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+    signups
+      .join(clicks,
+        col("s_user_id") === col("c_user_id") &&
+          col("c_ts") > col("s_ts") &&
+          col("c_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("s_event_id").as("event_id"), col("s_user_id").as("user_id"))
+      .agg(count(col("c_event_id")).as("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
+  /** §2.4 — CUBE: order counts/revenue at every (status, priority) grouping
+    * combination in one pass (rollupRevenue covers the hierarchical case;
+    * CUBE is the full lattice). One Expand + one hash aggregate — the fact
+    * is read once, vs 4 separate queries for a dashboard without grouping
+    * sets. SQL form: DataFrame `cube()` re-mints grouping attributes, which
+    * makes the post-cube ORDER BY ambiguous (same resolution quirk as
+    * rollupRevenue); the SQL path plans identically.
+    * Scale: Expand multiplies rows 4× into the map-side partial aggregate —
+    * the shuffle still carries only (group, partial) rows.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       count(*) AS n_orders,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+         |""".stripMargin)
+
+  /** §2.5 — analytic window functions: percent_rank + quartile (ntile) of
+    * each value within its series key. The unique (value, event_id) ordering
+    * makes both deterministic across engines.
+    * Scale: one shuffle on event_type, one per-group sort; both functions
+    * are rank-streaming (no frame buffering).
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, dir)
+      .where(col("user_id") <= 20L)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("event_id", "event_type", "value", "pr", "quartile")
+      .orderBy("event_id")
+  }
+}
