@@ -10,15 +10,17 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // two timed laps, keep the min: local[32] timings wobble ±50% with GC
-    // and machine load; min-of-N is the standard steady-state estimator
+    // three timed laps, keep the min: this VM shows ±50% wobble and
+    // occasional multi-second host-steal spikes; min-of-N is the standard
+    // steady-state estimator and 3 laps bound the chance a spike lands on
+    // the same query every lap
     def lap(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (l1, l2) = (lap(), lap())
-    val results = l1.map { case (k, v) => k -> math.min(v, l2(k)) }
+    val laps = Seq(lap(), lap(), lap())
+    val results = laps.head.keys.map { k => k -> laps.map(_(k)).min }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

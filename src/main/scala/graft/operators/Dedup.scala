@@ -57,12 +57,19 @@ object Dedup {
     * width. No O(n²) stage exists at any cardinality.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // repartition by doc_id: the testdata is one parquet file (one input
-    // split) and shingling/signatures are the expensive map stage — at
-    // 100 TB the input is already many splits and this is a no-op choice
+    // two-exchange shape: a round-robin repartition spreads the
+    // single-split text rows so shingling runs in parallel; the hash
+    // repartition ABOVE the computed arrays is the materialization point
+    // all three consumers (banding + the two verification join-backs)
+    // reuse via AQE's stage cache instead of re-shingling. (Round-robin
+    // first on purpose: a same-key hash repartition below would make the
+    // upper exchange "redundant" and Catalyst would elide it, putting the
+    // shingling back above the only exchange — recomputed per consumer.)
+    val par = spark.sparkContext.defaultParallelism
     val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(par)
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
+      .repartition(par, col("doc_id"))
 
     // bands carry ONLY (band, doc_id) — never the shingle arrays: the
     // candidate join must shuffle 24-byte rows, not kilobyte payloads
@@ -142,15 +149,18 @@ object Dedup {
     // blocking key: (lang, source) — the partition a corpus pipeline already
     // has — plus a 32-char length band (each doc also probes the previous
     // band): a high-Jaccard pair can't differ much in length, so banding
-    // bounds block width without losing near-dup pairs
-    // repartition with an explicit partition count: AQE happily coalesces
-    // an unpinned repartition of ~40 MB down to one partition, which would
-    // serialize the pair join + intersect into a single task
+    // bounds block width without losing near-dup pairs.
+    // Two-exchange shape (explicit partition counts: AQE would happily
+    // coalesce an unpinned ~40 MB repartition down to one partition and
+    // serialize the pair join): spread the single-split text rows, hash in
+    // parallel, then materialize the gram arrays once for both join sides.
+    val par = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(par)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      .repartition(par, col("doc_id"))
     val a = docs.select(col("lang"), col("source"),
       (col("n_chars") / 32).cast("int").as("lband"),
       col("doc_id").as("doc_a"), col("grams").as("g_a"), col("n_grams").as("sz_a"))
@@ -211,10 +221,12 @@ object Dedup {
     * full O(n²) cross product).
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    // cast below the exchange: the double arrays materialize once and the
+    // three consumers (banding + two join-backs) reuse the exchange
     val vecs = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     // 2 bands × 8 bits: 256 buckets/band keeps bucket width ~n/256, and the
     // candidate join shuffles ONLY (band, id) — the 64-dim vectors join back
     // for the distinct candidate pairs afterwards

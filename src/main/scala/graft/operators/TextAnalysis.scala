@@ -85,15 +85,21 @@ object TextAnalysis {
     * the per-doc argmax. At 100 TB the profile pass runs on a sample.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    // repartition: the testdata is a single input split and the bigram
-    // explode (~400 rows/doc) is the heavy stage; spread it across cores
     // bigrams ride as pre-counted 8-byte hashes (native run-length encoded
     // extraction): one exploded row per DISTINCT bigram with its count,
-    // not per occurrence — frequencies preserved at ~half the row volume
-    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-    val bigrams = docs.select(
-      col("doc_id"), col("lang"),
-      explode(expr("ngram_hashes(text, 2, 'char_counts')")).as("bg"))
+    // not per occurrence — frequencies preserved at ~half the row volume.
+    // One round-robin repartition spreads the single-split text rows so
+    // extraction runs in parallel; the exploded rows then feed each
+    // consumer's partial aggregation directly — a hash repartition here
+    // would shuffle the full exploded volume for nothing (the profile and
+    // scoring branches carry different pushed filters, so they cannot
+    // share an exchange anyway).
+    val par = spark.sparkContext.defaultParallelism
+    val bigrams = Tables.documents(spark, dir)
+      .repartition(par)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(expr("ngram_hashes(text, 2, 'char_counts')")).as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.h").as("bigram"), col("bg.c").as("cnt"))
 
@@ -164,10 +170,17 @@ object TextAnalysis {
   /** F9 — TF-IDF term salience: top-3 terms per language by corpus-level
     * tf·idf (term frequency within the language × inverse document
     * frequency across the corpus).
-    * Scale: two hash aggregates over the exploded tokens (tf keyed by
-    * (lang, token), df keyed by token with map-side partial distinct), a
-    * broadcast of the tiny df/count sides, and a WindowGroupLimit top-3 —
-    * the idf table is vocabulary-sized, never corpus-sized.
+    *
+    * ONE corpus-scale shuffle: tokens aggregate by (lang, token, doc_id)
+    * with map-side partials, then a second (already vocabulary-scale)
+    * aggregate derives both tf = Σ occurrences and dfl = #docs per
+    * (lang, token). Because each doc has exactly one lang, the global
+    * document frequency is df(token) = Σ_lang dfl — vocabulary-sized
+    * arithmetic, broadcast back. (The naive form — separate tf and
+    * countDistinct aggregates over the exploded tokens — shuffles the
+    * corpus twice.)
+    * Scale: exploded tokens shuffle once; everything after is
+    * vocabulary-sized; top-3 via WindowGroupLimit.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -177,11 +190,15 @@ object TextAnalysis {
       explode(words(col("text"))).as("token"))
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = toks.groupBy("token")
-      .agg(countDistinct("doc_id").as("df"))
-    val tf = toks.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    // corpus shuffle #1 (the only one): per-doc term counts
+    val perDoc = toks.groupBy("lang", "token", "doc_id")
+      .agg(count(lit(1)).as("n"))
+    // vocabulary-scale from here on
+    val tfDfl = perDoc.groupBy("lang", "token")
+      .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
+    val dfreq = tfDfl.groupBy("token").agg(sum("dfl").as("df"))
 
-    val scored = tf
+    val scored = tfDfl
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("raw_score",
