@@ -44,6 +44,7 @@ object SparkEntry {
     "q_delete_cascade"  -> (Tracking.deleteCascade _),
     "q_param_pivot"     -> (Tracking.paramPivot _),
     "q_duration_derive" -> (Tracking.durationDerive _),
+    "q_display_format"  -> (Tracking.displayFormat _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
@@ -191,6 +192,18 @@ object SparkEntry {
         |             count(*) AS n_events
         |      FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "q_display_format" ->
+      """SELECT o_orderkey,
+        |       substring(CAST(o_orderkey AS VARCHAR), 1, 8) AS id8,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS date_label,
+        |       CASE WHEN b < 1024 THEN concat(b, 'B')
+        |            WHEN b < 1048576 THEN
+        |              concat(((b*10)//1024)//10, '.', ((b*10)//1024)%10, 'KB')
+        |            ELSE
+        |              concat(((b*10)//1048576)//10, '.', ((b*10)//1048576)%10, 'MB')
+        |       END AS size_label
+        |FROM (SELECT *, CAST(floor(o_totalprice) AS BIGINT) AS b FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, user_id,
         |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

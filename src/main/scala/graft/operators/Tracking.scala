@@ -197,6 +197,33 @@ object Tracking {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** F4/F7/F8 — display formatting: id truncation (`id[:8]`,
+    * /root/reference/waddle/cli.py:71-72), date rendering
+    * (/root/reference/waddle/static/index.html:197,257-258), and bytes
+    * humanize B/KB/MB (/root/reference/waddle/static/index.html:492-497) —
+    * the reference does all three client-side; engine-side they are one
+    * codegen'd projection.
+    * Determinism: the decimal in the KB/MB label is built with integer
+    * div/mod (floor-then-cast first, because DuckDB CAST(double AS BIGINT)
+    * rounds while Spark truncates), so both engines emit identical strings.
+    * Scale: map-only over the scan; no shuffle before the output sort.
+    */
+  def displayFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("b", floor(col("o_totalprice")).cast("long"))
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderkey").cast("string"), 1, 8).as("id8"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_label"),
+        expr(
+          """CASE WHEN b < 1024 THEN concat(b, 'B')
+            |     WHEN b < 1048576 THEN
+            |       concat(((b*10) div 1024) div 10, '.', ((b*10) div 1024) % 10, 'KB')
+            |     ELSE
+            |       concat(((b*10) div 1048576) div 10, '.', ((b*10) div 1048576) % 10, 'MB')
+            |END""".stripMargin).as("size_label"))
+      .orderBy("o_orderkey")
+
   /** F2 — JSON extraction from a dynamic-schema column.
     * Reference: json.loads over params/config values,
     * /root/reference/waddle/_dashboard_api.py:86-108; engine-side it is

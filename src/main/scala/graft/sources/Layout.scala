@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB physical layout, as a write path (SCALING.md "Data layout").
+  *
+  * Reference analog: the reference's only layout decision is one DuckDB
+  * file plus the `idx_metrics_run_key(run_id,key,step)` index
+  * (/root/reference/waddle/_schema.py:59). At cluster scale the same access
+  * patterns come from physical layout instead of an index:
+  *
+  *  - date partitions → partition pruning kills whole days before any I/O
+  *    (the analog of a ts range scan);
+  *  - bucketing by the entity key → per-run reads touch one bucket, and
+  *    every run-keyed join/aggregate is ZERO-shuffle (proved in
+  *    LayoutSpec/PlanSpec);
+  *  - sort within buckets by (key, ts) → parquet row-group stats give the
+  *    index's (run_id, key, step) probe order.
+  *
+  * Writes go through `saveAsTable` because bucketing metadata lives in the
+  * catalog; plain parquet directories cannot carry it.
+  */
+object Layout {
+
+  /** Write the events fact in production layout: partitioned by event date,
+    * bucketed by user_id, sorted within each bucket by (event_type, ts).
+    * Scale: the writer shuffles once (by bucket key) and writes
+    * days × buckets files; appends land in new date partitions without
+    * touching old ones.
+    */
+  def writeEvents(
+      spark: SparkSession,
+      dir: String,
+      table: String = "events_layout",
+      buckets: Int = 8): Unit =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      // one shuffle to co-locate rows with their target bucket, so each
+      // (date, bucket) pair is written by exactly one task instead of
+      // every task appending a sliver to every bucket file
+      .repartition(col("event_date"), col("user_id"))
+      .write
+      .partitionBy("event_date")
+      .bucketBy(buckets, "user_id")
+      .sortBy("event_type", "ts")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Per-entity series aggregate over the layed-out table — the shape that
+    * must be zero-shuffle: grouping key == bucket key means every group is
+    * wholly inside one bucket, so the aggregate has no exchange at all.
+    */
+  def perUserStats(spark: SparkSession, table: String = "events_layout"): DataFrame =
+    spark.table(table)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+
+  /** One day's slice — must prune to a single date partition at plan time. */
+  def daySlice(
+      spark: SparkSession,
+      day: String,
+      table: String = "events_layout"): DataFrame =
+    spark.table(table).where(col("event_date") === lit(day))
+}

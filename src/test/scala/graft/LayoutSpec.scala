@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, Tables}
+
+/** The production layout's promises, checked at the plan level: partition
+  * pruning, zero-shuffle bucketed aggregation, and row preservation.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def withLayout(f: => Unit): Unit = {
+    Layout.writeEvents(spark, sf, table = "events_layout_test", buckets = 4)
+    try f finally spark.sql("DROP TABLE IF EXISTS events_layout_test")
+  }
+
+  test("layout write preserves every event and its columns") {
+    withLayout {
+      val n = Tables.events(spark, sf).count()
+      assert(spark.table("events_layout_test").count() == n)
+      val cols = spark.table("events_layout_test").columns.toSet
+      assert(Set("event_id", "ts", "user_id", "event_type", "value",
+        "event_date").subsetOf(cols))
+    }
+  }
+
+  test("per-user aggregate over the bucketed table has no exchange") {
+    withLayout {
+      val agg = Layout.perUserStats(spark, "events_layout_test")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed groupBy(user_id) must not shuffle:\n${p.take(1500)}")
+      // and it is still correct
+      val direct = Tables.events(spark, sf).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val viaLayout = agg.select("user_id", "n_events")
+      assert(viaLayout.exceptAll(direct).isEmpty &&
+        direct.exceptAll(viaLayout).isEmpty)
+    }
+  }
+
+  test("day slice prunes to one date partition at plan time") {
+    withLayout {
+      val day = Tables.events(spark, sf)
+        .select(to_date(col("ts")).as("d")).orderBy("d").head().getDate(0)
+      val slice = Layout.daySlice(spark, day.toString, "events_layout_test")
+      val p = slice.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") &&
+        p.contains("event_date"), s"expected partition filter:\n${p.take(1500)}")
+      // the slice row count matches a direct ts-range filter
+      val expect = Tables.events(spark, sf)
+        .where(to_date(col("ts")) === lit(day)).count()
+      assert(slice.count() == expect)
+    }
+  }
+}
