@@ -63,6 +63,9 @@ object SparkEntry {
     "q_range_join"      -> (Analytics.rangeJoin _),
     "q_cube_orders"     -> (Analytics.cubeOrders _),
     "q_window_analytics" -> (Analytics.windowAnalytics _),
+    "q_full_outer"      -> (Analytics.fullOuterAlign _),
+    "q_exists_subquery" -> (Analytics.existsSubquery _),
+    "q_correlated_scalar" -> (Analytics.correlatedScalar _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
@@ -381,6 +384,30 @@ object SparkEntry {
         |FROM events WHERE user_id <= 20
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.user_id, v.user_id) AS user_id, click_total, view_total
+        |FROM (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        AS click_total
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id) c
+        |FULL OUTER JOIN
+        |     (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        AS view_total
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id) v
+        |ON c.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_correlated_scalar" ->
+      """SELECT user_id, event_type, value AS last_value
+        |FROM events e
+        |WHERE event_id = (SELECT max(event_id) FROM events e2
+        |                  WHERE e2.user_id = e.user_id
+        |                    AND e2.event_type = e.event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -125,6 +125,58 @@ object Analytics {
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
          |""".stripMargin)
 
+  /** §2.3 — FULL OUTER alignment: per-user click and view totals aligned
+    * into one row even when a user has only one of the two (the dashboard
+    * param-diff table's outer-alignment semantic,
+    * /root/reference/waddle/static/index.html:373-389, done engine-side).
+    * Scale: both sides pre-aggregate to one row per user BEFORE the join —
+    * the outer join touches entity-sized inputs, never raw events; money
+    * sums ride DECIMAL for order-insensitivity.
+    */
+  def fullOuterAlign(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(t: String, out: String) = ev.where(col("event_type") === t)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as(out))
+    side("click", "click_total")
+      .join(side("view", "view_total"), Seq("user_id"), "full_outer")
+      .orderBy("user_id")
+  }
+
+  /** §2.2/§4 — correlated EXISTS subquery, expressed in SQL and left to
+    * Catalyst's `RewriteSubquery`/decorrelation: orders having at least one
+    * high-quantity lineitem. Plans as a left-semi hash join — proof the
+    * engine's SQL surface handles the subquery forms the reference's
+    * dashboard SQL uses.
+    * Scale: semi-join build side carries only l_orderkey after pushdown.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$dir/orders.parquet` o
+         |WHERE EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         |ORDER BY o_orderkey""".stripMargin)
+
+  /** §2.4 A3, literal form — the reference's exact correlated SCALAR
+    * subquery (`value at step = (SELECT MAX(step) …)`,
+    * /root/reference/waddle/_dashboard_api.py:218-235), kept in its original
+    * shape so Catalyst's `RewriteCorrelatedScalarSubquery` is exercised:
+    * it decorrelates to an aggregate + join. `Relational.lastPerGroup` is
+    * the Spark-first rewrite (one `max_by` aggregate) of this same query —
+    * both are in the suite so the decorrelated plan's overhead is visible
+    * in the bench next to the direct form.
+    */
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT user_id, event_type, value AS last_value
+         |FROM parquet.`$dir/events.parquet` e
+         |WHERE event_id = (SELECT max(event_id)
+         |                  FROM parquet.`$dir/events.parquet` e2
+         |                  WHERE e2.user_id = e.user_id
+         |                    AND e2.event_type = e.event_type)
+         |ORDER BY user_id, event_type""".stripMargin)
+
   /** §2.5 — analytic window functions: percent_rank + quartile (ntile) of
     * each value within its series key. The unique (value, event_id) ordering
     * makes both deterministic across engines.

@@ -1,0 +1,30 @@
+package graft
+
+/** Smoke-runs EVERY registered query at sf0.001: the oracle gate covers the
+  * SQL-expressible ones at sf0.01, but a non-oracle operator (LSH, stateful,
+  * stub shapes) could otherwise break at runtime without any test noticing
+  * until the driver's round report.
+  */
+class AllQueriesSpec extends SparkSpec {
+
+  test("every SparkEntry.queries entry executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"queries failed:\n${failures.mkString("\n")}")
+  }
+
+  test("queries without an oracle are the known non-SQL-expressible set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set(
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
+      "q_dedup_source_overlap", "q_sim_ann_lsh", "q_sim_ann_ivf",
+      "q_text_langid", "q_text_fingerprint", "q_approx_distinct",
+      "q_sample_balanced", "q_multimodal_decode")
+    assert(rowsOnly == expected,
+      s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
+        s"missing: ${expected -- rowsOnly}")
+  }
+}
