@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_exact"     -> (Dedup.dedupExact _),
     "q_dedup_minhash"   -> (Dedup.dedupMinhash _),
     "q_dedup_simhash"   -> (Dedup.dedupSimhash _),
+    "q_dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "q_dedup_ngram"     -> (Dedup.dedupNgram _),
     "q_dedup_embed"     -> (Dedup.dedupEmbed _),
     "q_dedup_source_overlap" -> (Dedup.sourceOverlap _),

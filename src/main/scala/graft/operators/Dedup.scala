@@ -109,7 +109,10 @@ object Dedup {
     * 4 × 16-bit segments (pigeonhole: k≤3 ⇒ one segment equal) — the same
     * band-join shape as MinHash, never all-pairs.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The SimHash-64 fingerprint as a Column (shared by [[dedupSimhash]]
+    * and [[dedupSimhashPairs]]).
+    */
+  private def simhash64(): Column = {
     // literal per-bit masks: the Column API has no shift-by-Column, and a
     // lookup table keeps the whole fold branch-free 64-bit math
     val masks = typedlit(Seq.tabulate(64)(b => 1L << b))
@@ -124,13 +127,47 @@ object Dedup {
         (x, y) => x + y))
     // votes appears as a HOF *argument* (evaluated once per row), never
     // inside a lambda body — lambda-body subtrees re-evaluate per element
-    val simhash = aggregate(
+    aggregate(
       zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
 
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash.as("simhash64"))
+      .select(col("doc_id"), simhash64().as("simhash64"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup PAIR search: pigeonhole-banded Hamming join. The
+    * 64-bit fingerprint splits into 4 × 16-bit segments; any pair within
+    * Hamming distance ≤ 3 must agree on at least one whole segment
+    * (4 segments, ≤ 3 differing bits), so candidates come from a self-join
+    * on (segment_id, segment_value) and are verified with the exact
+    * popcount of the XOR. Top-20 closest pairs.
+    * Scale: identical shape to [[dedupMinhash]] — the segment join shuffles
+    * (seg_id, seg, doc_id, fp) rows (~28 B), never text; no O(n²) stage.
+    * The k ≤ 3 guarantee is exact; larger radii use more/smaller segments.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val fps = Tables.documents(spark, dir)
+      .repartition(par)
+      .select(col("doc_id"), simhash64().as("fp"))
+      .repartition(par, col("doc_id"))
+    val banded = fps.select(
+      col("doc_id"), col("fp"),
+      posexplode(array(Seq.tabulate(4)(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("seg_id", "seg")))
+
+    banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        Seq("seg_id", "seg"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .distinct()
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
   }
 
   /** Character n-gram Jaccard near-dup within blocking buckets.

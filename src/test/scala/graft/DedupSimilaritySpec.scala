@@ -70,6 +70,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("simhash pair search finds every pair within Hamming 3 (pigeonhole)") {
+    val pairs = Dedup.dedupSimhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // hamming is a real popcount of the fingerprint XOR
+    val fps = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == h)
+    }
+    // the banding guarantee: every true pair at distance <= 3 appears,
+    // unless it was cut by the top-20 limit (then the cutoff is <= 3 too)
+    val all = fps.toSeq
+    val close = for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val cutoff = if (pairs.length >= 20) pairs.map(_._3).max else Long.MaxValue
+    close.foreach { case (a, b, h) =>
+      assert(found.contains((a, b)) || h >= cutoff,
+        s"missed pair ($a,$b) at hamming $h")
+    }
+  }
+
   test("IVF ANN scores candidates identically to brute force") {
     val brute = Similarity.simTopK(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
