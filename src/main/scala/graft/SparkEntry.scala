@@ -49,6 +49,7 @@ object SparkEntry {
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
     "q_approx_distinct" -> (Tracking.approxDistinct _),
+    "q_quantiles_approx" -> (Tracking.quantilesApprox _),
     "q_series_smooth"   -> (Tracking.seriesSmooth _),
     "q_sample_balanced" -> (Sampling.sampleDocuments _),
     // temporal alignment + multi-level aggregates
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_correlated_scalar" -> (Analytics.correlatedScalar _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
+    "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
     "q_sim_ann_ivf"     -> (Similarity.simAnnIvf _),
     // extensions: deduplication (§2.4 A4 + north_star)
@@ -279,6 +281,17 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_vector_norms" ->
+      """SELECT label, count(*) AS n_vecs,
+        |       round(min(norm), 6) AS min_norm,
+        |       round(CAST(SUM(CAST(norm AS DECIMAL(28,12))) AS DOUBLE)
+        |             / count(*), 6) AS avg_norm,
+        |       round(max(norm), 6) AS max_norm
+        |FROM (SELECT label,
+        |             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                          x -> x*x))) AS norm
+        |      FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

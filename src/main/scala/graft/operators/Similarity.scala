@@ -18,6 +18,31 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Embedding-column statistics: per-label vector count and L2-norm
+    * min/avg/max — the sanity profile a pipeline runs before trusting an
+    * embedding table (catches unnormalized / zero vectors per class).
+    * Determinism: the per-row norm is a left-fold over 64 elements
+    * (same order both engines); the cross-row average routes each norm
+    * through DECIMAL(28,12) so the SUM is exact and order-insensitive —
+    * `avg(double)` would be partial-sum-order dependent. min/max are exact
+    * comparisons, safe as doubles.
+    * Scale: one map pass + one hash aggregate with map-side partials.
+    */
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm.as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(min("norm"), 6).as("min_norm"),
+        round(sum(col("norm").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"),
+        round(max("norm"), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
   private def withVec(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))

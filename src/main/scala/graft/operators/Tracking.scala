@@ -186,6 +186,23 @@ object Tracking {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** The documented 100 TB swap for [[quantiles]]: `percentile_approx`
+    * (t-digest-style mergeable sketch) — map-side partial sketches merge
+    * associatively, so the shuffle carries KB-sized sketches instead of
+    * buffering every group's values like the exact sort-based form.
+    * Rows-only check (sketch internals differ from DuckDB); the spec
+    * asserts each estimate lands within the accuracy bound of the exact
+    * quantile.
+    */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("p90"),
+        expr("percentile_approx(value, 0.99, 10000)").as("p99"))
+      .orderBy("event_type")
+
   /** Value histogram via fixed-width bucketing — one hash aggregate, the
     * distribution-shape query every monitoring dashboard runs.
     * Scale: bucket id is computed map-side; the shuffle carries one row

@@ -49,6 +49,39 @@ class SamplingAggSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx estimates sit at their claimed rank") {
+    // the sketch returns actual data points (nearest-rank), the exact form
+    // interpolates — in a sparse tail those values differ by the gap
+    // between adjacent points, so assert the RANK of each estimate: the
+    // fraction of the group at or below it must bracket the target quantile
+    val ev = Tables.events(spark, sf)
+    Tracking.quantilesApprox(spark, sf).collect().foreach { r =>
+      val grp = ev.where(col("event_type") === r.getString(0))
+      val n = grp.count().toDouble
+      for ((q, i) <- Seq(0.5 -> 1, 0.9 -> 2, 0.99 -> 3)) {
+        val est = r.getDouble(i)
+        val atOrBelow = grp.where(col("value") <= est).count() / n
+        val below = grp.where(col("value") < est).count() / n
+        assert(below <= q + 0.02 && atOrBelow >= q - 0.02,
+          s"${r.getString(0)} p$q=$est sits at rank ($below, $atOrBelow]")
+      }
+    }
+  }
+
+  test("vectorNorms: norms positive, min <= avg <= max, all labels present") {
+    import graft.operators.Similarity
+    val rows = Similarity.vectorNorms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(mn > 0 && mn <= av && av <= mx, s"$mn <= $av <= $mx violated")
+    }
+    val labels = Tables.events(spark, sf).sparkSession
+      .read.parquet(s"$sf/embeddings.parquet").select("label").distinct().count()
+    assert(rows.length == labels)
+  }
+
   test("typed Welford aggregator matches var_pop/avg under any split") {
     import spark.implicits._
     val values = Tables.events(spark, sf).select("value").as[Double]
