@@ -150,6 +150,30 @@ object Streams {
       org.apache.spark.sql.functions.broadcast(runsDim),
       Seq("user_id"), "left_outer")
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * signup within the preceding hour — both sides live streams (the
+    * conversion-attribution twin of the batch
+    * [[graft.operators.Analytics.rangeJoin]]).
+    * Watermarks on BOTH sides plus the time-range join condition let Spark
+    * bound each side's buffered state: a signup can be dropped once the
+    * click watermark passes signup_ts + 1 h.
+    * Scale: state is partitioned by the equi key (user_id); the range
+    * condition is the state-eviction contract, not just a filter.
+    */
+  def streamStreamJoin(clicks: DataFrame, signups: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val s = signups.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") > col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "signup_id", "signup_ts")
+  }
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamJoin attributes clicks to signups within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val q = Streams.streamStreamJoin(clicks.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h0 = 1704067200L
+      signups.addData(Event(100, ts(h0), 1, "signup", 0.0))
+      clicks.addData(
+        Event(1, ts(h0 + 600), 1, "click", 1.0),   // within the hour → joins
+        Event(2, ts(h0 + 7200), 1, "click", 1.0),  // 2h later → no join
+        Event(3, ts(h0 + 300), 2, "click", 1.0))   // other user → no join
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("click_id") == 1L)
+      assert(rows.head.getAs[Long]("signup_id") == 100L)
+    } finally q.stop()
+  }
+
   test("sessionWindows merges events within 30min gaps, splits beyond") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
