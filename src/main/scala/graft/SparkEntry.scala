@@ -45,6 +45,7 @@ object SparkEntry {
     "q_param_pivot"     -> (Tracking.paramPivot _),
     "q_duration_derive" -> (Tracking.durationDerive _),
     "q_display_format"  -> (Tracking.displayFormat _),
+    "q_minmax_scale"    -> (Tracking.minmaxScale _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
@@ -75,6 +76,7 @@ object SparkEntry {
     // extensions: deduplication (§2.4 A4 + north_star)
     "q_dedup_exact"     -> (Dedup.dedupExact _),
     "q_dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "q_dedup_clusters"  -> (Dedup.dedupClusters _),
     "q_dedup_simhash"   -> (Dedup.dedupSimhash _),
     "q_dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "q_dedup_ngram"     -> (Dedup.dedupNgram _),
@@ -210,6 +212,14 @@ object SparkEntry {
         |       END AS size_label
         |FROM (SELECT *, CAST(floor(o_totalprice) AS BIGINT) AS b FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_minmax_scale" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       round((value - mn) / nullif(mx - mn, 0), 6) AS scaled
+        |FROM (SELECT *,
+        |             min(value) OVER (PARTITION BY event_type) AS mn,
+        |             max(value) OVER (PARTITION BY event_type) AS mx
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, user_id,
         |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -56,7 +56,10 @@ object Dedup {
     * AQE skew-join splits it, and a production run would also cap bucket
     * width. No O(n²) stage exists at any cardinality.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** All LSH-candidate pairs with their exact Jaccard (no limit) — shared
+    * by [[dedupMinhash]] (top-20 view) and [[dedupClusters]] (edge set).
+    */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // two-exchange shape: a round-robin repartition spreads the
     // single-split text rows so shingling runs in parallel; the hash
     // repartition ABOVE the computed arrays is the materialization point
@@ -96,8 +99,54 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
+
+  /** Near-dup CLUSTERS: connected components over the verified near-dup
+    * edges (Jaccard ≥ 0.5), via bounded min-label propagation — each
+    * iteration every node adopts the smallest label in its neighborhood,
+    * so after k iterations labels have traveled k hops; near-dup clusters
+    * are shallow (dup groups, boilerplate families), so 5 hops suffice and
+    * the iteration count is a hard bound, not a convergence gamble.
+    * Emits one row per multi-document cluster: representative (min doc_id),
+    * member count.
+    * Scale: each iteration is two key-only joins + one aggregate (labels
+    * are (id, label) pairs — 16 B rows); at 100 TB checkpoint the label
+    * frame every 2-3 iterations to cut lineage, and switch to
+    * large-star/small-star if components can be deep.
+    */
+  /** Bounded min-label propagation: nodes(doc_id) + undirected
+    * edges(doc_a, doc_b) → (doc_id, label) where label = the component's
+    * smallest doc_id, exact for components of diameter ≤ `iters`.
+    */
+  def propagateLabels(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      val fromA = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val fromB = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels = labels.unionByName(fromA).unionByName(fromB)
+        .groupBy("doc_id").agg(min("label").as("label"))
+    }
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashPairs(spark, dir)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = Tables.documents(spark, dir).select("doc_id")
+    propagateLabels(nodes, edges, iters = 5)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > 1)
+      .select(col("label").as("cluster_rep"), col("n_members"))
+      .orderBy("cluster_rep")
   }
 
   /** SimHash-64 document fingerprint: tokens vote per bit with ±1 weighted

@@ -241,6 +241,28 @@ object Tracking {
             |END""".stripMargin).as("size_label"))
       .orderBy("o_orderkey")
 
+  /** Min-max normalization per series key — the feature-scaling pass an ML
+    * pipeline runs before training. Spark-first plan: the per-key min/max
+    * is a 5-row aggregate broadcast back onto the fact — NOT a
+    * whole-partition window (`min() OVER (PARTITION BY event_type)` would
+    * shuffle every row into one partition per key: 5 partitions, maximal
+    * skew, no parallelism). The oracle SQL uses the window form — same
+    * result, different physical plan, which is the point.
+    * Determinism: min/max are exact; the scale is one subtraction + one
+    * division on identical inputs, rounded to 6dp.
+    */
+  def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("scaled",
+        round((col("value") - col("mn")) /
+          nullif(col("mx") - col("mn"), lit(0.0)), 6))
+      .select("event_id", "user_id", "event_type", "value", "scaled")
+      .orderBy("event_id")
+  }
+
   /** F2 — JSON extraction from a dynamic-schema column.
     * Reference: json.loads over params/config values,
     * /root/reference/waddle/_dashboard_api.py:86-108; engine-side it is

@@ -20,7 +20,7 @@ class AllQueriesSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash_pairs",
-      "q_dedup_ngram", "q_dedup_embed",
+      "q_dedup_clusters", "q_dedup_ngram", "q_dedup_embed",
       "q_dedup_source_overlap", "q_sim_ann_lsh", "q_sim_ann_ivf",
       "q_text_langid", "q_text_fingerprint", "q_approx_distinct",
       "q_quantiles_approx", "q_sample_balanced", "q_multimodal_decode")

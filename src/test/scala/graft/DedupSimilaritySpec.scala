@@ -70,6 +70,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("propagateLabels finds exact components on a known graph") {
+    import spark.implicits._
+    // two components: a 4-node path 1-2-3-4 (diameter 3) and the pair 10-11;
+    // node 20 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(nodes, edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(20L) == 20L)
+  }
+
+  test("dedupClusters emits only multi-member clusters with valid reps") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_rep") -> r.getAs[Long]("n_members"))
+    assert(clusters.forall(_._2 >= 2))
+    // reps are distinct and are real doc ids
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+  }
+
   test("simhash pair search finds every pair within Hamming 3 (pigeonhole)") {
     val pairs = Dedup.dedupSimhashPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
