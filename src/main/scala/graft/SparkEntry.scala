@@ -93,6 +93,8 @@ object SparkEntry {
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
+    "q_multimodal_frames" -> ((s, d) => Multimodal.multimodalFrames(s, d)),
+    "q_multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
   )
 
   /** DuckDB-runnable twin per query key (driver registers each parquet file

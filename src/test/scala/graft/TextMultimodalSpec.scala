@@ -55,4 +55,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("n_frames") >= 1))
   }
+
+  test("multimodalFrames samples every stride-th frame of each payload") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.multimodalFrames(spark, sf, stride = 8)
+    val decoded = Multimodal.multimodalDecode(spark, sf)
+      .select("doc_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_frames")).toMap
+    val perDoc = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("frame_idx").as("max_idx")).collect()
+    assert(perDoc.length == decoded.size, "every payload emits frames")
+    perDoc.foreach { r =>
+      val expect = (decoded(r.getLong(0)) + 7) / 8 // ceil(frames/stride)
+      assert(r.getLong(1) == expect)
+      assert(r.getAs[Int]("max_idx") % 8 == 0)
+    }
+  }
+
+  test("multimodalResize never grows a payload and keeps row identity") {
+    import org.apache.spark.sql.functions._
+    val rs = Multimodal.multimodalResize(spark, sf)
+    assert(rs.where(col("resized_bytes") > col("orig_bytes")).count() == 0)
+    assert(rs.count() ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
 }
