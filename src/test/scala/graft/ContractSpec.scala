@@ -32,6 +32,20 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("every q_ operator named in SURVEY.md is registered (and vice versa)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val named = "`(q_[a-z0-9_]+)`".r.findAllMatchIn(survey)
+      .map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val unimplemented = named -- registered
+    assert(unimplemented.isEmpty,
+      s"SURVEY.md names operators with no queries entry: $unimplemented")
+    val undocumented = registered -- named
+    assert(undocumented.isEmpty,
+      s"queries entries missing from SURVEY.md: $undocumented")
+  }
+
   test("entry returns >0 rows at sf0.001 (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
