@@ -46,6 +46,7 @@ object SparkEntry {
     "q_duration_derive" -> (Tracking.durationDerive _),
     "q_display_format"  -> (Tracking.displayFormat _),
     "q_minmax_scale"    -> (Tracking.minmaxScale _),
+    "q_series_downsample" -> (Tracking.seriesDownsample _),
     "q_json_extract"    -> (Tracking.jsonExtract _),
     "q_quantiles"       -> (Tracking.quantiles _),
     "q_histogram"       -> (Tracking.histogram _),
@@ -214,6 +215,15 @@ object SparkEntry {
         |       END AS size_label
         |FROM (SELECT *, CAST(floor(o_totalprice) AS BIGINT) AS b FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_series_downsample" ->
+      """SELECT user_id, event_type, date_trunc('day', ts) AS day,
+        |       count(*) AS n_points,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value
+        |FROM events WHERE user_id <= 20
+        |GROUP BY user_id, event_type, date_trunc('day', ts)
+        |ORDER BY user_id, event_type, day""".stripMargin,
     "q_minmax_scale" ->
       """SELECT event_id, user_id, event_type, value,
         |       round((value - mn) / nullif(mx - mn, 0), 6) AS scaled

@@ -241,6 +241,29 @@ object Tracking {
             |END""".stripMargin).as("size_label"))
       .orderBy("o_orderkey")
 
+  /** Series downsampling for display: per (entity, key, day) bucket stats.
+    * The reference truncates series at LIMIT 5000
+    * (/root/reference/waddle/_dashboard_api.py:136) — at 100 TB the
+    * dashboard query must AGGREGATE to the render resolution instead of
+    * truncating: each bucket carries count/sum/min/max, enough to draw
+    * candlestick/band overlays with bounded output regardless of series
+    * length.
+    * Determinism: the sum rides DECIMAL; min/max are exact.
+    * Scale: one hash aggregate; bucket key is computed map-side, output is
+    * buckets × series — render-sized, not data-sized.
+    */
+  def seriesDownsample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("user_id") <= 20L)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .orderBy("user_id", "event_type", "day")
+
   /** Min-max normalization per series key — the feature-scaling pass an ML
     * pipeline runs before training. Spark-first plan: the per-key min/max
     * is a 5-row aggregate broadcast back onto the fact — NOT a
