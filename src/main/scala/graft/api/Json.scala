@@ -29,4 +29,18 @@ object Json {
     */
   def responseBody(df: DataFrame, limit: Int = 10000): String =
     canonicalRows(df.limit(limit)).collect().mkString("[", ",", "]")
+
+  /** Small driver-side JSON object with string values — for metadata
+    * columns (runs.env); caller passes keys pre-sorted for the canonical
+    * sorted-keys form.
+    */
+  def jsonObject(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) =>
+      val esc = v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s""""$k":"$esc""""
+    }.mkString("{", ",", "}")
 }

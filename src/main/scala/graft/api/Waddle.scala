@@ -53,7 +53,8 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   def initRun(
       name: String,
       config: Map[String, String] = Map.empty,
-      repo: Option[GitInfo.RepoInfo] = None): String = synchronized {
+      repo: Option[GitInfo.RepoInfo] = None,
+      notes: Option[String] = None): String = synchronized {
     val id = UUID.randomUUID().toString.replace("-", "")
     val repoId = repo.map(r => java.util.UUID.nameUUIDFromBytes(
       r.root.getBytes("UTF-8")).toString.replace("-", ""))
@@ -62,8 +63,14 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
       commitBuf += CommitRow(repoId.get, r.commitSha, r.commitAuthor,
         nowSec(), r.commitMessage)
     }
+    // env capture: sorted-key canonical JSON, the reference's
+    // `json.dumps(env, sort_keys=True)` (/root/reference/waddle/_run.py:46-47)
+    val env = Json.jsonObject(Seq(
+      "java" -> sys.props.getOrElse("java.version", ""),
+      "os" -> sys.props.getOrElse("os.name", ""),
+      "scala" -> util.Properties.versionNumberString).sortBy(_._1))
     runBuf += RunRow(id, project, name, "running", nowSec(), None,
-      repoId, repo.map(_.commitSha))
+      repoId, repo.map(_.commitSha), Some(env), notes)
     config.foreach { case (k, v) =>
       kvBuf += KvRow(id, "param", k, v, nextSeq())
     }
@@ -287,7 +294,8 @@ object WaddleSchema {
   case class RunRow(
       id: String, project: String, name: String, status: String,
       started_at: Double, ended_at: Option[Double],
-      repo_id: Option[String] = None, commit_sha: Option[String] = None)
+      repo_id: Option[String] = None, commit_sha: Option[String] = None,
+      env: Option[String] = None, notes: Option[String] = None)
   case class RepoRow(
       id: String, name: String, path: String, origin_url: Option[String],
       default_branch: String, created_at: Double)

@@ -30,6 +30,12 @@ class WaddleApiSpec extends SparkSpec {
     val runRow = store.runs(now).where(col("id") === run).head()
     assert(runRow.getAs[String]("status") == "completed")
     assert(runRow.getAs[String]("project") == "proj1")
+    // env is captured as canonical sorted-keys JSON (reference
+    // json.dumps(..., sort_keys=True)); notes column exists and is null
+    val env = runRow.getAs[String]("env")
+    assert(env.startsWith("{\"java\":") && env.contains("\"os\":") &&
+      env.contains("\"scala\":"))
+    assert(runRow.isNullAt(runRow.fieldIndex("notes")))
 
     val m = store.metrics(run).collect()
     assert(m.length == 5)
