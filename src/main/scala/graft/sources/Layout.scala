@@ -56,6 +56,33 @@ object Layout {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
 
+  /** Streaming sink into the production layout: each micro-batch appends
+    * into the bucketed/partitioned table via foreachBatch (DataStreamWriter
+    * cannot declare buckets itself; the batch writer inside can). New days
+    * create new partitions; every batch keeps the bucket spec, so the
+    * zero-shuffle properties hold over data that arrived live.
+    * Scale: one small shuffle per micro-batch (bucket co-location), bounded
+    * by trigger size; partitions touched = days present in the batch.
+    */
+  def streamIntoLayout(
+      events: DataFrame,
+      table: String,
+      checkpointDir: String,
+      buckets: Int = 8) =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"), col("user_id"))
+          .write
+          .partitionBy("event_date")
+          .bucketBy(buckets, "user_id")
+          .sortBy("event_type", "ts")
+          .mode("append")
+          .saveAsTable(table)
+      }
+
   /** One day's slice — must prune to a single date partition at plan time. */
   def daySlice(
       spark: SparkSession,

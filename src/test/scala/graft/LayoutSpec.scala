@@ -38,6 +38,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("streaming appends land in the bucketed layout and keep its properties") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.Event
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Layout.writeEvents(spark, sf, table = "events_layout_stream", buckets = 4)
+    val before = spark.table("events_layout_stream").count()
+    val mem = MemoryStream[Event]
+    val ck = java.nio.file.Files.createTempDirectory("layout_ck").toString
+    val q = Layout.streamIntoLayout(
+      mem.toDF().withColumn("props", lit(null).cast("string")),
+      "events_layout_stream", ck, buckets = 4)
+      .start()
+    try {
+      mem.addData(
+        Event(9000001L, new Timestamp(1706745600000L), 7L, "click", 1.0),
+        Event(9000002L, new Timestamp(1706745660000L), 8L, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("events_layout_stream").count() == before + 2)
+      // the zero-shuffle bucketed aggregate still holds over mixed
+      // batch + streamed data
+      val agg = Layout.perUserStats(spark, "events_layout_stream")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS events_layout_stream")
+    }
+  }
+
   test("day slice prunes to one date partition at plan time") {
     withLayout {
       val day = Tables.events(spark, sf)
