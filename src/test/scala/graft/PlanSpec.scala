@@ -77,4 +77,28 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.simTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("rangeJoin keeps the equi key — never a nested-loop cross product") {
+    val p = plan(graft.operators.Analytics.rangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride the user_id equi-join as a filter")
+  }
+
+  test("metricSummary semi-joins the fact against a broadcast top-20") {
+    val p = plan(graft.operators.Analytics.metricSummary(spark, sf))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 recency must be top-k")
+  }
+
+  test("correlatedScalar decorrelates to aggregate + join (no per-row subquery)") {
+    val p = plan(graft.operators.Analytics.correlatedScalar(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "expected the decorrelated max aggregate")
+  }
+
+  test("minmaxScale joins broadcast bounds — no whole-partition window") {
+    val p = plan(graft.operators.Tracking.minmaxScale(spark, sf))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("Window"), "bounds must come from an aggregate, not a window")
+  }
 }
