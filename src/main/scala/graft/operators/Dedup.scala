@@ -257,25 +257,35 @@ object Dedup {
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))
       .repartition(par, col("doc_id"))
-    val a = docs.select(col("lang"), col("source"),
+    // the block join shuffles ONLY (block key, doc_id) — the gram arrays
+    // stay behind and join back for the distinct candidate pairs, reusing
+    // the materialized exchange (the "shuffle only keys" rule; the
+    // payload-through-the-join form shuffled every gram set 3×)
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val a = meta.select(col("lang"), col("source"),
       (col("n_chars") / 32).cast("int").as("lband"),
-      col("doc_id").as("doc_a"), col("grams").as("g_a"), col("n_grams").as("sz_a"))
-    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"))
+    val b = meta.select(col("lang"), col("source"),
       explode(array((col("n_chars") / 32).cast("int"),
         (col("n_chars") / 32).cast("int") - 1)).as("lband"),
-      col("doc_id").as("doc_b"), col("grams").as("g_b"), col("n_grams").as("sz_b"))
+      col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("lang", "source", "lband"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
     // |A∪B| = |A|+|B|−|A∩B|, with the intersection counted by a native
     // merge walk over the sorted gram sets (plans.IntersectCountSorted)
-    a.join(b, Seq("lang", "source", "lband"))
-      .where(col("doc_a") =!= col("doc_b"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("grams").as("g_a"), col("n_grams").as("sz_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("grams").as("g_b"), col("n_grams").as("sz_b")), Seq("doc_b"))
       .withColumn("c", expr("intersect_count_sorted(g_a, g_b)").cast("double"))
       .withColumn("jaccard", round(
         col("c") / (col("sz_a") + col("sz_b") - col("c")), 6))
-      .select(
-        least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-        col("jaccard"))
-      .distinct()
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
   }
