@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.operators.Dedup
+
+/** Property test for the distributed connected-components core: on random
+  * graphs, propagateLabels (with enough iterations) must agree exactly with
+  * a driver-side union-find. Spark jobs per case are small, so the case
+  * count stays low.
+  */
+class ClusterPropertySpec extends SparkSpec {
+
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("propagateLabels == union-find on random graphs") {
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.choose(2, 16)
+      nodes = (1L to n.toLong).toList
+      nEdges <- Gen.choose(0, n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.oneOf(nodes); b <- Gen.oneOf(nodes) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (nodes, edges.distinct)
+
+    val prop = Prop.forAll(genCase) { case (nodes, edges) =>
+      val expect = unionFind(nodes, edges)
+      val got = Dedup.propagateLabels(
+        nodes.toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"),
+        iters = nodes.size) // diameter can't exceed node count
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(12)
+        .withInitialSeed(Seed(7L)),
+      prop)
+    assert(res.passed, s"propagateLabels vs union-find: $res")
+  }
+}
