@@ -171,29 +171,31 @@ object TextAnalysis {
     * tf·idf (term frequency within the language × inverse document
     * frequency across the corpus).
     *
-    * ONE corpus-scale shuffle: tokens aggregate by (lang, token, doc_id)
-    * with map-side partials, then a second (already vocabulary-scale)
-    * aggregate derives both tf = Σ occurrences and dfl = #docs per
-    * (lang, token). Because each doc has exactly one lang, the global
-    * document frequency is df(token) = Σ_lang dfl — vocabulary-sized
-    * arithmetic, broadcast back. (The naive form — separate tf and
-    * countDistinct aggregates over the exploded tokens — shuffles the
-    * corpus twice.)
-    * Scale: exploded tokens shuffle once; everything after is
-    * vocabulary-sized; top-3 via WindowGroupLimit.
+    * ZERO per-occurrence shuffles: each document pre-aggregates its own
+    * term counts map-side (native `ngram_hashes(text, 1, 'word_counts')`
+    * run-length encodes the sorted token array in one pass per row), so
+    * what reaches the exchange is one row per DISTINCT (doc, term) — the
+    * same rows the old `groupBy(lang, token, doc_id)` used to produce by
+    * shuffling every occurrence first. One aggregate then derives both
+    * tf = Σ counts and dfl = #docs per (lang, token). Because each doc has
+    * exactly one lang, the global document frequency is
+    * df(token) = Σ_lang dfl — vocabulary-sized arithmetic, broadcast back.
+    * Scale: distinct-per-doc terms shuffle once (sub-corpus volume);
+    * everything after is vocabulary-sized; top-3 via WindowGroupLimit.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    // round-robin spread: documents.parquet arrives in few splits; the
+    // per-row RLE extraction is the compute, so spread it over all cores
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-    val toks = docs.select(
-      col("doc_id"), col("lang"),
-      explode(words(col("text"))).as("token"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // corpus shuffle #1 (the only one): per-doc term counts
-    val perDoc = toks.groupBy("lang", "token", "doc_id")
-      .agg(count(lit(1)).as("n"))
-    // vocabulary-scale from here on
+    // one exploded row per DISTINCT term per doc, count pre-aggregated
+    val perDoc = docs.select(
+        col("lang"),
+        explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
+      .select(col("lang"), col("tc.token").as("token"), col("tc.c").as("n"))
+    // the only shuffle over document-derived rows; vocabulary-scale after
     val tfDfl = perDoc.groupBy("lang", "token")
       .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
     val dfreq = tfDfl.groupBy("token").agg(sum("dfl").as("df"))

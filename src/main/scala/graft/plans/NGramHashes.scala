@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,6 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *                      with occurrence counts — pre-aggregated frequencies,
   *                      so downstream explodes emit one row per DISTINCT
   *                      gram instead of per occurrence (~2× less volume)
+  *  - 'word_counts'   : array<struct<token,c>> of distinct word n-grams
+  *                      (the token STRING, not a hash) with occurrence
+  *                      counts — the map-side pre-aggregation for TF-IDF:
+  *                      each document emits one row per distinct term, so
+  *                      the corpus-scale per-occurrence shuffle disappears
   *
   * Why native: the equivalent `transform(sequence(...), i -> xxhash64(
   * substr(...)))` runs interpreted per element with boxing and, when the
@@ -37,6 +42,10 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
     if (mode == "char_counts")
       ArrayType(StructType(Seq(
         StructField("h", LongType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false)
+    else if (mode == "word_counts")
+      ArrayType(StructType(Seq(
+        StructField("token", StringType, nullable = false),
         StructField("c", LongType, nullable = false))), containsNull = false)
     else ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
@@ -65,6 +74,29 @@ case class NGramHashes(child: Expression, n: Int, mode: String)
           i += 1
         }
         new GenericArrayData(out)
+      case "word_counts" =>
+        val sp = UTF8String.fromString(" ")
+        val toks = text.split(sp, -1)
+        val m = math.max(toks.length - n + 1, 1)
+        val grams = new Array[UTF8String](m)
+        var i = 0
+        while (i < m) {
+          val end = math.min(i + n, toks.length)
+          grams(i) =
+            if (n == 1) toks(i)
+            else UTF8String.concatWs(sp, toks.slice(i, end): _*)
+          i += 1
+        }
+        java.util.Arrays.sort(grams, null) // UTF8String is Comparable
+        val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        var r = 0
+        while (r < m) {
+          var c = 1L
+          while (r + 1 < m && grams(r + 1).equals(grams(r))) { c += 1; r += 1 }
+          rows += InternalRow(grams(r), c)
+          r += 1
+        }
+        new GenericArrayData(rows.toArray[Any])
       case "char" | "char_distinct" | "char_counts" =>
         val nc = text.numChars()
         val m = math.max(nc - n + 1, 1)

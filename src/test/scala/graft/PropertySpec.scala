@@ -90,6 +90,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ngram_hashes word_counts matches a reference token-count map") {
+    val genText = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "bb", "ccc", "a", "dd")).map(_.mkString(" "))
+    val e = NGramHashes(BoundReference(0, StringType, nullable = false), 1, "word_counts")
+    check("word-counts-rle", Prop.forAll(genText) { t =>
+      val out = e.nullSafeEval(UTF8String.fromString(t))
+        .asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val row = out.getStruct(i, 2)
+        row.getUTF8String(0).toString -> row.getLong(1)
+      }.toMap
+      val expect = t.split(" ", -1).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      got == expect
+    })
+  }
+
   test("minhash signature agreement is 1 for identical sets, regardless of size") {
     val gen = Gen.nonEmptyListOf(Gen.long)
     check("minhash-identity", Prop.forAll(gen) { xs =>
