@@ -40,19 +40,53 @@ object Sampling {
   /** Deterministic class-balanced corpus: cap every stratum at the size of
     * the smallest one, keeping the lowest key-hashes (a stable choice, not
     * an arbitrary head).
-    * Scale: one aggregate for the floor count (broadcast back), one window
-    * rank per stratum — no collect of data rows.
+    *
+    * Scale: selection is histogram-driven, NOT a whole-stratum sort. A
+    * whole-stratum `row_number` window would sort the entire corpus inside
+    * |strata| partitions (5 languages ⇒ 5 reducers own 100 TB — maximal
+    * skew). Instead:
+    *   1. one map-side aggregate builds a (stratum × 4096 coarse hash
+    *      buckets) histogram — bucket ids are monotone in signed-hash
+    *      order, so per-stratum cumulative counts locate the single
+    *      bucket containing the floor_n-th smallest hash exactly;
+    *   2. that boundary (one row per stratum) broadcasts back: rows in
+    *      buckets below it pass with no ranking at all, and only rows
+    *      inside the boundary bucket (≈ stratum/4096 of the data) get an
+    *      exact (hash, key) rank — the window partitions by
+    *      (stratum, bucket), so no reducer ever holds more than one
+    *      bucket's sliver.
+    * Output is identical to the naive form: exactly the floor_n lowest
+    * (hash, key) rows per stratum, deterministic and partition-independent.
     */
   def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val floor = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .agg(min("n").as("floor_n"))
-    val w = Window.partitionBy(strataCol)
-      .orderBy(xxhash64(col(keyCol)), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .crossJoin(broadcast(floor))
-      .where(col("__rk") <= col("floor_n"))
-      .drop("__rk", "floor_n")
+    // 2^52 shift → 4096 buckets; XOR with Long.MinValue maps signed hash
+    // order onto unsigned order so bucket ids sort the same way hashes do
+    val hash = xxhash64(col(keyCol))
+    val bucket = shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), 52)
+    val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
+
+    // histogram-sized from here down (≤ |strata| × 4096 rows)
+    val hist = withB.groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val floor = hist.groupBy(strataCol).agg(sum("__c").as("__n"))
+      .agg(min("__n").as("__floor_n"))
+    val wCum = Window.partitionBy(strataCol).orderBy("__b")
+    val boundary = hist.crossJoin(broadcast(floor))
+      .withColumn("__cum", sum("__c").over(wCum))
+      .where(col("__cum") - col("__c") < col("__floor_n") &&
+        col("__cum") >= col("__floor_n"))
+      .select(col(strataCol).as("__s"), col("__b").as("__bb"),
+        (col("__floor_n") - (col("__cum") - col("__c"))).as("__take"))
+
+    // one pass over the data: keep everything below the boundary bucket,
+    // rank only inside it — (stratum, bucket) partitioning has no skew
+    val wEdge = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    withB.join(broadcast(boundary), col(strataCol) === col("__s"))
+      .where(col("__b") <= col("__bb"))
+      .withColumn("__rk", row_number().over(wEdge))
+      .where(col("__b") < col("__bb") || col("__rk") <= col("__take"))
+      .drop("__h", "__b", "__s", "__bb", "__take", "__rk")
   }
 
   /** Deterministic sampled corpus view over `documents` (rows-only query —

@@ -96,6 +96,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected the decorrelated max aggregate")
   }
 
+  test("balanceStrata never windows over the bare strata column") {
+    val df = graft.operators.Sampling.balanceStrata(
+      graft.sources.Tables.documents(spark, sf), "lang", "doc_id")
+    val p = plan(df)
+    // every Window must partition by (strata, bucket) — a window keyed by
+    // the 5-value lang column alone is the whole-corpus-in-5-reducers skew
+    val windowArgs = p.linesIterator.filter(_.contains("Arguments: [row_number()"))
+    windowArgs.foreach { l =>
+      assert(l.contains("__b"), s"window not bucket-partitioned: $l")
+    }
+    assert(p.contains("BroadcastExchange"), "boundary must broadcast back")
+  }
+
   test("minmaxScale joins broadcast bounds — no whole-partition window") {
     val p = plan(graft.operators.Tracking.minmaxScale(spark, sf))
     assert(p.contains("BroadcastExchange"))

@@ -27,6 +27,20 @@ class SamplingAggSpec extends SparkSpec {
     assert(balanced.keySet == Set("de", "en", "es", "fr", "zh"))
   }
 
+  test("balanceStrata picks exactly the lowest (hash, key) rows per stratum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.balanceStrata(docs, "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // reference: the naive whole-stratum window (fine at test scale)
+    val w = Window.partitionBy("lang").orderBy(xxhash64(col("doc_id")), col("doc_id"))
+    val floor = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
+    val want = docs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= floor)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "histogram-driven selection must equal naive selection")
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val docs = Tables.documents(spark, sf)
     val sampled = Sampling.stratifiedSample(
