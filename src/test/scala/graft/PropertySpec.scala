@@ -9,7 +9,9 @@ import org.scalacheck.Prop.propBoolean
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{IntersectCountSorted, MinHashSignature, NGramHashes}
+import graft.plans.{IntersectCountSorted, MinHashSignature, NGramHashes, WeightedDotSorted}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
 
 /** ScalaCheck properties for the native expressions (SURVEY.md §5.3) —
   * evaluated directly via `eval`, no Spark jobs, so hundreds of cases run
@@ -103,6 +105,21 @@ class PropertySpec extends AnyFunSuite {
       }.toMap
       val expect = t.split(" ", -1).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
       got == expect
+    })
+  }
+
+  test("weighted_dot_sorted matches a map-based sparse dot product") {
+    val kvType = StructType(Seq(
+      StructField("k", LT, nullable = false), StructField("v", LT, nullable = false)))
+    val e = WeightedDotSorted(
+      BoundReference(0, ArrayType(kvType), nullable = false),
+      BoundReference(1, ArrayType(kvType), nullable = false))
+    val genSide = Gen.mapOf(Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(1L, 9L)))
+    def arrOf(m: Map[Long, Long]): ArrayData =
+      new GenericArrayData(m.toSeq.sortBy(_._1).map { case (k, v) => InternalRow(k, v) }.toArray[Any])
+    check("weighted-dot", Prop.forAll(Gen.zip(genSide, genSide)) { case (a, b) =>
+      val want = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+      e.nullSafeEval(arrOf(a), arrOf(b)) == want
     })
   }
 
