@@ -70,10 +70,14 @@ object Similarity {
     * pivot vectors, probe the query's nearest clusters only.
     *
     * Pivots are the first 16 vectors (deterministic; a production build
-    * would k-means a sample — the plumbing is identical). Assignment is a
-    * broadcast cross-join + argmax (map-side: 16 cosines per vector, no
-    * shuffle of the corpus); the query probes nprobe=2 clusters, so the
-    * exact re-rank touches ~2/16 of the corpus.
+    * would k-means a sample — the plumbing is identical). The codebook —
+    * ONE row holding all 16 (pivot_id, centroid) entries — broadcasts, and
+    * assignment is map-side: 16 cosines + an argmax per vector on its own
+    * row. No row fan, and the vector payload never enters a shuffle after
+    * the deliberate scan-spread repartition (the earlier form fanned each
+    * vector ×16 and re-collapsed with a groupBy(vec_id) that shuffled
+    * every vector). The query probes nprobe=2 clusters, so the exact
+    * re-rank touches ~2/16 of the corpus.
     * Scale: the IVF index is `(cluster, vec)` — written partitioned by
     * cluster, a query reads only its probed partitions (partition pruning
     * does the "inverted file" part); nothing collects to the driver.
@@ -82,14 +86,17 @@ object Similarity {
     val emb = withVec(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("vec_id")).select("vec_id", "v")
     val pivots = emb.where(col("vec_id") < 16L)
       .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
+    // codebook as a single row; sort makes collect_list order irrelevant
+    val codebook = pivots.groupBy()
+      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
 
     val assigned = emb
-      .crossJoin(broadcast(pivots))
-      .withColumn("psim", expr("cosine_sim(v, pv)"))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("pivot_id"), struct(col("psim"), col("pivot_id"))).as("cluster"),
-        first(col("v")).as("v"))
+      .crossJoin(broadcast(codebook)) // 1-row codebook: zero fan
+      .withColumn("cluster", expr(
+        // argmax by (similarity, pivot_id): same tie-break as max_by over
+        // struct(psim, pivot_id); evaluated once per codebook entry
+        "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
+      .drop("pvs")
 
     val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
     val probe = pivots.crossJoin(broadcast(q))

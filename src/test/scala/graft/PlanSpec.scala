@@ -96,6 +96,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected the decorrelated max aggregate")
   }
 
+  test("simAnnIvf assigns clusters map-side — no vector re-collapse aggregate") {
+    val p = plan(Similarity.simAnnIvf(spark, sf))
+    // the anti-pattern was crossJoin(pivots) ×16 fan + groupBy(vec_id)
+    // with first(v): a corpus-wide shuffle carrying the vector payload.
+    // Assignment must be an argmax on the row itself.
+    assert(!p.contains("max_by"), "no fan-and-recollapse argmax aggregate")
+    assert(!p.contains("first(v"), "vector payload must not pass through an aggregate")
+    assert(p.contains("BroadcastExchange"), "codebook and probe list must broadcast")
+  }
+
   test("balanceStrata never windows over the bare strata column") {
     val df = graft.operators.Sampling.balanceStrata(
       graft.sources.Tables.documents(spark, sf), "lang", "doc_id")
