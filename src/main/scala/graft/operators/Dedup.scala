@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
-import graft.sources.Tables
+import graft.sources.{SessionCache, Tables}
 
 /** Deduplication family over the `documents` / `embeddings` tables (driver
   * extension: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
@@ -58,8 +58,17 @@ object Dedup {
     */
   /** All LSH-candidate pairs with their exact Jaccard (no limit) — shared
     * by [[dedupMinhash]] (top-20 view) and [[dedupClusters]] (edge set).
+    * A SessionCache artifact: shingling + banding + verification is the
+    * dominant stage of BOTH consumers, and the verified pair list is tiny
+    * (24 B/row), so it's computed once per (session, corpus) and every
+    * later dedup query starts from the materialized edges.
     */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "minhash_pairs", dir) {
+      minhashPairsBuild(spark, dir)
+    }
+
+  private def minhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     // two-exchange shape: a round-robin repartition spreads the
     // single-split text rows so shingling runs in parallel; the hash
     // repartition ABOVE the computed arrays is the materialization point
@@ -107,21 +116,26 @@ object Dedup {
       .limit(20)
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
-    * edges (Jaccard ≥ 0.5), via bounded min-label propagation — each
-    * iteration every node adopts the smallest label in its neighborhood,
-    * so after k iterations labels have traveled k hops; near-dup clusters
-    * are shallow (dup groups, boilerplate families), so 5 hops suffice and
-    * the iteration count is a hard bound, not a convergence gamble.
+    * edges (Jaccard ≥ 0.5), via min-label propagation run to a FIXPOINT —
+    * each iteration every node adopts the smallest label in its
+    * neighborhood, and the loop stops as soon as an iteration changes no
+    * label (one key-only join per pass over the 16 B label rows), with
+    * `maxIters` as the hard runaway bound. Near-dup clusters are shallow
+    * (dup groups, boilerplate families) so convergence is typically 2-3
+    * passes, but a deeper chain (sliding boilerplate) is now exact, not
+    * silently split.
     * Emits one row per multi-document cluster: representative (min doc_id),
     * member count.
     * Scale: each iteration is two key-only joins + one aggregate (labels
     * are (id, label) pairs — 16 B rows); at 100 TB checkpoint the label
     * frame every 2-3 iterations to cut lineage, and switch to
-    * large-star/small-star if components can be deep.
+    * large-star/small-star if components can be deep (that variant halves
+    * the iteration count to O(log n) at the cost of a denser edge frame).
     */
-  /** Bounded min-label propagation: nodes(doc_id) + undirected
+  /** Min-label propagation to fixpoint: nodes(doc_id) + undirected
     * edges(doc_a, doc_b) → (doc_id, label) where label = the component's
-    * smallest doc_id, exact for components of diameter ≤ `iters`.
+    * smallest doc_id — exact for any component whose diameter is below
+    * `maxIters`, and the loop detects convergence and stops early.
     *
     * Lineage discipline — the make-or-break of iterative DataFrame code:
     * each iteration references `edges` twice and the previous labels three
@@ -131,17 +145,27 @@ object Dedup {
     * into executor block storage; a cluster deployment with lossy executors
     * uses reliable `checkpoint` to the distributed FS instead.
     */
-  def propagateLabels(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def propagateLabels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       val fromA = e.join(labels, e("doc_a") === labels("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
       val fromB = e.join(labels, e("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("label"))
-      labels = labels.unionByName(fromA).unionByName(fromB)
+      val next = labels.unionByName(fromA).unionByName(fromB)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint()
+      // labels only ever decrease, so "no row changed" is the fixpoint;
+      // both sides are materialized 16 B rows — the check is one cheap join
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .where(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
     }
     labels
   }
@@ -151,7 +175,7 @@ object Dedup {
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val nodes = Tables.documents(spark, dir).select("doc_id")
-    propagateLabels(nodes, edges, iters = 5)
+    propagateLabels(nodes, edges)
       .groupBy("label")
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > 1)

@@ -6,9 +6,9 @@ import org.scalacheck.rng.Seed
 import graft.operators.Dedup
 
 /** Property test for the distributed connected-components core: on random
-  * graphs, propagateLabels (with enough iterations) must agree exactly with
-  * a driver-side union-find. Spark jobs per case are small, so the case
-  * count stays low.
+  * graphs, propagateLabels — exercised exactly as shipped (default
+  * fixpoint bound) — must agree with a driver-side union-find. Spark jobs
+  * per case are small, so the case count stays low.
   */
 class ClusterPropertySpec extends SparkSpec {
 
@@ -38,10 +38,10 @@ class ClusterPropertySpec extends SparkSpec {
 
     val prop = Prop.forAll(genCase) { case (nodes, edges) =>
       val expect = unionFind(nodes, edges)
+      // the SHIPPED path: default fixpoint bound, convergence-detected
       val got = Dedup.propagateLabels(
         nodes.toDF("doc_id"),
-        edges.toDF("doc_a", "doc_b"),
-        iters = nodes.size) // diameter can't exceed node count
+        edges.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == expect
     }
@@ -51,5 +51,16 @@ class ClusterPropertySpec extends SparkSpec {
         .withInitialSeed(Seed(7L)),
       prop)
     assert(res.passed, s"propagateLabels vs union-find: $res")
+  }
+
+  test("a chain deeper than any fixed small iteration count resolves to one cluster") {
+    import spark.implicits._
+    // a 14-hop path: the old hard-coded 5-iteration bound split this into
+    // several clusters; the fixpoint loop must label every node 1
+    val nodes = (1L to 15L).toDF("doc_id")
+    val edges = (1L to 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(nodes, edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels.sameElements(Array(1L)), s"expected one cluster, got ${labels.toSeq}")
   }
 }

@@ -77,7 +77,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val labels = Dedup.propagateLabels(nodes, edges, iters = 4).collect()
+    val labels = Dedup.propagateLabels(nodes, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
     assert(labels(10L) == 10L && labels(11L) == 10L)
