@@ -24,7 +24,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-lap detail alongside the min: this VM shows ±50% wobble with
+    // occasional host-steal spikes, and the raw laps let a reader separate
+    // "one lap spiked" from "the query regressed" without rerunning
+    val lapsJson = laps.head.keys.map { k =>
+      s"\"" + k + "\":[" + laps.map(_(k)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val lapTotals = laps.map(_.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"laps":$lapsJson,"lap_totals":$lapTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
