@@ -145,7 +145,8 @@ final class WaddleStore(spark: SparkSession, root: String) {
     "commits" -> Encoders.product[CommitRow].schema,
     "metrics" -> Encoders.product[MetricRow].schema,
     "kv" -> Encoders.product[KvRow].schema,
-    "artifacts" -> Encoders.product[ArtifactRow].schema)
+    "artifacts" -> Encoders.product[ArtifactRow].schema,
+    "deletes" -> Encoders.product[DeleteRow].schema)
 
   /** A table nobody has written yet reads as empty with its declared
     * schema (the reference's DDL bootstrap creates empty tables up front —
@@ -157,6 +158,23 @@ final class WaddleStore(spark: SparkSession, root: String) {
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
 
+  /** Run deletion on an immutable store: an append-only TOMBSTONE row, not
+    * an in-place rewrite (the reference DELETEs rows in four tables under a
+    * lock, /root/reference/waddle/_dashboard_api.py:237-249). Every read
+    * view anti-joins the tiny tombstone table — same observable cascade,
+    * no reader/writer race, and compaction can apply tombstones lazily.
+    */
+  def deleteRun(runId: String): Unit = {
+    import spark.implicits._
+    Seq(WaddleSchema.DeleteRow(runId, System.currentTimeMillis() / 1000.0))
+      .toDF().write.mode("append").parquet(s"$root/deletes")
+  }
+
+  /** Anti-join the tombstones: deletes are few, so broadcast. */
+  private def alive(df: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(tbl("deletes").select(col("run_id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Runs with read-time staleness inference: running runs whose last
     * metric is older than `staleAfterSec` before `nowSec` show as aborted
     * (reference N+1 loop /root/reference/waddle/_dashboard_api.py:60-68,
@@ -165,7 +183,7 @@ final class WaddleStore(spark: SparkSession, root: String) {
   def runs(nowSec: Double, staleAfterSec: Double = 300.0): DataFrame = {
     val lastTs = tbl("metrics").groupBy(col("run_id").as("id"))
       .agg(max("ts").as("last_ts"))
-    tbl("runs")
+    alive(tbl("runs"), "id")
       .join(broadcast(lastTs), Seq("id"), "left_outer")
       .withColumn("status",
         when(col("status") === "running" &&
@@ -175,19 +193,20 @@ final class WaddleStore(spark: SparkSession, root: String) {
   }
 
   def metrics(runId: String): DataFrame =
-    tbl("metrics").where(col("run_id") === runId).orderBy("key", "step")
+    alive(tbl("metrics"), "run_id")
+      .where(col("run_id") === runId).orderBy("key", "step")
 
   /** Keep-latest upsert view over the param/tag append log. */
   def latestKv(kind: String): DataFrame = {
     val w = Window.partitionBy("run_id", "key").orderBy(desc("seq"))
-    tbl("kv").where(col("kind") === kind)
+    alive(tbl("kv"), "run_id").where(col("kind") === kind)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("run_id", "key", "value")
   }
 
   def artifacts(runId: String): DataFrame =
-    tbl("artifacts").where(col("run_id") === runId)
+    alive(tbl("artifacts"), "run_id").where(col("run_id") === runId)
       .select("id", "name", "kind", "sha256", "size_bytes")
 
   /** Repos with insert-if-absent semantics over the append log: the first
@@ -253,12 +272,36 @@ final class WaddleStore(spark: SparkSession, root: String) {
       lower(concat_ws(" ", col("name"), col("project"), col("status")))
         .contains(term.toLowerCase))
 
+  /** Global metric-key list, system/ metrics excluded (reference
+    * /root/reference/waddle/_dashboard_api.py:208-216).
+    */
+  def metricKeys(): DataFrame =
+    alive(tbl("metrics"), "run_id")
+      .where(!col("key").startsWith("system/"))
+      .select("key").distinct().orderBy("key")
+
+  /** Leaderboard for one metric key: each run's latest value + run name
+    * (reference's correlated MAX(step) subquery,
+    * /root/reference/waddle/_dashboard_api.py:218-235, as one max_by
+    * aggregate + broadcast name join).
+    */
+  def metricLeaderboard(key: String, nowSec: Double, limit: Int = 20): DataFrame =
+    alive(tbl("metrics"), "run_id")
+      .where(col("key") === key)
+      .groupBy("run_id")
+      .agg(max_by(col("value"), col("step")).as("value"),
+        max("step").as("last_step"))
+      .join(broadcast(runs(nowSec).select(col("id").as("run_id"), col("name"))),
+        Seq("run_id"), "left_outer")
+      .orderBy(desc("value"), asc("run_id"))
+      .limit(limit)
+
   /** Metric summary: latest value per (run, key), the reference's
     * correlated-subquery argmax (/root/reference/waddle/_dashboard_api.py:218-235)
     * as one `max_by` aggregate.
     */
   def metricSummary(runIds: Seq[String]): DataFrame =
-    tbl("metrics")
+    alive(tbl("metrics"), "run_id")
       .where(col("run_id").isin(runIds: _*))
       .groupBy("run_id", "key")
       .agg(max("step").as("last_step"),
@@ -305,6 +348,7 @@ object WaddleSchema {
   case class MetricRow(
       run_id: String, key: String, step: Int, ts: Double, value: Double)
   case class KvRow(run_id: String, kind: String, key: String, value: String, seq: Long)
+  case class DeleteRow(run_id: String, deleted_at: Double)
   case class ArtifactRow(
       id: String, run_id: String, name: String, kind: String,
       created_at: Double, sha256: String, size_bytes: Long,

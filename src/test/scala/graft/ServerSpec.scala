@@ -1,0 +1,90 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.{DashboardServer, WaddleSession}
+
+/** End-to-end dashboard API test: start the HTTP server on an ephemeral
+  * port, populate a store through the write façade, and drive the same
+  * routes the reference dashboard calls
+  * (/root/reference/waddle/_server.py:97-110).
+  */
+class ServerSpec extends SparkSpec {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def send(port: Int, path: String, method: String, body: String = ""): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("dashboard routes serve canonical JSON end-to-end") {
+    val root = Files.createTempDirectory("waddle-srv").toString
+    val sess = new WaddleSession(spark, root, project = "projS")
+    val r1 = sess.initRun("alpha", Map("lr" -> "0.1"))
+    sess.log(r1, Map("loss" -> 1.0)); sess.log(r1, Map("loss" -> 0.25))
+    sess.logTag(r1, "model", "cnn")
+    sess.finishRun(r1, "completed")
+    val r2 = sess.initRun("beta", Map("lr" -> "0.2"))
+    sess.log(r2, Map("loss" -> 0.9))
+    sess.finishRun(r2, "failed")
+
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+
+      // index
+      assert(get(port, "/").body().contains("graft dashboard"))
+
+      // run list + filters
+      val runs = get(port, "/api/runs")
+      assert(runs.statusCode() == 200)
+      assert(runs.body().contains(s""""id":"$r1"""") && runs.body().contains(s""""id":"$r2""""))
+      assert(get(port, "/api/runs?status=failed").body().contains("beta"))
+      assert(!get(port, "/api/runs?status=failed").body().contains("alpha"))
+      assert(get(port, "/api/runs?sort=nope;DROP").statusCode() == 400)
+
+      // run detail envelope
+      val detail = get(port, s"/api/runs/$r1").body()
+      assert(detail.contains(""""run":{"""))
+      assert(detail.contains(""""key":"lr"""") && detail.contains(""""value":"0.1""""))
+      assert(detail.contains(""""model"""") && detail.contains("cnn"))
+      assert(detail.contains(""""metric_keys":[{"key":"loss"}]"""))
+      assert(get(port, "/api/runs/doesnotexist").statusCode() == 404)
+
+      // metric series, key-filtered and capped
+      val series = get(port, s"/api/runs/$r1/metrics?key=loss&limit=1").body()
+      assert(series.contains(""""key":"loss"""") && series.contains(""""step":0"""))
+      assert(!series.contains(""""step":1"""), "limit=1 must cap the series")
+
+      // global keys + leaderboard
+      assert(get(port, "/api/metric-keys").body() == """[{"key":"loss"}]""")
+      val lb = get(port, "/api/metric-summary?key=loss").body()
+      assert(lb.contains(""""value":0.25""") && lb.contains(""""name":"alpha""""))
+
+      // compare
+      val cmp = send(port, "/api/compare", "POST",
+        s"""{"run_ids": ["$r1", "$r2"]}""").body()
+      assert(cmp.contains(""""runs":[""") && cmp.contains(""""params":["""))
+      assert(cmp.contains(s""""$r1":"0.1"""") && cmp.contains(s""""$r2":"0.2""""))
+      assert(send(port, "/api/compare", "POST", "{}").statusCode() == 400)
+
+      // tombstone delete cascades through every view
+      assert(send(port, s"/api/runs/$r1", "DELETE").body() == """{"ok":true}""")
+      val afterList = get(port, "/api/runs").body()
+      assert(!afterList.contains("alpha") && afterList.contains("beta"))
+      assert(get(port, s"/api/runs/$r1").statusCode() == 404)
+      assert(get(port, s"/api/runs/$r1/metrics").body() == "[]")
+      assert(get(port, "/api/metric-summary?key=loss").body().contains(""""value":0.9"""))
+    } finally srv.stop()
+  }
+}
