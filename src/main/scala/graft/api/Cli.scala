@@ -1,22 +1,99 @@
 package graft.api
 
+import java.io.File
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
-/** `waddle ls` analog (/root/reference/waddle/cli.py:41-75): recent runs
-  * with humanized duration and truncated ids, printed fixed-width.
-  * Usage: runMain graft.api.Cli <storeRoot> [limit]
+/** `waddle` CLI analog (/root/reference/waddle/cli.py): `init`, `ls`,
+  * `serve`, with the same store-discovery rule — explicit path first, then
+  * the working directory, then up to 10 ancestors (cli.py:103-124). The
+  * store is a `.waddle/store` directory of Parquet tables instead of the
+  * reference's single DuckDB file.
+  *
+  * Usage: runMain graft.api.Cli init [path]
+  *        runMain graft.api.Cli ls [storeRoot] [limit]
+  *        runMain graft.api.Cli serve [storeRoot] [port]
   */
 object Cli {
-  def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse(
-      sys.error("usage: Cli <storeRoot> [limit]"))
-    val limit = args.lift(1).map(_.toInt).getOrElse(20)
-    val spark = graft.GraftSession.create()
+
+  /** Store location relative to a project root (reference: `.waddle/waddle.duckdb`). */
+  val StoreRel = ".waddle/store"
+
+  /** Bootstrap a store directory and gitignore it
+    * (reference cmd_init, cli.py:18-36). Idempotent. Returns the store path.
+    */
+  def init(path: String): String = {
+    val root = new File(path).getAbsoluteFile
+    val store = new File(root, StoreRel)
+    Files.createDirectories(store.toPath)
+    val gi = new File(root, ".gitignore")
+    val txt = if (gi.exists()) Files.readString(gi.toPath) else ""
+    if (!txt.linesIterator.contains(".waddle/")) {
+      val base = if (txt.isEmpty) "" else txt.stripSuffix("\n") + "\n"
+      Files.writeString(gi.toPath, base + ".waddle/\n")
+    }
+    store.getAbsolutePath
+  }
+
+  /** Find the store: explicit path if it exists, else walk from `cwd` up
+    * to 10 ancestors looking for `.waddle/store` (reference _find_db,
+    * cli.py:103-124).
+    */
+  def discoverStore(
+      explicit: Option[String] = None,
+      cwd: String = sys.props("user.dir")): Option[String] = {
+    explicit.map(new File(_)).filter(_.exists()).map(_.getAbsolutePath)
+      .orElse {
+        Iterator.iterate(new File(cwd).getAbsoluteFile)(_.getParentFile)
+          .takeWhile(_ != null).take(10)
+          .map(p => new File(p, StoreRel))
+          .find(_.exists())
+          .map(_.getAbsolutePath)
+      }
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "init" :: rest =>
+      println(s"initialized ${init(rest.headOption.getOrElse("."))}")
+
+    case "ls" :: rest =>
+      val (root, limit) = rootAndArg(rest, default = 20)
+      val spark = graft.GraftSession.create()
+      try ls(spark, root, limit) finally spark.stop()
+
+    case "serve" :: rest =>
+      val (root, port) = rootAndArg(rest, default = 8350)
+      val spark = graft.GraftSession.create()
+      val srv = new DashboardServer(spark, root, port)
+      srv.start()
+      println(s"graft dashboard api listening on 127.0.0.1:${srv.boundPort} over $root")
+      Thread.currentThread().join()
+
+    case other =>
+      sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port]); got: $other")
+  }
+
+  /** `[storeRoot] [n]` / `[n]` / `` with discovery fallback. */
+  private def rootAndArg(rest: List[String], default: Int): (String, Int) = {
+    val (explicit, n) = rest match {
+      case p :: v :: _ => (Some(p), v.toInt)
+      case p :: Nil if p.forall(_.isDigit) => (None, p.toInt)
+      case p :: Nil => (Some(p), default)
+      case Nil => (None, default)
+    }
+    val root = discoverStore(explicit).getOrElse(
+      sys.error(s"no $StoreRel found here or in 10 ancestors; run `Cli init` first"))
+    (root, n)
+  }
+
+  /** `waddle ls` (cli.py:41-75): recent runs with humanized duration and
+    * truncated ids, fixed-width — formatting runs engine-side.
+    */
+  private def ls(spark: org.apache.spark.sql.SparkSession, root: String, limit: Int): Unit = {
     val store = new WaddleStore(spark, root)
     val now = System.currentTimeMillis() / 1000.0
 
-    // duration humanize (cli.py:62-68) + id truncation (cli.py:71-72),
-    // engine-side instead of Python string-formatting loops
     val rows = store.listRuns(now, limit = limit)
       .withColumn("dur_sec",
         when(col("ended_at").isNotNull, col("ended_at") - col("started_at")))
@@ -35,6 +112,5 @@ object Cli {
         Option(r.getString(2)).getOrElse("-")}%-20s${r.getString(3)}%-10s${
         r.getString(4)}%-8s")
     }
-    spark.stop()
   }
 }

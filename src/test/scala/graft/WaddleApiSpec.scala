@@ -173,6 +173,28 @@ class WaddleApiSpec extends SparkSpec {
     assert(store.runsWithProvenance(now).count() == 1)
   }
 
+  test("cli init bootstraps the store and discovery walks up from a nested dir") {
+    import graft.api.Cli
+    val project = Files.createTempDirectory("proj").toString
+    val store = Cli.init(project)
+    assert(store == new java.io.File(project, Cli.StoreRel).getAbsolutePath)
+    assert(new java.io.File(store).isDirectory)
+    // gitignore gains the .waddle/ line exactly once (idempotent)
+    Cli.init(project)
+    val gi = Files.readString(java.nio.file.Paths.get(project, ".gitignore"))
+    assert(gi.linesIterator.count(_ == ".waddle/") == 1)
+
+    // discovery from a deeply nested working directory finds the ancestor store
+    val nested = Files.createDirectories(
+      java.nio.file.Paths.get(project, "a", "b", "c", "d")).toString
+    assert(Cli.discoverStore(cwd = nested).contains(store))
+    // an explicit existing path wins; a bare temp dir with no store finds nothing
+    assert(Cli.discoverStore(explicit = Some(project)).contains(
+      new java.io.File(project).getAbsolutePath))
+    val bare = Files.createTempDirectory("empty").toString
+    assert(Cli.discoverStore(cwd = bare).isEmpty)
+  }
+
   test("system monitor samples system/ metrics on its own thread") {
     val root = Files.createTempDirectory("waddle").toString
     val sess = new WaddleSession(spark, root)
