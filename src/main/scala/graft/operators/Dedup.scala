@@ -225,10 +225,14 @@ object Dedup {
     * Hamming distance ≤ 3 must agree on at least one whole segment
     * (4 segments, ≤ 3 differing bits), so candidates come from a self-join
     * on (segment_id, segment_value) and are verified with the exact
-    * popcount of the XOR. Top-20 closest pairs.
+    * popcount of the XOR. Output = the closest pairs AT RADIUS ≤ 3 — the
+    * radius the pigeonhole bound makes complete — capped at 20; pairs
+    * beyond 3 bits are excluded rather than reported best-effort (they
+    * only surface when they happen to share a segment, so ranks past the
+    * guaranteed radius would not be the true global order).
     * Scale: identical shape to [[dedupMinhash]] — the segment join shuffles
     * (seg_id, seg, doc_id, fp) rows (~28 B), never text; no O(n²) stage.
-    * The k ≤ 3 guarantee is exact; larger radii use more/smaller segments.
+    * Larger radii use more/smaller segments.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
@@ -248,6 +252,7 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= 3) // the radius the banding makes complete
       .distinct()
       .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
       .limit(20)

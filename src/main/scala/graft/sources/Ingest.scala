@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Non-parquet ingestion paths (SURVEY.md §2.1 S-family extension).
@@ -13,14 +14,43 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** The events-table schema, declared once for every text format. */
+  /** The events-table schema, declared once for every text format.
+    *
+    * Every data column is declared NULLABLE on purpose: PERMISSIVE
+    * quarantine emits rows where all data columns are null and only
+    * `_corrupt` is set, so a non-null declaration on the raw read would be
+    * false metadata the optimizer is allowed to exploit (e.g. eliding
+    * IsNotNull filters) on exactly the quarantined rows. The non-null
+    * CONTRACT belongs to the cleaned output — [[cleanEvents]] enforces it
+    * after the corrupt split.
+    */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType, nullable = false),
-    StructField("ts", TimestampType, nullable = false),
-    StructField("user_id", LongType, nullable = false),
-    StructField("event_type", StringType, nullable = false),
-    StructField("value", DoubleType, nullable = false),
+    StructField("event_id", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
     StructField("props", StringType, nullable = true)))
+
+  /** Required (non-null after cleaning) columns of [[eventSchema]]. */
+  val requiredEventCols: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Split a PERMISSIVE read into clean rows (corrupt column dropped, all
+    * required columns enforced non-null) — the half that carries the
+    * non-null contract the raw schema deliberately does not claim.
+    */
+  def cleanEvents(raw: DataFrame): DataFrame =
+    raw.where(col("_corrupt").isNull &&
+        requiredEventCols.map(col(_).isNotNull).reduce(_ && _))
+      .drop("_corrupt")
+
+  /** The quarantined complement of [[cleanEvents]]. */
+  def corruptEvents(raw: DataFrame): DataFrame = {
+    val bad: Column = col("_corrupt").isNotNull ||
+      requiredEventCols.map(col(_).isNull).reduce(_ || _)
+    raw.where(bad)
+  }
 
   /** CSV batch ingestion. PERMISSIVE mode + corrupt-record column: at
     * corpus scale a bad row must quarantine, not kill the job (ANSI strict

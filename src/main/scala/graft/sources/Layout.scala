@@ -61,8 +61,17 @@ object Layout {
     * cannot declare buckets itself; the batch writer inside can). New days
     * create new partitions; every batch keeps the bucket spec, so the
     * zero-shuffle properties hold over data that arrived live.
+    *
+    * Idempotence: foreachBatch alone is at-least-once — a batch retried
+    * after a partial append would double rows. A batch-id LEDGER (tiny
+    * parquet log next to the checkpoint) makes retries no-ops: a batch
+    * already recorded is skipped. The residual window is a crash BETWEEN
+    * the append and the ledger write (exactly-once needs a transactional
+    * table format); the window is one metadata write wide and a retry
+    * after it duplicates at most one batch — vs. every retry without it.
     * Scale: one small shuffle per micro-batch (bucket co-location), bounded
-    * by trigger size; partitions touched = days present in the batch.
+    * by trigger size; partitions touched = days present in the batch; the
+    * ledger read is one tiny parquet scan per batch.
     */
   def streamIntoLayout(
       events: DataFrame,
@@ -72,16 +81,40 @@ object Layout {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.withColumn("event_date", to_date(col("ts")))
-          .repartition(col("event_date"), col("user_id"))
-          .write
-          .partitionBy("event_date")
-          .bucketBy(buckets, "user_id")
-          .sortBy("event_type", "ts")
-          .mode("append")
-          .saveAsTable(table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchIdempotent(batch, batchId, table,
+          s"$checkpointDir/graft_batch_ledger", buckets)
+        ()
       }
+
+  /** The foreachBatch body, exposed for direct testing: append `batch`
+    * into the layout table unless `batchId` is already in the ledger.
+    * Returns true when the batch was written, false when skipped as a
+    * duplicate delivery.
+    */
+  def appendBatchIdempotent(
+      batch: DataFrame,
+      batchId: Long,
+      table: String,
+      ledger: String,
+      buckets: Int = 8): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val committed = new java.io.File(ledger).exists() &&
+      !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+    if (!committed) {
+      batch.withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"), col("user_id"))
+        .write
+        .partitionBy("event_date")
+        .bucketBy(buckets, "user_id")
+        .sortBy("event_type", "ts")
+        .mode("append")
+        .saveAsTable(table)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+    }
+    !committed
+  }
 
   /** One day's slice — must prune to a single date partition at plan time. */
   def daySlice(

@@ -49,6 +49,28 @@ class IngestSpec extends SparkSpec {
     } finally back.unpersist()
   }
 
+  test("raw schema is nullable; cleanEvents carries the non-null contract") {
+    // the raw read must not claim non-nullability PERMISSIVE can't deliver
+    assert(Ingest.eventSchema.fields.forall(_.nullable))
+
+    val out = tmpDir("graft_split")
+    Files.writeString(java.nio.file.Path.of(out, "part-0.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":7,"event_type":"click","value":1.5,"props":null}
+        |not json at all
+        |{"event_id":null,"ts":"2024-01-01T00:00:01","user_id":8,"event_type":"view","value":2.0,"props":null}
+        |""".stripMargin)
+    val raw = Ingest.eventsFromJsonl(spark, out).cache()
+    try {
+      val clean = Ingest.cleanEvents(raw)
+      assert(clean.count() == 1, "only the fully-populated row is clean")
+      assert(!clean.columns.contains("_corrupt"))
+      assert(Ingest.requiredEventCols.forall(c =>
+        clean.where(col(c).isNull).count() == 0))
+      // quarantine = the parse failure AND the null-required-field row
+      assert(Ingest.corruptEvents(raw).count() == 2)
+    } finally raw.unpersist()
+  }
+
   test("streaming file source ingests a dropped file as a micro-batch") {
     val in = tmpDir("graft_stream_in")
     val ev = Tables.events(spark, sf).limit(50)

@@ -68,6 +68,25 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("a redelivered micro-batch is skipped by the batch-id ledger") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val ledger = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/l"
+    val batch = Seq(
+      (9100001L, new Timestamp(1706745600000L), 7L, "click", 1.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    try {
+      assert(Layout.appendBatchIdempotent(batch, 0L, "events_layout_idem", ledger, buckets = 2))
+      assert(spark.table("events_layout_idem").count() == 1)
+      // the retry: same batch id delivered again must be a no-op
+      assert(!Layout.appendBatchIdempotent(batch, 0L, "events_layout_idem", ledger, buckets = 2))
+      assert(spark.table("events_layout_idem").count() == 1)
+      // a NEW batch id still appends
+      assert(Layout.appendBatchIdempotent(batch, 1L, "events_layout_idem", ledger, buckets = 2))
+      assert(spark.table("events_layout_idem").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS events_layout_idem")
+  }
+
   test("day slice prunes to one date partition at plan time") {
     withLayout {
       val day = Tables.events(spark, sf)
