@@ -36,21 +36,25 @@ object Cli {
     store.getAbsolutePath
   }
 
-  /** Find the store: explicit path if it exists, else walk from `cwd` up
-    * to 10 ancestors looking for `.waddle/store` (reference _find_db,
-    * cli.py:103-124).
+  /** Find the store: an explicit path is authoritative — if it does not
+    * exist that's an ERROR, not a trigger for the ancestor walk (a typo'd
+    * path silently serving some other store is worse than failing). With no
+    * explicit path, walk from `cwd` up to 10 ancestors looking for
+    * `.waddle/store` (reference _find_db, cli.py:103-124).
     */
   def discoverStore(
       explicit: Option[String] = None,
-      cwd: String = sys.props("user.dir")): Option[String] = {
-    explicit.map(new File(_)).filter(_.exists()).map(_.getAbsolutePath)
-      .orElse {
-        Iterator.iterate(new File(cwd).getAbsoluteFile)(_.getParentFile)
-          .takeWhile(_ != null).take(10)
-          .map(p => new File(p, StoreRel))
-          .find(_.exists())
-          .map(_.getAbsolutePath)
-      }
+      cwd: String = sys.props("user.dir")): Option[String] = explicit match {
+    case Some(p) =>
+      val f = new File(p)
+      require(f.exists(), s"store path does not exist: $p")
+      Some(f.getAbsolutePath)
+    case None =>
+      Iterator.iterate(new File(cwd).getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null).take(10)
+        .map(p => new File(p, StoreRel))
+        .find(_.exists())
+        .map(_.getAbsolutePath)
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -74,11 +78,15 @@ object Cli {
       sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port]); got: $other")
   }
 
-  /** `[storeRoot] [n]` / `[n]` / `` with discovery fallback. */
+  /** `[storeRoot] [n]` / `[n]` / `` with discovery fallback. A single
+    * all-digit argument is a path if such a path EXISTS, else the numeric
+    * limit/port — existence disambiguates, so an all-digit store directory
+    * is still addressable.
+    */
   private def rootAndArg(rest: List[String], default: Int): (String, Int) = {
     val (explicit, n) = rest match {
       case p :: v :: _ => (Some(p), v.toInt)
-      case p :: Nil if p.forall(_.isDigit) => (None, p.toInt)
+      case p :: Nil if p.forall(_.isDigit) && !new File(p).exists() => (None, p.toInt)
       case p :: Nil => (Some(p), default)
       case Nil => (None, default)
     }

@@ -1,17 +1,19 @@
 package graft.api
 
+import java.io.OutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dashboard HTTP JSON API — the reference's main user surface
+/** Dashboard HTTP surface — the reference's main user surface
   * (`waddle serve` → Starlette app, /root/reference/waddle/_server.py:33-124)
   * re-expressed over the Parquet store:
   *
-  *   GET    /                         tiny HTML index
+  *   GET    /                         dashboard client (single-file HTML/JS)
   *   GET    /api/runs                 run list (?project=&status=&sort=&order=&limit=&offset=)
   *   GET    /api/runs/{id}            run detail: run + params + tags + artifacts + metric keys
   *   GET    /api/runs/{id}/metrics    metric series (?key=&limit=)
@@ -19,26 +21,76 @@ import org.apache.spark.sql.functions._
   *   POST   /api/compare              {"run_ids": [...]} → runs + param pivot + latest metrics
   *   GET    /api/metric-keys          global metric key list (system/ excluded)
   *   GET    /api/metric-summary       leaderboard for one key (?key=&limit=)
+  *   GET    /api/events               live update stream (Server-Sent Events)
   *
   * Design: every response body is rendered ENGINE-SIDE — each route builds
   * a LIMIT-capped DataFrame view on [[WaddleStore]] and serializes it with
   * `Json.responseBody` (codegen'd `to_json`, canonical sorted keys); the
   * driver only concatenates the capped rows. The JDK's built-in
-  * `com.sun.net.httpserver` serves them — zero added dependencies. The
-  * reference's WebSocket push (`_server.py:112-124`, best-effort refresh
-  * hints) maps to the Structured Streaming fan-out in
-  * `streaming/Streams.fanout`; an HTTP poll of these routes is the
-  * transport here.
+  * `com.sun.net.httpserver` serves them — zero added dependencies.
+  *
+  * The client at `/` is an ORIGINAL single-file page (resource
+  * `graft/dashboard.html`) giving the reference dashboard's views — run
+  * list + search, run detail, metric line chart, multi-run compare —
+  * over the routes above (reference client:
+  * /root/reference/waddle/static/index.html, served at _server.py:82-86).
+  *
+  * Live updates: the reference broadcasts each metric INSERT over
+  * WebSocket (/root/reference/waddle/_server.py:88-97,115-124). Here the
+  * engine-side analog is [[graft.streaming.Streams.fanout]] (500 ms
+  * micro-batches ≈ the client debounce), and [[attachLive]] bridges it to
+  * `/api/events` as Server-Sent Events — one-directional push is exactly
+  * SSE's shape, and it needs no protocol upgrade on the JDK server.
   */
 final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
   private val store = new WaddleStore(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // SSE holds exchanges open indefinitely; a cached pool keeps long-lived
+  // event streams from starving the JSON routes (the default executor runs
+  // every handler on one dispatcher thread)
+  server.setExecutor(Executors.newCachedThreadPool { r =>
+    val t = new Thread(r, "graft-dashboard"); t.setDaemon(true); t
+  })
+  private val sseClients = new ConcurrentLinkedQueue[OutputStream]()
   private def nowSec(): Double = System.currentTimeMillis() / 1000.0
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handle _); server.start() }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    sseClients.forEach(os => try os.close() catch { case _: Exception => () })
+    sseClients.clear()
+    server.stop(0)
+  }
+
+  // ---- live push --------------------------------------------------------
+
+  /** Push one SSE message to every connected `/api/events` client; dead
+    * connections are dropped. Driver-side work is O(clients) tiny writes —
+    * the payload is a batch SUMMARY, never the rows.
+    */
+  def publish(json: String): Unit = {
+    val it = sseClients.iterator()
+    while (it.hasNext) {
+      val os = it.next()
+      try { os.write(s"data: $json\n\n".getBytes(UTF_8)); os.flush() }
+      catch { case _: Exception => it.remove() }
+    }
+  }
+
+  /** Bridge a streaming metrics frame to the SSE endpoint: each micro-batch
+    * publishes `{"type":"metrics","batch":id,"rows":n}` — a refresh HINT,
+    * matching the reference's best-effort WS broadcast (clients re-fetch
+    * through the JSON routes; the hint carries no row data, so a dropped
+    * event costs one poll interval, not correctness).
+    * Scale: the only driver-side values are the batch id and a count the
+    * executors already computed; fan-out cost is independent of batch size.
+    */
+  def attachLive(metricsStream: DataFrame, checkpointDir: String) =
+    graft.streaming.Streams.fanout(metricsStream, checkpointDir) { (batch, id) =>
+      val n = batch.count()
+      if (n > 0) publish(s"""{"type":"metrics","batch":$id,"rows":$n}""")
+    }.start()
 
   // ---- request plumbing ----------------------------------------------
 
@@ -76,9 +128,9 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
     val method = ex.getRequestMethod
     try {
       (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
-        case ("GET", Nil) =>
-          respond(ex, 200,
-            "<h1>graft dashboard</h1><p>JSON API under /api</p>", "text/html")
+        case ("GET", Nil) | ("GET", List("static", "dashboard.html")) =>
+          respond(ex, 200, DashboardServer.clientHtml, "text/html")
+        case ("GET", List("api", "events")) => subscribe(ex)
         case ("GET", List("api", "runs")) => listRuns(ex)
         case ("GET", List("api", "runs", id)) => getRun(ex, id)
         case ("DELETE", List("api", "runs", id)) =>
@@ -99,6 +151,22 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
       case e: Throwable =>
         respond(ex, 500, Json.jsonObject(Seq("error" -> String.valueOf(e.getMessage))))
     }
+  }
+
+  /** SSE subscription: flip the exchange to a chunked event stream and park
+    * it on the client list; [[publish]] writes events, the write failing is
+    * the disconnect signal. The handler thread returns immediately — the
+    * open response body costs a queue slot, not a thread.
+    */
+  private def subscribe(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0L) // length 0 = chunked, stream stays open
+    val os = ex.getResponseBody
+    os.write(": connected\n\n".getBytes(UTF_8)) // SSE comment = hello/keepalive
+    os.flush()
+    sseClients.add(os)
+    ()
   }
 
   private def listRuns(ex: HttpExchange): Unit = {
@@ -151,6 +219,17 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
     val summary = Json.responseBody(store.metricSummary(ids))
     respond(ex, 200, s"""{"runs":$runs,"params":$params,"summary":$summary}""")
   }
+}
+
+object DashboardServer {
+  /** The dashboard client page, loaded once from the classpath (resource
+    * `graft/dashboard.html`); a missing resource degrades to the JSON-only
+    * index rather than failing the server.
+    */
+  lazy val clientHtml: String =
+    Option(getClass.getClassLoader.getResourceAsStream("graft/dashboard.html"))
+      .map { in => try new String(in.readAllBytes(), UTF_8) finally in.close() }
+      .getOrElse("<h1>graft dashboard</h1><p>JSON API under /api</p>")
 }
 
 /** `waddle serve` analog (/root/reference/waddle/cli.py:80-124).

@@ -215,9 +215,30 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Fingerprint frame (doc_id, fp) as a SessionCache artifact — shared by
+    * [[dedupSimhash]] and [[dedupSimhashPairs]], mirroring [[minhashPairs]].
+    * 16 B/row, computed once per (session, corpus).
+    *
+    * The materialization is ALSO a pushdown barrier, and that matters:
+    * without it, a downstream `where(hamming <= 3)` lets
+    * InferFiltersFromConstraints derive `isnotnull(fp)` and push the entire
+    * 64-bit HOF fold into a Filter at the single-split parquet scan — the
+    * most expensive expression in the pipeline, evaluated serially, then
+    * again in the post-exchange Project, on both self-join subtrees
+    * (measured 1.2 s → 3.3 s at sf0.1). localCheckpoint truncates the plan,
+    * so consumers see a leaf RDD and nothing can be pushed below the
+    * parallel fingerprint compute.
+    */
+  private def simhashFps(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "simhash_fps", dir) {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), simhash64().as("fp"))
+    }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64().as("simhash64"))
+    simhashFps(spark, dir)
+      .select(col("doc_id"), col("fp").as("simhash64"))
       .orderBy("doc_id")
 
   /** SimHash near-dup PAIR search: pigeonhole-banded Hamming join. The
@@ -235,11 +256,7 @@ object Dedup {
     * Larger radii use more/smaller segments.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val fps = Tables.documents(spark, dir)
-      .repartition(par)
-      .select(col("doc_id"), simhash64().as("fp"))
-      .repartition(par, col("doc_id"))
+    val fps = simhashFps(spark, dir)
     val banded = fps.select(
       col("doc_id"), col("fp"),
       posexplode(array(Seq.tabulate(4)(i =>

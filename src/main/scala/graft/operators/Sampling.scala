@@ -82,7 +82,10 @@ object Sampling {
     // rank only inside it — (stratum, bucket) partitioning has no skew
     val wEdge = Window.partitionBy(col(strataCol), col("__b"))
       .orderBy(col("__h"), col(keyCol))
-    withB.join(broadcast(boundary), col(strataCol) === col("__s"))
+    // null-safe equality: a NULL stratum is a stratum of its own (the
+    // histogram and the windows already group it as one) — plain === would
+    // silently drop every null-stratum row at this join
+    withB.join(broadcast(boundary), col(strataCol) <=> col("__s"))
       .where(col("__b") <= col("__bb"))
       .withColumn("__rk", row_number().over(wEdge))
       .where(col("__b") < col("__bb") || col("__rk") <= col("__take"))

@@ -140,7 +140,14 @@ object TextAnalysis {
           struct(col(s"s_$l").as("s"), lit(l).as("l"))): _*))
           .getField("l"))
 
-    scored.groupBy(col("lang"), col("predicted"))
+    // a doc sharing NO bigram with any profile has no evidence — all five
+    // scores are 0 and argmax would emit the tie-break language ('zh', the
+    // struct-max of the code strings) as a confident-looking prediction.
+    // Exclude such rows from the confusion matrix, matching the inner-join
+    // formulation (and the reference, which only counts scored docs).
+    scored
+      .where(greatest(langs.map(l => col(s"s_$l")): _*) > 0L)
+      .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
   }

@@ -100,7 +100,19 @@ object Layout {
       buckets: Int = 8): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val committed = new java.io.File(ledger).exists() &&
+    // existence probe through the Hadoop FileSystem API: a java.io.File
+    // check is local-FS only — on hdfs:///s3a:// (the 100 TB deployment)
+    // it would always be false and idempotence would be silently disabled.
+    // A crash mid-ledger-write can leave a dir with no readable footer, so
+    // the probe also requires at least one complete parquet part file.
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerReadable = fs.exists(ledgerPath) &&
+      fs.listStatus(ledgerPath).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+    val committed = ledgerReadable &&
       !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
     if (!committed) {
       batch.withColumn("event_date", to_date(col("ts")))

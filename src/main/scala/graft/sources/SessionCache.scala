@@ -1,6 +1,8 @@
 package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialized intermediates (SURVEY.md §6 — exchange
@@ -8,31 +10,86 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Some artifacts are derived once per corpus and probed by many queries:
   * language-ID bigram profiles, the verified near-dup edge set shared by
-  * `q_dedup_minhash` and `q_dedup_clusters`. Recomputing them per call
-  * multiplies the dominant stage of each query. Entries are keyed by
-  * (session UUID, artifact, data dir) and materialized with an eager
-  * `localCheckpoint`:
+  * `q_dedup_minhash` and `q_dedup_clusters`, the simhash fingerprint frame.
+  * Recomputing them per call multiplies the dominant stage of each query.
+  * Entries are keyed by (session UUID, artifact, data dir, data fingerprint)
+  * and materialized with an eager `localCheckpoint`:
   *   - truncates lineage, so iterative consumers (label propagation) don't
-  *     re-trigger the producing job;
+  *     re-trigger the producing job — and acts as a PUSHDOWN BARRIER:
+  *     nothing downstream can be rewritten below the artifact's compute;
   *   - stores blocks on the executors — no driver collect, no local-FS
   *     checkpoint dir needed;
   *   - is session-tied, which the key mirrors, so a new session never sees
   *     another session's blocks.
+  *
+  * Staleness: the key folds in a fingerprint of the input directory's file
+  * listing (paths, sizes, mtimes — one metadata listing, no data I/O), so
+  * data appended to the same dir within a session gets a fresh artifact
+  * instead of silently serving stale dedup/langid results. `invalidate`
+  * drops a dir's entries eagerly for write paths that want to reclaim the
+  * blocks immediately. Lifecycle: a SparkListener evicts a session's
+  * entries on application end, so a long-lived multi-session process does
+  * not grow without bound.
+  *
   * On a long-lived 1000-executor service this is the "profile store": train
   * once, serve many. Size discipline: only frames that are orders of
-  * magnitude smaller than the corpus (profiles, edge lists) belong here.
+  * magnitude smaller than the corpus (profiles, edge lists, fingerprints)
+  * belong here.
   */
 object SessionCache {
   private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   def cached(spark: SparkSession, artifact: String, dir: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    // identity of the session object: localCheckpoint blocks live on the
+    // session's executors, so a different/new session must never hit
+    val sessionKey =
+      s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
+    if (hooked.add(sessionKey)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(k => k._1 == sessionKey)
+          hooked.remove(sessionKey)
+          ()
+        }
+      })
+    }
     cache.computeIfAbsent(
-      // identity of the session object: localCheckpoint blocks live on the
-      // session's executors, so a different/new session must never hit
-      (s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}",
-        s"$artifact|$dir"),
+      (sessionKey, s"$artifact|$dir|${dirFingerprint(spark, dir)}"),
       _ => build.localCheckpoint(eager = true))
+  }
+
+  /** Drop every cached artifact derived from `dir` (all sessions): write
+    * paths call this after mutating a directory to reclaim executor blocks
+    * immediately rather than waiting for the fingerprint to age them out.
+    */
+  def invalidate(dir: String): Unit = {
+    cache.keySet.removeIf(k => k._2.contains(s"|$dir|"))
+    ()
+  }
+
+  /** Cheap change detector: hash of the recursive file listing (path, size,
+    * mtime). One namenode/metadata listing per cache probe — no data reads.
+    * Goes through the Hadoop FileSystem API so the probe is correct on
+    * hdfs:// and s3a:// paths, not just local disk.
+    */
+  private def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      var h = 1125899906842597L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val st = it.next()
+        h = h * 31 + st.getPath.getName.hashCode
+        h = h * 31 + st.getLen
+        h = h * 31 + st.getModificationTime
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
 
   /** Tests only: drop everything (e.g. between suites sharing a session). */
   private[graft] def clear(): Unit = cache.clear()

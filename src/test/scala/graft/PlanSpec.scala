@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "boundary must broadcast back")
   }
 
+  test("dedupSimhashPairs never re-evaluates the fingerprint fold (no HOF in plan)") {
+    val p = plan(graft.operators.Dedup.dedupSimhashPairs(spark, sf))
+    // the fingerprint frame is a localCheckpoint artifact, so the compiled
+    // pair-search plan must reference a leaf RDD — if `aggregate(zip_with`
+    // reappears anywhere (worst case: inside a scan-level Filter via
+    // InferFiltersFromConstraints pushdown), the barrier regressed and the
+    // fold runs serially at the scan, 4× over
+    assert(!p.contains("aggregate(zip_with"),
+      "simhash fold leaked into the pair-search plan — pushdown barrier lost")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "expected the checkpointed fingerprint leaf")
+  }
+
   test("minmaxScale joins broadcast bounds — no whole-partition window") {
     val p = plan(graft.operators.Tracking.minmaxScale(spark, sf))
     assert(p.contains("BroadcastExchange"))

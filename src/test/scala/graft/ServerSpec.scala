@@ -87,4 +87,83 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/api/metric-summary?key=loss").body().contains(""""value":0.9"""))
     } finally srv.stop()
   }
+
+  test("dashboard client page serves at / and its three views hit live routes") {
+    val root = Files.createTempDirectory("waddle-ui").toString
+    val sess = new WaddleSession(spark, root, project = "ui")
+    val r1 = sess.initRun("trial-a", Map("lr" -> "0.01"))
+    sess.log(r1, Map("acc" -> 0.5)); sess.log(r1, Map("acc" -> 0.8))
+    sess.finishRun(r1, "completed")
+    val r2 = sess.initRun("trial-b", Map("lr" -> "0.05"))
+    sess.log(r2, Map("acc" -> 0.6))
+    sess.finishRun(r2, "completed")
+
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // the real client page, not the JSON stub
+      val page = get(port, "/")
+      assert(page.statusCode() == 200)
+      val html = page.body()
+      assert(html.contains("<svg") || html.contains("lineChart"), "chart code present")
+      // the page's three data dependencies, as the client calls them
+      assert(html.contains("/api/runs") && html.contains("/api/compare")
+        && html.contains("/api/events"))
+      assert(get(port, "/static/dashboard.html").body() == html)
+
+      // view 1 — run list: the page's first fetch
+      val list = get(port, "/api/runs").body()
+      assert(list.contains(""""name":"trial-a"""") && list.contains(""""name":"trial-b""""))
+      // view 2 — metric series for the chart
+      val series = get(port, s"/api/runs/$r1/metrics?key=acc&limit=5000").body()
+      assert(series.contains(""""value":0.5""") && series.contains(""""value":0.8"""))
+      // view 3 — compare: param pivot + latest-metric summary
+      val cmp = send(port, "/api/compare", "POST",
+        s"""{"run_ids": ["$r1", "$r2"]}""").body()
+      assert(cmp.contains(s""""$r1":"0.01"""") && cmp.contains(s""""$r2":"0.05""""))
+      assert(cmp.contains(""""last_value":0.8""") && cmp.contains(""""last_value":0.6"""))
+    } finally srv.stop()
+  }
+
+  test("live SSE endpoint pushes an event when metrics stream in") {
+    import org.apache.spark.sql.Encoders
+    val root = Files.createTempDirectory("waddle-sse").toString
+    val ckpt = Files.createTempDirectory("waddle-sse-ckpt").toString
+    val sess = new WaddleSession(spark, root, project = "live")
+    val r1 = sess.initRun("live-run")
+    sess.log(r1, Map("loss" -> 1.0))
+    sess.flush() // creates the metrics dir the file stream will watch
+
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.start()
+    val query = srv.attachLive(
+      spark.readStream
+        .schema(Encoders.product[graft.api.WaddleSchema.MetricRow].schema)
+        .parquet(s"$root/metrics"),
+      ckpt)
+    try {
+      val port = srv.boundPort
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/api/events")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream))
+      assert(reader.readLine() == ": connected")
+
+      // append through the write façade; the stream picks the files up and
+      // the foreachBatch hint must arrive on the open SSE connection
+      sess.log(r1, Map("loss" -> 0.5))
+      sess.flush()
+      query.processAllAvailable()
+      val dataLine = Iterator.continually(reader.readLine())
+        .dropWhile(l => l != null && !l.startsWith("data:")).next()
+      assert(dataLine != null && dataLine.contains(""""type":"metrics""""),
+        s"expected a metrics hint, got: $dataLine")
+      assert(dataLine.contains(""""rows":"""))
+    } finally {
+      query.stop()
+      srv.stop()
+    }
+  }
 }
