@@ -2,9 +2,11 @@ package graft
 object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create()
-    val df = graft.operators.Dedup.dedupSimhashPairs(spark, "/root/testdata/sf0.1")
-    df.count()
-    println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode).take(6000))
+    for (_ <- 1 to 4) {
+      val t0 = System.nanoTime()
+      graft.operators.TextAnalysis.textTfidf(spark, "/root/testdata/sf0.1").count()
+      println(f"tfidf lap ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     spark.stop()
   }
 }

@@ -71,7 +71,8 @@ object Cli {
       val spark = graft.GraftSession.create()
       val srv = new DashboardServer(spark, root, port)
       srv.start()
-      println(s"graft dashboard api listening on 127.0.0.1:${srv.boundPort} over $root")
+      srv.attachLiveFromStore()
+      println(s"graft dashboard listening on 127.0.0.1:${srv.boundPort} over $root")
       Thread.currentThread().join()
 
     case other =>

@@ -92,6 +92,22 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
       if (n > 0) publish(s"""{"type":"metrics","batch":$id,"rows":$n}""")
     }.start()
 
+  /** Default live wiring for `serve`: watch the store's own metrics table
+    * (file-source stream over the append log — new parquet files ARE the
+    * events) and push hints to `/api/events`. Checkpoint lives inside the
+    * store so a restarted server resumes instead of replaying.
+    */
+  def attachLiveFromStore(): org.apache.spark.sql.streaming.StreamingQuery = {
+    val metricsDir = new org.apache.hadoop.fs.Path(s"$root/metrics")
+    val fs = metricsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metricsDir)) fs.mkdirs(metricsDir) // file source needs the dir
+    attachLive(
+      spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[WaddleSchema.MetricRow].schema)
+        .parquet(s"$root/metrics"),
+      s"$root/.live-checkpoint")
+  }
+
   // ---- request plumbing ----------------------------------------------
 
   private def query(ex: HttpExchange): Map[String, String] =
@@ -242,7 +258,8 @@ object Serve {
     val spark = graft.GraftSession.create()
     val srv = new DashboardServer(spark, root, port)
     srv.start()
-    println(s"graft dashboard api listening on 127.0.0.1:${srv.boundPort} over $root")
+    srv.attachLiveFromStore()
+    println(s"graft dashboard listening on 127.0.0.1:${srv.boundPort} over $root")
     Thread.currentThread().join()
   }
 }

@@ -34,6 +34,10 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   Files.createDirectories(Paths.get(root))
 
   private val runBuf = mutable.ArrayBuffer.empty[RunRow]
+  // every run row this session created, flushed or not: finishRun must be
+  // able to emit an updated row even after an intermediate flush already
+  // wrote the "running" row (the store reads runs keep-latest per id)
+  private val runRows = mutable.Map.empty[String, RunRow]
   private val repoBuf = mutable.ArrayBuffer.empty[RepoRow]
   private val commitBuf = mutable.ArrayBuffer.empty[CommitRow]
   private val metricBuf = mutable.ArrayBuffer.empty[MetricRow]
@@ -69,8 +73,10 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
       "java" -> sys.props.getOrElse("java.version", ""),
       "os" -> sys.props.getOrElse("os.name", ""),
       "scala" -> util.Properties.versionNumberString).sortBy(_._1))
-    runBuf += RunRow(id, project, name, "running", nowSec(), None,
+    val row = RunRow(id, project, name, "running", nowSec(), None,
       repoId, repo.map(_.commitSha), Some(env), notes)
+    runBuf += row
+    runRows(id) = row
     config.foreach { case (k, v) =>
       kvBuf += KvRow(id, "param", k, v, nextSeq())
     }
@@ -107,12 +113,20 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   /** Finish the run and flush all buffers as batched appends
     * (reference `Run.finish`, _run.py:190-209; statuses: completed /
     * failed / aborted, _schema.py:29 + _run.py:83).
+    *
+    * Upsert on an append log: if the run row is still buffered it is
+    * rewritten in place; if an earlier flush already wrote the "running"
+    * row, an UPDATED row is appended and the store's keep-latest view
+    * resolves it (the previous in-buffer-only transform silently lost the
+    * final status in that case).
     */
   def finishRun(runId: String, status: String = "completed"): Unit = synchronized {
-    runBuf.transform {
-      case r if r.id == runId => r.copy(status = status, ended_at = Some(nowSec()))
-      case r => r
-    }
+    val updated = runRows.get(runId)
+      .map(_.copy(status = status, ended_at = Some(nowSec())))
+      .getOrElse(sys.error(s"unknown run: $runId"))
+    runRows(runId) = updated
+    val i = runBuf.indexWhere(_.id == runId)
+    if (i >= 0) runBuf(i) = updated else runBuf += updated
     flush()
   }
 
@@ -152,11 +166,16 @@ final class WaddleStore(spark: SparkSession, root: String) {
     * schema (the reference's DDL bootstrap creates empty tables up front —
     * /root/reference/waddle/_schema.py; on a file store absence IS empty).
     */
-  private def tbl(name: String): DataFrame =
-    if (new java.io.File(s"$root/$name").exists())
+  private def tbl(name: String): DataFrame = {
+    // Hadoop-FS existence probe, not java.io.File: the store root may be
+    // hdfs:// or s3a:// in the 100 TB deployment
+    val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.parquet(s"$root/$name")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
+  }
 
   /** Run deletion on an immutable store: an append-only TOMBSTONE row, not
     * an in-place rewrite (the reference DELETEs rows in four tables under a
@@ -175,6 +194,17 @@ final class WaddleStore(spark: SparkSession, root: String) {
     df.join(broadcast(tbl("deletes").select(col("run_id").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
+  /** Keep-latest run row per id over the append log: finishing a run whose
+    * "running" row was already flushed appends an updated row, and the
+    * finished row (non-null ended_at, latest wins) shadows it here.
+    */
+  private def latestRuns(): DataFrame = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("ended_at").desc_nulls_last, desc("started_at"))
+    tbl("runs").withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** Runs with read-time staleness inference: running runs whose last
     * metric is older than `staleAfterSec` before `nowSec` show as aborted
     * (reference N+1 loop /root/reference/waddle/_dashboard_api.py:60-68,
@@ -183,7 +213,7 @@ final class WaddleStore(spark: SparkSession, root: String) {
   def runs(nowSec: Double, staleAfterSec: Double = 300.0): DataFrame = {
     val lastTs = tbl("metrics").groupBy(col("run_id").as("id"))
       .agg(max("ts").as("last_ts"))
-    alive(tbl("runs"), "id")
+    alive(latestRuns(), "id")
       .join(broadcast(lastTs), Seq("id"), "left_outer")
       .withColumn("status",
         when(col("status") === "running" &&
@@ -318,6 +348,51 @@ final class WaddleStore(spark: SparkSession, root: String) {
       .pivot("run_id", runIds)
       .agg(first("value"))
       .orderBy("key")
+
+  /** Compaction: materialize the read views back into the store so a
+    * long-lived append log's read cost stays bounded. Applies tombstones
+    * (rows of deleted runs vanish physically, the deletes table empties),
+    * collapses run rows to keep-latest, kv to latest-per-(run,kind,key),
+    * and repos/commits to their first-write-wins rows. Every read view is
+    * IDENTICAL before and after — compaction changes physical layout only.
+    *
+    * Protocol: write every table to `.compact/<table>`, then swap each into
+    * place (delete old, rename staged). Rename is atomic per table on HDFS
+    * and local FS; a crash between table swaps leaves a mix of compacted
+    * and uncompacted TABLES, but each table is itself consistent and the
+    * views still read correctly (tombstones not yet deleted re-apply as
+    * no-ops). Exactly-once across tables needs a transactional format —
+    * same honest boundary as the streaming ledger (`sources/Layout.scala`).
+    * Scale: each table compacts in one shuffle (its keep-latest window) and
+    * streams to new files; nothing collects to the driver.
+    */
+  def compact(): Unit = {
+    val wKv = Window.partitionBy("run_id", "kind", "key").orderBy(desc("seq"))
+    val staged: Seq[(String, DataFrame)] = Seq(
+      "runs" -> alive(latestRuns(), "id"),
+      "metrics" -> alive(tbl("metrics"), "run_id"),
+      "kv" -> alive(tbl("kv"), "run_id")
+        .withColumn("rn", row_number().over(wKv))
+        .where(col("rn") === 1).drop("rn"),
+      "artifacts" -> alive(tbl("artifacts"), "run_id"),
+      "repos" -> repos(),
+      "commits" -> commits())
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    staged.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$root/.compact/$t")
+    }
+    staged.foreach { case (t, _) =>
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
+      if (fs.exists(cur)) fs.delete(cur, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/.compact/$t"), cur)
+      ()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact"), true)
+    // tombstones are now physically applied
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes"), true)
+    ()
+  }
 
   /** Cascading run delete as anti-join views: returns each table minus the
     * victims (/root/reference/waddle/_dashboard_api.py:237-249). On

@@ -170,12 +170,84 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * deep-component option: O(log n) ROUNDS on any graph, vs O(diameter)
+    * for [[propagateLabels]] (a 10⁶-hop boilerplate chain needs ~20
+    * star rounds, not 10⁶ label passes). Algorithm from the public
+    * MapReduce CC literature (Kiveris et al., SoCC'14 "Connected
+    * Components in MapReduce and Beyond"):
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node attaches its smaller neighbors AND itself
+    *     to its minimum neighbor.
+    * Each round halves tree heights (pointer doubling); the fixpoint edge
+    * set is exactly the star decomposition (node → component-min).
+    * Cost per round: two key-only aggregates + joins over 16 B edge rows;
+    * the same localCheckpoint lineage discipline as the label loop.
+    * Returns (doc_id, label = component minimum) — identical output to
+    * [[propagateLabels]] (property-tested), chosen via
+    * `spark.graft.cc = star` in [[dedupClusters]].
+    */
+  def starLabels(nodes: DataFrame, edges0: DataFrame, maxIters: Int = 30): DataFrame =
+    starLabelsWithIters(nodes, edges0, maxIters)._1
+
+  private[graft] def starLabelsWithIters(
+      nodes: DataFrame, edges0: DataFrame, maxIters: Int = 30): (DataFrame, Int) = {
+    // canonical directed form: u > v ("parent pointers point downward")
+    var edges = edges0
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var it = 0
+    var done = edges.isEmpty
+    while (!done && it < maxIters) {
+      // large-star over the undirected neighborhood of every node
+      val nbrs = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val minN = nbrs.groupBy("u")
+        .agg(least(min("v"), first(col("u"))).as("m"))
+      val large = nbrs.join(minN, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v keeps u > v
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // small-star over the directed (u > v) edges: v's AND u hook to min
+      val minS = large.groupBy("u").agg(min("v").as("m"))
+      val withM = large.join(minS, "u")
+      val small = withM.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // fixpoint: the edge set stopped changing (both sides materialized;
+      // sizes first — the except only runs when counts already agree)
+      done = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    // at the fixpoint every edge IS (node, component-min); isolated nodes
+    // label themselves
+    val labels = nodes.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("label")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
+    (labels, it)
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = minhashPairs(spark, dir)
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val nodes = Tables.documents(spark, dir).select("doc_id")
-    propagateLabels(nodes, edges)
+    // label propagation is the default (near-dup components are shallow);
+    // star contraction is the deep-component option — flip the flag when
+    // components can be long chains (sliding boilerplate, shingle overlap)
+    val labels =
+      if (spark.conf.get("spark.graft.cc", "propagate") == "star")
+        starLabels(nodes, edges)
+      else propagateLabels(nodes, edges)
+    labels
       .groupBy("label")
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > 1)

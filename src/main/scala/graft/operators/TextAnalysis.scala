@@ -181,15 +181,16 @@ object TextAnalysis {
     * tf·idf (term frequency within the language × inverse document
     * frequency across the corpus).
     *
-    * ZERO per-occurrence shuffles: each document pre-aggregates its own
-    * term counts map-side (native `ngram_hashes(text, 1, 'word_counts')`
-    * run-length encodes the sorted token array in one pass per row), so
-    * what reaches the exchange is one row per DISTINCT (doc, term) — the
-    * same rows the old `groupBy(lang, token, doc_id)` used to produce by
-    * shuffling every occurrence first. One aggregate then derives both
-    * tf = Σ counts and dfl = #docs per (lang, token). Because each doc has
-    * exactly one lang, the global document frequency is
-    * df(token) = Σ_lang dfl — vocabulary-sized arithmetic, broadcast back.
+    * ZERO per-occurrence shuffles, ONE corpus read: each document
+    * pre-aggregates its own term counts map-side (native
+    * `ngram_hashes(text, 1, 'word_counts')` run-length encodes the sorted
+    * token array in one pass per row), so what reaches the exchange is one
+    * row per DISTINCT (doc, term). One aggregate then derives both
+    * tf = Σ counts and dfl = #docs per (lang, token); the corpus document
+    * count rides the SAME shuffle as a per-doc marker row, so no second
+    * scan ever touches the documents table. Because each doc has exactly
+    * one lang, df(token) = Σ_lang dfl — vocabulary-sized arithmetic,
+    * broadcast back.
     * Scale: distinct-per-doc terms shuffle once (sub-corpus volume);
     * everything after is vocabulary-sized; top-3 via WindowGroupLimit.
     */
@@ -199,18 +200,36 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
 
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // one exploded row per DISTINCT term per doc, count pre-aggregated
+    // one exploded row per DISTINCT term per doc, count pre-aggregated.
+    // Each doc also emits ONE marker row (NUL token — no whitespace-split
+    // word can ever be empty-of-content), so the corpus document count rides the same
+    // shuffle: n_docs = Σ dfl(marker) — no separate count job re-scanning
+    // the corpus, and ReuseExchange serves all three consumers of the
+    // aggregate (tf rows, df rollup, n_docs) from one exchange.
+    val marker = "\u0000"
     val perDoc = docs.select(
         col("lang"),
-        explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
+        explode(concat(
+          array(struct(lit(marker).as("token"), lit(1L).as("c"))),
+          expr("ngram_hashes(text, 1, 'word_counts')"))).as("tc"))
       .select(col("lang"), col("tc.token").as("token"), col("tc.c").as("n"))
-    // the only shuffle over document-derived rows; vocabulary-scale after
+    // the only shuffle over document-derived rows; vocabulary-scale after.
+    // MATERIALIZED (localCheckpoint): three consumers read this frame (tf
+    // rows, df rollup, n_docs) and column pruning specializes each one's
+    // partial aggregate, so the exchange subtrees are not identical and
+    // ReuseExchange can NOT dedupe them — without the barrier the corpus
+    // explode+shuffle runs three times (measured, plan-verified). The
+    // checkpoint is vocabulary-sized, orders of magnitude under the corpus.
     val tfDfl = perDoc.groupBy("lang", "token")
       .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
-    val dfreq = tfDfl.groupBy("token").agg(sum("dfl").as("df"))
+      .localCheckpoint()
+    val dfreq = tfDfl.where(col("token") =!= marker)
+      .groupBy("token").agg(sum("dfl").as("df"))
+    val nDocs = tfDfl.where(col("token") === marker)
+      .agg(sum("dfl").as("n_docs"))
 
     val scored = tfDfl
+      .where(col("token") =!= marker)
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("raw_score",

@@ -56,6 +56,60 @@ class WaddleApiSpec extends SparkSpec {
     assert(art.getAs[Long]("size_bytes") == "model weights".getBytes.length.toLong)
   }
 
+  test("finish after an intermediate flush still records the final status") {
+    val root = Files.createTempDirectory("waddle-ff").toString
+    val sess = new WaddleSession(spark, root)
+    val run = sess.initRun("long-run")
+    sess.log(run, Map("loss" -> 1.0))
+    sess.flush() // "running" row is now on disk
+    sess.log(run, Map("loss" -> 0.5))
+    sess.finishRun(run, "completed")
+
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+    val row = store.runs(now).where(col("id") === run).collect()
+    assert(row.length == 1, "keep-latest must collapse the two run rows")
+    assert(row.head.getAs[String]("status") == "completed")
+    assert(!row.head.isNullAt(row.head.fieldIndex("ended_at")))
+  }
+
+  test("compaction preserves every read view and empties the tombstones") {
+    val root = Files.createTempDirectory("waddle-cmp").toString
+    val sess = new WaddleSession(spark, root, project = "cmp")
+    val keep = sess.initRun("keeper", Map("lr" -> "0.1"))
+    sess.log(keep, Map("loss" -> 1.0)); sess.log(keep, Map("loss" -> 0.4))
+    sess.logParam(keep, "lr", "0.2") // upsert: two kv rows for one key
+    sess.logArtifact(keep, "w.bin", "bytes!".getBytes)
+    sess.flush()
+    sess.finishRun(keep, "completed") // second run row for keep
+    val victim = sess.initRun("victim", Map("lr" -> "9"))
+    sess.log(victim, Map("loss" -> 5.0))
+    sess.finishRun(victim, "failed")
+
+    val store = new WaddleStore(spark, root)
+    store.deleteRun(victim)
+    val now = System.currentTimeMillis() / 1000.0
+    def snapshot() = (
+      store.runs(now).orderBy("id").collect().toSeq,
+      store.metrics(keep).collect().toSeq,
+      store.latestKv("param").orderBy("run_id", "key").collect().toSeq,
+      store.artifacts(keep).collect().toSeq)
+    val before = snapshot()
+
+    store.compact()
+
+    assert(snapshot() == before, "views must be identical after compaction")
+    // physical effects: tombstones applied + log collapsed
+    assert(!new java.io.File(s"$root/deletes").exists())
+    assert(spark.read.parquet(s"$root/runs").count() == 1) // victim gone, keep collapsed
+    assert(spark.read.parquet(s"$root/kv").where(col("key") === "lr").count() == 1)
+    assert(spark.read.parquet(s"$root/metrics")
+      .where(col("run_id") === victim).count() == 0)
+    // a second compaction is a no-op
+    store.compact()
+    assert(snapshot() == before)
+  }
+
   test("dashboard endpoints: list, search, summary, compare, delete views") {
     val root = Files.createTempDirectory("waddle").toString
     val sess = new WaddleSession(spark, root, project = "projA")
