@@ -91,6 +91,8 @@ object SparkEntry {
     "q_text_tfidf"      -> (TextAnalysis.textTfidf _),
     "q_text_chunks"     -> (TextAnalysis.textChunks _),
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "q_text_redact"     -> (TextAnalysis.textRedact _),
+    "q_decontaminate"   -> (TextAnalysis.decontaminate _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -448,6 +450,19 @@ object SparkEntry {
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // regex literals are the RE2-safe subset TextAnalysis.{EmailRe,Ipv4Re,
+    // LongNumRe} so Java regex (Spark) and RE2 (DuckDB) agree; DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\d{6,}')) AS n_longnums,
+        |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{6,}', '<NUM>', 'g')) AS clean_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -268,4 +268,71 @@ object TextAnalysis {
         xxhash64(fp).as("fp_digest"))
       .orderBy("doc_id")
   }
+
+  // PII patterns shared by the operator and its oracle SQL (RE2-safe
+  // subset so Java regex and DuckDB agree: character classes, bounded
+  // repetition, \b — no lookaround, no backrefs)
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongNumRe = "\\d{6,}"
+
+  /** PII scrub on any (doc_id, text) frame: emails, IPv4s, and 6+-digit
+    * runs become typed placeholders; emits per-kind match counts and the
+    * sha256 of the redacted text (small, deterministic, hash-comparable —
+    * the full redacted text would bloat verified output).
+    * Replacement order matters and is fixed: emails first (they contain
+    * digits and dots that the later patterns would mangle), then IPs, then
+    * bare digit runs.
+    */
+  def redact(df: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(LongNumRe), lit("<NUM>"))
+    df.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+      regexp_count(col("text"), lit(LongNumRe)).as("n_longnums"),
+      sha2(clean.cast("binary"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** F9 — PII redaction over the corpus: the scrub pass every
+    * training-data pipeline runs before anything is tokenized.
+    * Scale: map-only — three codegen'd regexes per row, no shuffle before
+    * the output sort; at 100 TB this pass writes the scrubbed corpus and
+    * the counts feed a compliance report.
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    redact(Tables.documents(spark, dir))
+
+  /** Benchmark decontamination: training documents that share at least one
+    * 13-word n-gram with the held-out eval slice (doc_id ≡ 0 mod 97 — the
+    * stand-in for a benchmark suite). The standard n-gram-overlap
+    * contamination check (as used for public LLM training corpora), sized
+    * so incidental phrase reuse doesn't flag but copied passages do.
+    * Emits the 20 most-contaminated docs with their shared-gram counts.
+    * Scale: the eval side is SMALL by definition (benchmarks, not corpora)
+    * — its distinct gram set broadcasts; the corpus side is a map-side
+    * explode + broadcast semi-join, so NO corpus-sized shuffle exists:
+    * only the (rare) contaminated (doc, gram) hits reach the count
+    * aggregate. Grams are 8-byte xxhash64 values (native `ngram_hashes`),
+    * never strings.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = array_distinct(expr("ngram_hashes(text, 13, 'word')"))
+    val docs = Tables.documents(spark, dir)
+    val evalGrams = docs.where(col("doc_id") % 97 === 0)
+      .select(explode(grams).as("g")).distinct()
+    docs.where(col("doc_id") % 97 =!= 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(desc("n_shared_grams"), asc("doc_id"))
+      .limit(20)
+  }
 }

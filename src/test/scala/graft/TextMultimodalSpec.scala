@@ -13,6 +13,52 @@ class TextMultimodalSpec extends SparkSpec {
     assert(df.where(col("n_ws_tokens") =!= col("n_bpe_tokens")).count() == 0)
   }
 
+  test("redact scrubs emails, IPs, and digit runs with correct counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact alice@example.com or bob.smith@corp.co.uk today"),
+      (2L, "server 10.0.42.7 responded, backup at 192.168.1.1"),
+      (3L, "order 1234567 ref 98765432 short 123"),
+      (4L, "plain text with no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(df).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+          r.getAs[Int]("n_longnums"))).toMap
+    assert(out(1L) == ((2, 0, 0)))
+    assert(out(2L) == ((0, 2, 0)))
+    assert(out(3L) == ((0, 0, 2))) // "123" is under the 6-digit floor
+    assert(out(4L) == ((0, 0, 0)))
+    // the sha is over the SCRUBBED text: doc 1's must equal the sha of the
+    // placeholder form, and the no-PII doc's must equal its raw sha
+    val shas = TextAnalysis.redact(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_sha")).toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(shas(1L) == sha("contact <EMAIL> or <EMAIL> today"))
+    assert(shas(4L) == sha("plain text with no pii at all"))
+  }
+
+  test("decontaminate flags only train docs that share a 13-gram with the eval slice") {
+    val out = TextAnalysis.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty, "tiny-vocabulary corpus must show overlap")
+    // never flags an eval doc, and every count is positive
+    assert(out.forall(r => r.getAs[Long]("doc_id") % 97 != 0))
+    assert(out.forall(r => r.getAs[Long]("n_shared_grams") > 0))
+    // independent recompute for the top hit: its distinct 13-gram set must
+    // intersect the union of eval-doc grams in exactly n_shared_grams hashes
+    val top = out.head
+    val grams = array_distinct(expr("ngram_hashes(text, 13, 'word')"))
+    val evalSet = Tables.documents(spark, sf)
+      .where(col("doc_id") % 97 === 0)
+      .select(explode(grams).as("g")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val docGrams = Tables.documents(spark, sf)
+      .where(col("doc_id") === top.getAs[Long]("doc_id"))
+      .select(explode(grams).as("g"))
+      .collect().map(_.getLong(0)).toSet
+    assert((docGrams & evalSet).size.toLong == top.getAs[Long]("n_shared_grams"))
+  }
+
   test("textQuality scores within [0,1] and ratios within (0,1]") {
     val df = TextAnalysis.textQuality(spark, sf)
     val bad = df.where(
