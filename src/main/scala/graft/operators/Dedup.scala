@@ -153,18 +153,23 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIters) {
       val fromA = e.join(labels, e("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("label"))
+        .select(col("doc_b").as("doc_id"), col("label").as("cand"))
       val fromB = e.join(labels, e("doc_b") === labels("doc_id"))
-        .select(col("doc_a").as("doc_id"), col("label"))
-      val next = labels.unionByName(fromA).unionByName(fromB)
-        .groupBy("doc_id").agg(min("label").as("label"))
+        .select(col("doc_a").as("doc_id"), col("label").as("cand"))
+      // fold the change detection INTO the iteration: keeping the previous
+      // label through the join lets `changed` ride the same frame, so the
+      // convergence probe is a filter scan over the checkpointed result —
+      // not the extra join-job per iteration the old next-vs-prev compare
+      // cost (labels only ever decrease, so cand < label ⇔ a real change)
+      val msgs = fromA.unionByName(fromB)
+        .groupBy("doc_id").agg(min("cand").as("cand"))
+      val next = labels.join(msgs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand") < col("label")).as("changed"))
         .localCheckpoint()
-      // labels only ever decrease, so "no row changed" is the fixpoint;
-      // both sides are materialized 16 B rows — the check is one cheap join
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .where(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("doc_id", "label")
       it += 1
     }
     labels
