@@ -93,6 +93,16 @@ class ClusterPropertySpec extends SparkSpec {
     assert(iters <= 12, s"expected O(log 256) ≈ 8 rounds, took $iters")
   }
 
+  test("spark.graft.cc=star yields identical clusters on the real LSH edge graph") {
+    val viaPropagate = Dedup.dedupClusters(spark, sf).collect().toSeq
+    spark.conf.set("spark.graft.cc", "star")
+    try {
+      val viaStar = Dedup.dedupClusters(spark, sf).collect().toSeq
+      assert(viaStar == viaPropagate,
+        "both component engines must produce the same cluster reps and sizes")
+    } finally spark.conf.unset("spark.graft.cc")
+  }
+
   test("a chain deeper than any fixed small iteration count resolves to one cluster") {
     import spark.implicits._
     // a 14-hop path: the old hard-coded 5-iteration bound split this into

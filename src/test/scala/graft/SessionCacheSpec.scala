@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.SessionCache
+
+/** SessionCache contract: hit on unchanged data, rebuild when the input
+  * directory's file listing changes (the ADVICE-flagged staleness hole),
+  * eager drop via invalidate.
+  */
+class SessionCacheSpec extends SparkSpec {
+
+  test("cache hits on unchanged data, rebuilds on append, drops on invalidate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sc-spec").toString
+    Seq(1, 2, 3).toDF("x").write.mode("overwrite").parquet(s"$dir/t")
+
+    var builds = 0
+    def artifact() = SessionCache.cached(spark, "sc_spec_artifact", dir) {
+      builds += 1
+      spark.read.parquet(s"$dir/t")
+    }
+
+    assert(artifact().count() == 3)
+    assert(artifact().count() == 3)
+    assert(builds == 1, "second probe of unchanged data must hit")
+
+    // appending writes NEW files — the listing fingerprint changes even
+    // within mtime resolution, so the stale artifact must not be served
+    Seq(4, 5).toDF("x").write.mode("append").parquet(s"$dir/t")
+    assert(artifact().count() == 5, "append must be visible after rebuild")
+    assert(builds == 2, "changed data must rebuild")
+
+    SessionCache.invalidate(dir)
+    assert(artifact().count() == 5)
+    assert(builds == 3, "invalidate must force the next probe to rebuild")
+  }
+}
