@@ -11,8 +11,13 @@ import scala.util.Try
   * asserted by tests/test_waddle.py:63-75).
   *
   * The reference also auto-commits dirty trees to a snapshot ref
-  * (_git.py:81-89); that mutates the user's repo, so here it is exposed as
-  * the explicit `dirty` flag instead, for the caller to decide.
+  * (_git.py:81-89); that MUTATES the user's repo (objects + a ref appear
+  * without the user asking). Here the same reproducibility comes without
+  * the side effect: the `dirty` flag is explicit, and [[dirtyPatch]]
+  * captures the uncommitted delta as TEXT — [[WaddleSession.initRun]]
+  * stores it as a content-addressed run artifact (`__dirty.patch`), so a
+  * run on a dirty tree can be reproduced with `git apply` while the
+  * user's repo is never written to.
   */
 object GitInfo {
 
@@ -39,5 +44,15 @@ object GitInfo {
       commitAuthor = git(cwd, "log", "-1", "--format=%an <%ae>").getOrElse(""),
       commitMessage = git(cwd, "log", "-1", "--format=%s").getOrElse(""),
       dirty = git(cwd, "status", "--porcelain").isDefined)
+  }
+
+  /** The uncommitted delta vs HEAD (tracked files), as unified-diff text —
+    * None for a clean tree. Read-only: the repo gains no objects, refs, or
+    * index changes.
+    */
+  def dirtyPatch(dir: String = "."): Option[String] = {
+    val cwd = new java.io.File(dir)
+    Try(Process(Seq("git", "diff", "HEAD"), cwd).!!(ProcessLogger(_ => ())))
+      .toOption.filter(_.trim.nonEmpty)
   }
 }

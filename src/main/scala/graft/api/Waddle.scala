@@ -80,6 +80,15 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     config.foreach { case (k, v) =>
       kvBuf += KvRow(id, "param", k, v, nextSeq())
     }
+    // dirty-tree capture WITHOUT the reference's repo mutation
+    // (_git.py:81-89 auto-commits a snapshot ref): the uncommitted delta is
+    // stored as a content-addressed artifact on the run — reproducible via
+    // `git apply`, and the user's repo gains no objects or refs
+    repo.filter(_.dirty).foreach { r =>
+      GitInfo.dirtyPatch(r.root).foreach { patch =>
+        logArtifact(id, "__dirty.patch", patch.getBytes("UTF-8"), kind = "git_patch")
+      }
+    }
     id
   }
 
@@ -102,11 +111,12 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
   }
 
   /** Content-addressed artifact capture (reference _run.py:160-188). */
-  def logArtifact(runId: String, name: String, bytes: Array[Byte]): Unit = synchronized {
+  def logArtifact(runId: String, name: String, bytes: Array[Byte],
+      kind: String = "file"): Unit = synchronized {
     val sha = MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
     artifactBuf += ArtifactRow(
-      UUID.randomUUID().toString.replace("-", ""), runId, name, "file",
+      UUID.randomUUID().toString.replace("-", ""), runId, name, kind,
       nowSec(), sha, bytes.length.toLong, bytes)
   }
 

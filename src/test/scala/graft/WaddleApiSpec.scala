@@ -213,6 +213,29 @@ class WaddleApiSpec extends SparkSpec {
     val run2 = sess.initRun("again", repo = info)
     sess.finishRun(run2)
     assert(store.repos().count() == 1 && store.commits().count() == 1)
+
+    // a clean tree stores no patch artifact
+    assert(store.artifacts(run).where(col("kind") === "git_patch").count() == 0)
+
+    // dirty the tree: the uncommitted delta is captured as a run artifact
+    // (git apply-able), and the repo itself gains no commits or refs
+    Files.write(repoDir.toPath.resolve("f.txt"), "changed".getBytes)
+    val dirtyInfo = graft.api.GitInfo.detect(repoDir.toString)
+    assert(dirtyInfo.get.dirty)
+    val run3 = sess.initRun("dirty-run", repo = dirtyInfo)
+    sess.finishRun(run3)
+    val patchRow = store.artifacts(run3).where(col("kind") === "git_patch").head()
+    assert(patchRow.getAs[String]("name") == "__dirty.patch")
+    val patchBytes = spark.read.parquet(s"$root/artifacts")
+      .where(col("run_id") === run3 && col("kind") === "git_patch")
+      .head().getAs[Array[Byte]]("inline_bytes")
+    val patch = new String(patchBytes, "UTF-8")
+    assert(patch.contains("diff --git") && patch.contains("+changed"))
+    // read-only capture: HEAD unmoved, no extra refs
+    assert(graft.api.GitInfo.detect(repoDir.toString).get.commitSha
+      == info.get.commitSha)
+    assert(Process(Seq("git", "rev-list", "--count", "--all"), repoDir)
+      .!!.trim == "1")
   }
 
   test("no-git mode: runs proceed with null provenance") {
