@@ -83,4 +83,19 @@ object Ingest {
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 16)
       .json(path)
+
+  /** ORC interchange: the other columnar format Spark reads natively —
+    * what a Hive-era warehouse hands over. Binary formats carry their own
+    * schema and types, so there is no corrupt-record channel; the declared
+    * schema still applies (projection by name, type check at plan time)
+    * and [[cleanEvents]]'s non-null contract is enforced by the same
+    * filter (minus the `_corrupt` probe, which is text-format-only).
+    */
+  def eventsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).orc(path)
+      .where(requiredEventCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Write events out as ORC (the interchange sink twin). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -35,6 +35,19 @@ class IngestSpec extends SparkSpec {
     assert(back.count() == ev.count())
   }
 
+  test("ORC round-trip preserves rows, values, and timestamp type") {
+    val out = tmpDir("graft_orc")
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    Ingest.writeOrc(ev, out)
+    val back = Ingest.eventsFromOrc(spark, out)
+    assert(back.count() == ev.count())
+    val sumBack = back.agg(sum("value")).head().getDouble(0)
+    val sumOrig = ev.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(sumBack - sumOrig) <= 1e-6)
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("corrupt JSONL rows quarantine instead of failing the read") {
     val out = tmpDir("graft_bad")
     Files.writeString(java.nio.file.Path.of(out, "part-0.json"),
