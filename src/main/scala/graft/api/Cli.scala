@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.api.Cli init [path]
   *        runMain graft.api.Cli ls [storeRoot] [limit]
   *        runMain graft.api.Cli serve [storeRoot] [port]
+  *        runMain graft.api.Cli compact [storeRoot]
   */
 object Cli {
 
@@ -75,8 +76,17 @@ object Cli {
       println(s"graft dashboard listening on 127.0.0.1:${srv.boundPort} over $root")
       Thread.currentThread().join()
 
+    case "compact" :: rest =>
+      val root = discoverStore(rest.headOption).getOrElse(
+        sys.error(s"no $StoreRel found here or in 10 ancestors; run `Cli init` first"))
+      val spark = graft.GraftSession.create()
+      try {
+        new WaddleStore(spark, root).compact()
+        println(s"compacted $root")
+      } finally spark.stop()
+
     case other =>
-      sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port]); got: $other")
+      sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port] | compact [storeRoot]); got: $other")
   }
 
   /** `[storeRoot] [n]` / `[n]` / `` with discovery fallback. A single
