@@ -35,6 +35,16 @@ class IngestSpec extends SparkSpec {
     assert(back.count() == ev.count())
   }
 
+  test("gzip'd JSONL ingests transparently (landing zones compress)") {
+    val out = tmpDir("graft_jsonl_gz")
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").option("compression", "gzip").json(out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".gz")))
+    val back = Ingest.eventsFromJsonl(spark, out).drop("_corrupt")
+    assert(back.count() == ev.count())
+  }
+
   test("ORC round-trip preserves rows, values, and timestamp type") {
     val out = tmpDir("graft_orc")
     val ev = Tables.events(spark, sf)

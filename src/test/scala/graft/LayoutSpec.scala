@@ -87,6 +87,27 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS events_layout_idem")
   }
 
+  test("a crash-orphaned empty ledger dir does not poison the retry path") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // simulate a crash between mkdir and the parquet footer write: the
+    // ledger DIRECTORY exists but holds no complete part file — the probe
+    // must treat it as "no ledger yet" instead of failing the parquet read
+    val ledger = java.nio.file.Files.createTempDirectory("graft_ledger2").toString + "/l"
+    // a real interrupted committer leaves _temporary/ as a directory tree
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(ledger, "_temporary", "0"))
+    val batch = Seq(
+      (9200001L, new Timestamp(1706745600000L), 3L, "view", 2.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    try {
+      assert(Layout.appendBatchIdempotent(batch, 0L, "events_layout_orphan", ledger, buckets = 2))
+      assert(spark.table("events_layout_orphan").count() == 1)
+      // and the ledger works from then on
+      assert(!Layout.appendBatchIdempotent(batch, 0L, "events_layout_orphan", ledger, buckets = 2))
+    } finally spark.sql("DROP TABLE IF EXISTS events_layout_orphan")
+  }
+
   test("day slice prunes to one date partition at plan time") {
     withLayout {
       val day = Tables.events(spark, sf)
