@@ -322,17 +322,26 @@ object TextAnalysis {
     * aggregate. Grams are 8-byte xxhash64 values (native `ngram_hashes`),
     * never strings.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = array_distinct(expr("ngram_hashes(text, 13, 'word')"))
-    val docs = Tables.documents(spark, dir)
-    val evalGrams = docs.where(col("doc_id") % 97 === 0)
-      .select(explode(grams).as("g")).distinct()
-    docs.where(col("doc_id") % 97 =!= 0)
-      .repartition(spark.sparkContext.defaultParallelism)
+  /** General form: flag `train` docs sharing an n-word gram with any
+    * `eval` doc. Both frames need (doc_id, text).
+    */
+  def decontaminateAgainst(
+      train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
+    val grams = array_distinct(expr(s"ngram_hashes(text, $n, 'word')"))
+    val evalGrams = eval.select(explode(grams).as("g")).distinct()
+    train
+      .repartition(train.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(grams).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(desc("n_shared_grams"), asc("doc_id"))
       .limit(20)
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateAgainst(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0))
   }
 }
