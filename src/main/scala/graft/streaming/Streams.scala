@@ -174,6 +174,38 @@ object Streams {
       .select("click_id", "user_id", "click_ts", "signup_id", "signup_ts")
   }
 
+  /** Streaming ANN index ingestion — the incremental build path of the IVF
+    * index ([[graft.operators.Similarity.simAnnIvf]]): each arriving
+    * embedding is assigned its coarse cell MAP-SIDE against the broadcast
+    * one-row codebook (same argmax expression as the batch form —
+    * 16 cosines + struct-max per row, no fan, no state, no watermark), so
+    * the transform composes with any trigger.
+    * Scale: assignment cost is O(batch × pivots) with zero shuffle; the
+    * companion sink appends `partition by cluster`, growing the inverted
+    * file in place — queries keep pruning to their probed cells while new
+    * vectors stream in. Codebook updates (re-clustering) are a batch
+    * concern: write a new codebook version, restart the stream on it.
+    */
+  def annIngest(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    vectors
+      .crossJoin(org.apache.spark.sql.functions.broadcast(codebook))
+      .withColumn("cluster", expr(
+        "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
+      .drop("pvs")
+
+  /** Parquet sink for [[annIngest]]: cluster-partitioned append — the
+    * partition layout IS the inverted file (SCALING.md "Data layout").
+    */
+  def annIngestSink(
+      vectors: DataFrame, codebook: DataFrame,
+      path: String, checkpointDir: String) =
+    annIngest(vectors, codebook).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cluster")
+      .outputMode("append")
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -126,6 +126,40 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SSE fan-out reaches every client and survives disconnects") {
+    val root = Files.createTempDirectory("waddle-sse2").toString
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def connect() = {
+        val conn = java.net.URI.create(s"http://127.0.0.1:$port/api/events")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(15000)
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream))
+        assert(r.readLine() == ": connected")
+        (conn, r)
+      }
+      val (c1, r1) = connect()
+      val (c2, r2) = connect()
+      srv.publish("""{"n":1}""")
+      def nextData(r: java.io.BufferedReader) =
+        Iterator.continually(r.readLine())
+          .dropWhile(l => l != null && !l.startsWith("data:")).next()
+      assert(nextData(r1) == """data: {"n":1}""")
+      assert(nextData(r2) == """data: {"n":1}""")
+      // drop client 1; the next publish must still reach client 2 and the
+      // dead stream must not wedge the loop
+      c1.disconnect()
+      srv.publish("""{"n":2}""")
+      srv.publish("""{"n":3}""") // second publish reaps the dead entry
+      assert(nextData(r2) == """data: {"n":2}""")
+      assert(nextData(r2) == """data: {"n":3}""")
+      c2.disconnect()
+    } finally srv.stop()
+  }
+
   test("live SSE endpoint pushes an event when metrics stream in") {
     import org.apache.spark.sql.Encoders
     val root = Files.createTempDirectory("waddle-sse").toString

@@ -154,6 +154,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest assigns the same cells as the batch argmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // codebook: 3 axis-aligned pivots (one row, sorted struct array) — the
+    // same shape Similarity.simAnnIvf broadcasts
+    val pivots = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)), (2L, Seq(0.0, 0.0, 1.0)))
+      .toDF("pivot_id", "pv")
+    val codebook = pivots.groupBy()
+      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("ann_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+    val q = Streams.annIngestSink(
+      mem.toDF().toDF("vec_id", "v"), codebook, out, ckpt).start()
+    try {
+      mem.addData(
+        (10L, Seq(0.9, 0.1, 0.0)),  // → cell 0
+        (11L, Seq(0.1, 0.8, 0.2)),  // → cell 1
+        (12L, Seq(0.0, 0.2, 0.9))) // → cell 2
+      q.processAllAvailable()
+      mem.addData((13L, Seq(0.7, 0.6, 0.0))) // later batch, → cell 0
+      q.processAllAvailable()
+
+      val index = spark.read.parquet(out)
+      val cells = index.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+      assert(cells == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 0L))
+      // the partition layout IS the inverted file
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+      assert(parts.sameElements(Array("cluster=0", "cluster=1", "cluster=2")))
+    } finally q.stop()
+  }
+
   test("enrichedStream labels events from the static runs dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
