@@ -162,6 +162,8 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
+      // NumberFormatException IS-A IllegalArgumentException: malformed
+      // numeric params (limit/offset) are client errors, not 500s
       case e: IllegalArgumentException =>
         respond(ex, 400, Json.jsonObject(Seq("error" -> e.getMessage)))
       case e: Throwable =>

@@ -52,6 +52,8 @@ class ServerSpec extends SparkSpec {
       assert(get(port, "/api/runs?status=failed").body().contains("beta"))
       assert(!get(port, "/api/runs?status=failed").body().contains("alpha"))
       assert(get(port, "/api/runs?sort=nope;DROP").statusCode() == 400)
+      assert(get(port, "/api/runs?limit=abc").statusCode() == 400,
+        "malformed numeric param is a client error, not a 500")
 
       // run detail envelope
       val detail = get(port, s"/api/runs/$r1").body()
