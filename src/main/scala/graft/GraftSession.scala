@@ -20,6 +20,7 @@ object GraftSession {
         graft.plans.HyperplaneBits.inject(ext)
         graft.plans.MinHashUnion.inject(ext)
         graft.plans.WeightedDotSorted.inject(ext)
+        graft.plans.SimHash64.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

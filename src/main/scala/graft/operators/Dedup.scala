@@ -269,10 +269,11 @@ object Dedup {
     * 4 × 16-bit segments (pigeonhole: k≤3 ⇒ one segment equal) — the same
     * band-join shape as MinHash, never all-pairs.
     */
-  /** The SimHash-64 fingerprint as a Column (shared by [[dedupSimhash]]
-    * and [[dedupSimhashPairs]]).
+  /** The SimHash-64 fingerprint as a HOF Column — the REFERENCE
+    * formulation the native `simhash64` expression is spec-pinned against
+    * (DedupSimilaritySpec); the shipped path uses the native expression.
     */
-  private def simhash64(): Column = {
+  private[graft] def simhash64Hof(): Column = {
     // literal per-bit masks: the Column API has no shift-by-Column, and a
     // lookup table keeps the whole fold branch-free 64-bit math
     val masks = typedlit(Seq.tabulate(64)(b => 1L << b))
@@ -310,7 +311,7 @@ object Dedup {
     SessionCache.cached(spark, "simhash_fps", dir) {
       Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), simhash64().as("fp"))
+        .select(col("doc_id"), expr("simhash64(text)").as("fp"))
     }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -70,6 +70,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("native simhash64 is bit-for-bit equal to the HOF reference fold") {
+    import graft.sources.Tables
+    val mismatch = Tables.documents(spark, sf)
+      .select(
+        expr("simhash64(text)").as("native"),
+        Dedup.simhash64Hof().as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(mismatch.count() == 0)
+  }
+
   test("propagateLabels finds exact components on a known graph") {
     import spark.implicits._
     // two components: a 4-node path 1-2-3-4 (diameter 3) and the pair 10-11;
