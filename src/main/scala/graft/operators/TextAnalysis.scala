@@ -257,10 +257,13 @@ object TextAnalysis {
     * near-dup index stores instead of text.
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val kgrams = transform(
-      sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-      i => xxhash64(col("text").substr(i, lit(5))))
-    val fp = slice(array_sort(array_distinct(kgrams)), 1, 32)
+    // char-5-gram hashes via the native expression (sorted + distinct by
+    // construction) — bit-identical to the HOF
+    // `transform(sequence(...), i -> xxhash64(substr(text, i, 5)))` +
+    // array_sort(array_distinct(...)) it replaces (both are XXH64 seed 42
+    // over the same UTF-8 bytes; verified on the corpus), without the
+    // per-element interpreted lambda boxing
+    val fp = slice(expr("ngram_hashes(text, 5, 'char_distinct')"), 1, 32)
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
