@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_ngram"     -> (Dedup.dedupNgram _),
     "q_dedup_embed"     -> (Dedup.dedupEmbed _),
     "q_dedup_source_overlap" -> (Dedup.sourceOverlap _),
+    "q_dedup_keep"      -> (Dedup.dedupKeep _),
     // extensions: text analysis (§2.8 F9)
     "q_text_stats"      -> (TextAnalysis.textStats _),
     "q_text_tokens"     -> (TextAnalysis.textTokens _),

@@ -260,6 +260,33 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** The DEDUPLICATED CORPUS view — what a dedup pipeline actually ships:
+    * one kept representative per near-dup cluster (the component's min
+    * doc_id; singletons keep themselves), everything else dropped.
+    * Emitted as the per-language keep/drop accounting (5 rows) — the
+    * acceptance report a curation run logs; the kept-id frame is the
+    * intermediate and would be the written output at scale.
+    * Scale: reuses the SessionCache edge set and the label frame
+    * (16 B rows); the accounting join is label-keyed, key-only. The kept
+    * corpus itself is a semi-join of documents against kept ids — no
+    * payload ever enters the label machinery.
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashPairs(spark, dir)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, dir)
+    val labels = propagateLabels(docs.select("doc_id"), edges)
+    docs.select("doc_id", "lang")
+      .join(labels, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .orderBy("lang")
+  }
+
   /** SimHash-64 document fingerprint: tokens vote per bit with ±1 weighted
     * by their xxhash64 bits; the sign of each bit-sum is the fingerprint
     * bit. Near-dups differ in few bits (small Hamming distance).

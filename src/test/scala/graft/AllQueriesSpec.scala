@@ -24,7 +24,8 @@ class AllQueriesSpec extends SparkSpec {
       "q_dedup_source_overlap", "q_sim_ann_lsh", "q_sim_ann_ivf",
       "q_text_langid", "q_text_fingerprint", "q_approx_distinct",
       "q_quantiles_approx", "q_sample_balanced", "q_multimodal_decode",
-      "q_multimodal_frames", "q_multimodal_resize", "q_decontaminate")
+      "q_multimodal_frames", "q_multimodal_resize", "q_decontaminate",
+      "q_dedup_keep")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

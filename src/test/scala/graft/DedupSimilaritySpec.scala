@@ -94,6 +94,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(20L) == 20L)
   }
 
+  test("dedupKeep accounting is consistent with the cluster structure") {
+    val rows = Dedup.dedupKeep(spark, sf).collect()
+    val totalDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+        == r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+    // drops across languages = (cluster size - 1) summed over multi-member
+    // clusters — the cluster view and the keep view must agree
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val fromClusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_members") - 1).sum
+    assert(dropped == fromClusters)
+  }
+
   test("dedupClusters emits only multi-member clusters with valid reps") {
     val clusters = Dedup.dedupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("cluster_rep") -> r.getAs[Long]("n_members"))
