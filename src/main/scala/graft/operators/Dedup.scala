@@ -240,19 +240,30 @@ object Dedup {
     (labels, it)
   }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = minhashPairs(spark, dir)
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val nodes = Tables.documents(spark, dir).select("doc_id")
-    // label propagation is the default (near-dup components are shallow);
-    // star contraction is the deep-component option — flip the flag when
-    // components can be long chains (sliding boilerplate, shingle overlap)
-    val labels =
-      if (spark.conf.get("spark.graft.cc", "propagate") == "star")
-        starLabels(nodes, edges)
+  /** The component-label frame (doc_id → component min) as a SessionCache
+    * artifact — 16 B/row, consumed by both [[dedupClusters]] and
+    * [[dedupKeep]], so the iterative label computation runs once per
+    * (session, corpus, algorithm). Label propagation is the default
+    * (near-dup components are shallow); star contraction is the
+    * deep-component option — flip `spark.graft.cc=star` when components
+    * can be long chains (sliding boilerplate, shingle overlap). The
+    * algorithm is part of the artifact key, so flipping the flag never
+    * serves the other engine's frame.
+    */
+  private def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
+    val algo = spark.conf.get("spark.graft.cc", "propagate")
+    SessionCache.cached(spark, s"neardup_labels_$algo", dir) {
+      val edges = minhashPairs(spark, dir)
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val nodes = Tables.documents(spark, dir).select("doc_id")
+      if (algo == "star") starLabels(nodes, edges)
       else propagateLabels(nodes, edges)
-    labels
+    }
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    nearDupLabels(spark, dir)
       .groupBy("label")
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > 1)
@@ -272,13 +283,9 @@ object Dedup {
     * payload ever enters the label machinery.
     */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val edges = minhashPairs(spark, dir)
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
     val docs = Tables.documents(spark, dir)
-    val labels = propagateLabels(docs.select("doc_id"), edges)
     docs.select("doc_id", "lang")
-      .join(labels, Seq("doc_id"))
+      .join(nearDupLabels(spark, dir), Seq("doc_id"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_total"),
