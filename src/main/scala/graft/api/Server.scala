@@ -68,6 +68,11 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
   /** Push one SSE message to every connected `/api/events` client; dead
     * connections are dropped. Driver-side work is O(clients) tiny writes —
     * the payload is a batch SUMMARY, never the rows.
+    * Honest limit: writes are synchronous, so a live-but-stalled client
+    * (full TCP window) can delay delivery to later clients until its
+    * buffer drains or the connection dies — acceptable for refresh HINTS
+    * on a dashboard's client count; a public deployment would put a
+    * bounded per-client queue + writer thread in front.
     */
   def publish(json: String): Unit = {
     val it = sseClients.iterator()

@@ -393,12 +393,19 @@ final class WaddleStore(spark: SparkSession, root: String) {
       df.write.mode("overwrite").parquet(s"$root/.compact/$t")
     }
     staged.foreach { case (t, _) =>
+      // rename-rename, not delete-rename: the old table survives in
+      // .compact-old until its replacement is in place, so a crash between
+      // the two renames loses nothing and the reader-visible gap is one
+      // metadata op wide instead of a full recursive delete
       val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
-      if (fs.exists(cur)) fs.delete(cur, true)
+      val bak = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$t")
+      fs.mkdirs(bak.getParent)
+      if (fs.exists(cur)) fs.rename(cur, bak)
       fs.rename(new org.apache.hadoop.fs.Path(s"$root/.compact/$t"), cur)
       ()
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact-old"), true)
     // tombstones are now physically applied
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes"), true)
     ()
