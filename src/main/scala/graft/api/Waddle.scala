@@ -178,11 +178,14 @@ final class WaddleStore(spark: SparkSession, root: String) {
     */
   private def tbl(name: String): DataFrame = {
     // Hadoop-FS existence probe, not java.io.File: the store root may be
-    // hdfs:// or s3a:// in the 100 TB deployment
+    // hdfs:// or s3a:// in the 100 TB deployment. The declared schema is
+    // passed unconditionally — an existing-but-empty directory (e.g. the
+    // metrics dir the live-stream watcher pre-creates) must read as an
+    // empty table, not die in schema inference.
     val p = new org.apache.hadoop.fs.Path(s"$root/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      spark.read.parquet(s"$root/$name")
+      spark.read.schema(schemas(name)).parquet(s"$root/$name")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
   }
@@ -377,6 +380,21 @@ final class WaddleStore(spark: SparkSession, root: String) {
     * streams to new files; nothing collects to the driver.
     */
   def compact(): Unit = {
+    val fs0 = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover from a previously interrupted swap BEFORE reading any view:
+    // a table sitting only in .compact-old (crash between the two renames)
+    // is restored, so it can never be read as "empty" and re-compacted away
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$root/.compact-old")
+    if (fs0.exists(oldRoot)) {
+      fs0.listStatus(oldRoot).foreach { st =>
+        val cur = new org.apache.hadoop.fs.Path(s"$root/${st.getPath.getName}")
+        if (!fs0.exists(cur))
+          require(fs0.rename(st.getPath, cur), s"recovery rename failed: $cur")
+      }
+      fs0.delete(oldRoot, true)
+      ()
+    }
     val wKv = Window.partitionBy("run_id", "kind", "key").orderBy(desc("seq"))
     val staged: Seq[(String, DataFrame)] = Seq(
       "runs" -> alive(latestRuns(), "id"),
@@ -394,19 +412,25 @@ final class WaddleStore(spark: SparkSession, root: String) {
     }
     staged.foreach { case (t, _) =>
       // rename-rename, not delete-rename: the old table survives in
-      // .compact-old until its replacement is in place, so a crash between
-      // the two renames loses nothing and the reader-visible gap is one
-      // metadata op wide instead of a full recursive delete
+      // .compact-old until its replacement is in place (the recovery block
+      // above restores it after a crash between the renames), and the
+      // reader-visible gap is one metadata op wide instead of a recursive
+      // delete. Rename results are CHECKED: a false return (e.g. a
+      // concurrent writer recreated the table between the renames) aborts
+      // the swap before anything is deleted — in particular the deletes
+      // table, whose tombstones must outlive any not-yet-applied swap.
       val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
       val bak = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$t")
       fs.mkdirs(bak.getParent)
-      if (fs.exists(cur)) fs.rename(cur, bak)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$root/.compact/$t"), cur)
-      ()
+      if (fs.exists(cur))
+        require(fs.rename(cur, bak), s"compaction swap-out failed: $cur")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/.compact/$t"), cur),
+        s"compaction swap-in failed: $cur")
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact-old"), true)
-    // tombstones are now physically applied
+    // tombstones are now physically applied (only reached when every table
+    // swapped successfully)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes"), true)
     ()
   }

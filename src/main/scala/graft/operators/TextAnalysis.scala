@@ -201,12 +201,13 @@ object TextAnalysis {
       .repartition(spark.sparkContext.defaultParallelism)
 
     // one exploded row per DISTINCT term per doc, count pre-aggregated.
-    // Each doc also emits ONE marker row (NUL token — no whitespace-split
-    // word can ever be empty-of-content), so the corpus document count rides the same
-    // shuffle: n_docs = Σ dfl(marker) — no separate count job re-scanning
-    // the corpus, and ReuseExchange serves all three consumers of the
-    // aggregate (tf rows, df rollup, n_docs) from one exchange.
-    val marker = "\u0000"
+    // Each doc also emits ONE marker row, so the corpus document count
+    // rides the same shuffle: n_docs = Σ dfl(marker) — no separate count
+    // job re-scanning the corpus. The marker is a single space: tokens
+    // come from splitting ON spaces, so no real token can ever contain
+    // one — collision-proof even for texts carrying NUL or other control
+    // bytes (which ARE legal split tokens in a crawled corpus).
+    val marker = " "
     val perDoc = docs.select(
         col("lang"),
         explode(concat(

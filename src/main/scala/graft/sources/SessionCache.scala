@@ -55,14 +55,22 @@ object SessionCache {
         }
       })
     }
-    cache.computeIfAbsent(
-      (sessionKey, s"$artifact|$dir|${dirFingerprint(spark, dir)}"),
-      _ => build.localCheckpoint(eager = true))
+    val prefix = s"$artifact|$dir|"
+    val key = (sessionKey, s"$prefix${dirFingerprint(spark, dir)}")
+    // drop superseded-fingerprint entries for the same artifact BEFORE
+    // inserting: a stale entry would otherwise pin its checkpoint blocks
+    // for the application's lifetime. Dropping the map reference is the
+    // release mechanism — Spark's ContextCleaner unpersists RDD blocks
+    // whose references are garbage-collected.
+    cache.keySet.removeIf(k =>
+      k._1 == sessionKey && k._2.startsWith(prefix) && k != key)
+    cache.computeIfAbsent(key, _ => build.localCheckpoint(eager = true))
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write
-    * paths call this after mutating a directory to reclaim executor blocks
-    * immediately rather than waiting for the fingerprint to age them out.
+    * paths call this after mutating a directory; the dropped references
+    * let ContextCleaner reclaim the checkpoint blocks on the next GC
+    * rather than waiting for the fingerprint to age them out.
     */
   def invalidate(dir: String): Unit = {
     cache.keySet.removeIf(k => k._2.contains(s"|$dir|"))
@@ -83,7 +91,9 @@ object SessionCache {
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val st = it.next()
-        h = h * 31 + st.getPath.getName.hashCode
+        // FULL path, not base name: a partition-dir rename that preserves
+        // file names, sizes, and mtimes must still change the fingerprint
+        h = h * 31 + st.getPath.toString.hashCode
         h = h * 31 + st.getLen
         h = h * 31 + st.getModificationTime
       }

@@ -132,8 +132,16 @@ class ServerSpec extends SparkSpec {
     val root = Files.createTempDirectory("waddle-sse2").toString
     val srv = new DashboardServer(spark, root, port = 0)
     srv.start()
+    // the live watcher pre-creates an EMPTY metrics dir on a fresh store;
+    // every route must read it as an empty table, not die in parquet
+    // schema inference (declared-schema regression guard)
+    val watcher = srv.attachLiveFromStore()
     try {
       val port = srv.boundPort
+      assert(get(port, "/api/runs").statusCode() == 200)
+      assert(get(port, "/api/runs").body() == "[]")
+      assert(get(port, "/api/metric-keys").statusCode() == 200)
+      watcher.stop()
       def connect() = {
         val conn = java.net.URI.create(s"http://127.0.0.1:$port/api/events")
           .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
