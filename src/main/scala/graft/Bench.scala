@@ -36,20 +36,27 @@ object Bench {
       laps.flatMap(_(k).left.toOption).headOption.map(k -> _)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = mins.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-decimal min-map: the headline line must FIT inside the driver's
+    // ~2 KB stdout tail in its entirety; 66 × 17-digit doubles would not,
+    // and sub-0.1 ms precision is pure noise on this VM anyway
+    val qs = mins.map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    // headline fields FIRST (metric/value/errors/min-map), per-lap detail
-    // LAST: the driver keeps only a ~2 KB tail of stdout, so the compact
-    // min-map must not be pushed out by the 3× raw-lap arrays. The raw laps
-    // still let a reader separate "one lap spiked" from "regressed".
+    // per-lap detail FIRST, compact headline LAST: the driver keeps only a
+    // ~2 KB tail of stdout, so whatever prints last is what survives.
+    // Rounds 3/4 printed one line with the headline first and the 3× raw-lap
+    // arrays last — the tail kept the laps and truncated the headline,
+    // exactly inverted. Two lines, headline on the final one, fixes it; the
+    // raw laps still let a reader separate "one lap spiked" from "regressed".
     val lapsJson = names.map { k =>
       val cells = laps.map(_(k).fold(m => jstr("err"), _.toString))
       s"${jstr(k)}:[${cells.mkString(",")}]"
     }.mkString("{", ",", "}")
     val lapTotals = laps.map(_.values.flatMap(_.toOption).sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir","lap_totals":$lapTotals,"laps":$lapsJson}""")
+    println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -454,16 +454,25 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // regex literals are the RE2-safe subset TextAnalysis.{EmailRe,Ipv4Re,
     // LongNumRe} so Java regex (Spark) and RE2 (DuckDB) agree; DuckDB
-    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    // Counts are PROGRESSIVE (emails on raw, IPs on post-email, digit runs
+    // on post-IP) so each count equals the placeholders actually emitted —
+    // same staging as TextAnalysis.redact.
     "q_text_redact" ->
-      """SELECT doc_id,
+      """WITH staged AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS after_email,
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip
+        |  FROM documents)
+        |SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-        |  len(regexp_extract_all(text, '\d{6,}')) AS n_longnums,
-        |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\d{6,}', '<NUM>', 'g')) AS clean_sha
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(after_ip, '\d{6,}')) AS n_longnums,
+        |  sha256(regexp_replace(after_ip, '\d{6,}', '<NUM>', 'g')) AS clean_sha
+        |FROM staged ORDER BY doc_id""".stripMargin,
   )
 }

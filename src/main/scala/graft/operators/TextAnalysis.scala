@@ -208,11 +208,18 @@ object TextAnalysis {
     // one — collision-proof even for texts carrying NUL or other control
     // bytes (which ARE legal split tokens in a crawled corpus).
     val marker = " "
+    // NULL-text docs still count: ngram_hashes(NULL) is NULL and concat
+    // propagates it, so without the coalesce the explode would DROP the
+    // row — losing the doc's marker and silently shrinking the idf
+    // denominator below count(*). A null-text doc contributes n_docs
+    // weight and zero terms, same as the oracle's count(*).
     val perDoc = docs.select(
         col("lang"),
         explode(concat(
           array(struct(lit(marker).as("token"), lit(1L).as("c"))),
-          expr("ngram_hashes(text, 1, 'word_counts')"))).as("tc"))
+          coalesce(
+            expr("ngram_hashes(text, 1, 'word_counts')"),
+            expr("cast(array() as array<struct<token:string,c:bigint>>)")))).as("tc"))
       .select(col("lang"), col("tc.token").as("token"), col("tc.c").as("n"))
     // the only shuffle over document-derived rows; vocabulary-scale after.
     // MATERIALIZED (localCheckpoint): three consumers read this frame (tf
@@ -287,19 +294,22 @@ object TextAnalysis {
     * the full redacted text would bloat verified output).
     * Replacement order matters and is fixed: emails first (they contain
     * digits and dots that the later patterns would mangle), then IPs, then
-    * bare digit runs.
+    * bare digit runs. Each COUNT runs on the same text its replacement
+    * runs on (emails on raw, IPs on post-email, digit runs on post-IP), so
+    * n_<kind> equals the number of `<KIND>` placeholders actually emitted —
+    * counting every pattern on the raw text would tally digit runs and IPs
+    * inside matched emails that are never separately replaced, and the
+    * counts are documented as a compliance report of redactions performed.
     */
   def redact(df: DataFrame): DataFrame = {
-    val clean = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
-        lit(Ipv4Re), lit("<IP>")),
-      lit(LongNumRe), lit("<NUM>"))
+    val afterEmail = regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(Ipv4Re), lit("<IP>"))
+    val clean = regexp_replace(afterIp, lit(LongNumRe), lit("<NUM>"))
     df.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
-      regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
-      regexp_count(col("text"), lit(LongNumRe)).as("n_longnums"),
+      regexp_count(afterEmail, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(afterIp, lit(LongNumRe)).as("n_longnums"),
       sha2(clean.cast("binary"), 256).as("clean_sha"))
       .orderBy("doc_id")
   }
@@ -314,8 +324,9 @@ object TextAnalysis {
     redact(Tables.documents(spark, dir))
 
   /** Benchmark decontamination: training documents that share at least one
-    * 13-word n-gram with the held-out eval slice (doc_id ≡ 0 mod 97 — the
-    * stand-in for a benchmark suite). The standard n-gram-overlap
+    * 13-word n-gram with the held-out eval slice (doc_id ≡ 0 mod
+    * [[EvalSliceMod]] — the stand-in for a benchmark suite). The standard
+    * n-gram-overlap
     * contamination check (as used for public LLM training corpora), sized
     * so incidental phrase reuse doesn't flag but copied passages do.
     * Emits the 20 most-contaminated docs with their shared-gram counts.
@@ -342,10 +353,20 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Eval-slice selector for [[decontaminate]]. Mod 10, not the previous 97:
+    * ground-truthing the 13-gram overlap showed the mod-97 slice (6 docs)
+    * shares NO gram with the training side at sf0.01, so the driver's
+    * rows>0 check was vacuously green — a regression returning an empty
+    * frame would have passed. Mod 10 leaves several genuinely contaminated
+    * train docs at both sf0.001 and sf0.01, so an empty result now MEANS
+    * a broken operator.
+    */
+  private[graft] val EvalSliceMod = 10
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     decontaminateAgainst(
-      docs.where(col("doc_id") % 97 =!= 0),
-      docs.where(col("doc_id") % 97 === 0))
+      docs.where(col("doc_id") % EvalSliceMod =!= 0),
+      docs.where(col("doc_id") % EvalSliceMod === 0))
   }
 }

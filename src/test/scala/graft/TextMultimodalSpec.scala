@@ -19,7 +19,11 @@ class TextMultimodalSpec extends SparkSpec {
       (1L, "contact alice@example.com or bob.smith@corp.co.uk today"),
       (2L, "server 10.0.42.7 responded, backup at 192.168.1.1"),
       (3L, "order 1234567 ref 98765432 short 123"),
-      (4L, "plain text with no pii at all")).toDF("doc_id", "text")
+      (4L, "plain text with no pii at all"),
+      // digit run INSIDE the email: counts are progressive, so the email's
+      // digits are redacted as part of <EMAIL> and only the bare run after
+      // it counts as a longnum — raw-text counting would report 2
+      (5L, "mail 123456789@example.com and run 9876543")).toDF("doc_id", "text")
     val out = TextAnalysis.redact(df).collect().map(r =>
       r.getAs[Long]("doc_id") ->
         (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
@@ -28,6 +32,7 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((0, 2, 0)))
     assert(out(3L) == ((0, 0, 2))) // "123" is under the 6-digit floor
     assert(out(4L) == ((0, 0, 0)))
+    assert(out(5L) == ((1, 0, 1))) // in-email digits don't double-count
     // the sha is over the SCRUBBED text: doc 1's must equal the sha of the
     // placeholder form, and the no-PII doc's must equal its raw sha
     val shas = TextAnalysis.redact(df).collect()
@@ -39,17 +44,18 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("decontaminate flags only train docs that share a 13-gram with the eval slice") {
+    val mod = TextAnalysis.EvalSliceMod
     val out = TextAnalysis.decontaminate(spark, sf).collect()
     assert(out.nonEmpty, "tiny-vocabulary corpus must show overlap")
     // never flags an eval doc, and every count is positive
-    assert(out.forall(r => r.getAs[Long]("doc_id") % 97 != 0))
+    assert(out.forall(r => r.getAs[Long]("doc_id") % mod != 0))
     assert(out.forall(r => r.getAs[Long]("n_shared_grams") > 0))
     // independent recompute for the top hit: its distinct 13-gram set must
     // intersect the union of eval-doc grams in exactly n_shared_grams hashes
     val top = out.head
     val grams = array_distinct(expr("ngram_hashes(text, 13, 'word')"))
     val evalSet = Tables.documents(spark, sf)
-      .where(col("doc_id") % 97 === 0)
+      .where(col("doc_id") % mod === 0)
       .select(explode(grams).as("g")).distinct()
       .collect().map(_.getLong(0)).toSet
     val docGrams = Tables.documents(spark, sf)
