@@ -2,17 +2,19 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (driver extension; SURVEY.md §2.6 O4).
   *
-  * Two tiers:
+  * Three tiers:
   *  - [[simTopK]]: exact brute-force cosine top-k — the correctness baseline,
   *    oracle-verified against DuckDB `list_cosine_similarity`.
-  *  - [[simAnnLsh]]: random-hyperplane LSH — the 100 TB path. Signatures are
-  *    computed map-side from plan-time literal hyperplanes; candidate
+  *  - [[simAnnIvf]]: probe of the materialized cluster-partitioned inverted
+  *    file ([[AnnIndex.ensureIvf]]) — partition pruning reads ≤ nprobe
+  *    cells, never the corpus.
+  *  - [[simAnnLsh]]: random-hyperplane LSH over the materialized key-only
+  *    banded-signature artifact ([[AnnIndex.lshBands]]); candidate
   *    retrieval is a bucket equi-join on band keys instead of an O(n) scan
   *    per query (or O(n²) all-pairs).
   */
@@ -66,46 +68,29 @@ object Similarity {
       .limit(10)
   }
 
-  /** O4'' — IVF (inverted-file) ANN: coarse quantization over deterministic
-    * pivot vectors, probe the query's nearest clusters only.
+  /** O4'' — IVF (inverted-file) ANN: probe the query's [[AnnIndex.NProbe]]
+    * nearest clusters of the MATERIALIZED inverted file; exact cosine
+    * re-rank of the probed cells only.
     *
-    * Pivots are the first 16 vectors (deterministic; a production build
-    * would k-means a sample — the plumbing is identical). The codebook —
-    * ONE row holding all 16 (pivot_id, centroid) entries — broadcasts, and
-    * assignment is map-side: 16 cosines + an argmax per vector on its own
-    * row. No row fan, and the vector payload never enters a shuffle after
-    * the deliberate scan-spread repartition (the earlier form fanned each
-    * vector ×16 and re-collapsed with a groupBy(vec_id) that shuffled
-    * every vector). The query probes nprobe=2 clusters, so the exact
-    * re-rank touches ~2/16 of the corpus.
-    * Scale: the IVF index is `(cluster, vec)` — written partitioned by
-    * cluster, a query reads only its probed partitions (partition pruning
-    * does the "inverted file" part); nothing collects to the driver.
+    * The full-corpus coarse assignment happens once per corpus version in
+    * [[AnnIndex.ensureIvf]] (ingest-time work, shared with the streaming
+    * ingester's layout) — this probe never recomputes it. Probe cluster
+    * selection is [[AnnIndex.NPivots]] cosines against the broadcast query;
+    * the index join is a broadcast hash join on the PARTITION column, so
+    * dynamic partition pruning reduces the parquet scan to the ≤ nprobe
+    * probed directories (pinned in PlanSpec) — at 100 TB the other
+    * 14/16ths of the corpus are never opened.
     */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withVec(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("vec_id")).select("vec_id", "v")
-    val pivots = emb.where(col("vec_id") < 16L)
-      .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
-    // codebook as a single row; sort makes collect_list order irrelevant
-    val codebook = pivots.groupBy()
-      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
-
-    val assigned = emb
-      .crossJoin(broadcast(codebook)) // 1-row codebook: zero fan
-      .withColumn("cluster", expr(
-        // argmax by (similarity, pivot_id): same tie-break as max_by over
-        // struct(psim, pivot_id); evaluated once per codebook entry
-        "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
-      .drop("pvs")
-
-    val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
-    val probe = pivots.crossJoin(broadcast(q))
+    val q = withVec(spark, dir).where(col("vec_id") === 0L)
+      .select(col("v").as("qv"))
+    val probe = AnnIndex.pivots(spark, dir).crossJoin(broadcast(q))
       .select(col("pivot_id"), expr("cosine_sim(pv, qv)").as("psim"))
       .orderBy(desc("psim"), asc("pivot_id"))
-      .limit(2)
-      .select(col("pivot_id").as("cluster"))
+      .limit(AnnIndex.NProbe)
+      .select(col("pivot_id").cast("int").as("cluster"))
 
-    assigned
+    AnnIndex.ivf(spark, dir)
       .join(broadcast(probe), Seq("cluster"))
       .where(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
@@ -117,31 +102,31 @@ object Similarity {
   /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
     * twin above is the oracle-verified baseline and its recall reference).
     *
-    * 16 hyperplane bits → 4 bands × 4 bits; candidates = corpus rows sharing
-    * ≥1 band key with the query; exact cosine re-rank of candidates only.
-    * Scale: corpus signatures are computed once map-side (at 100 TB:
-    * persisted/bucketed by band key so a query touches ~n/2⁴ rows per band);
-    * the bucket join shuffles only band keys + ids, and the re-rank touches
-    * the few colliding vectors. Multi-probe = more bands, not more scan.
+    * Candidates come from the MATERIALIZED key-only banded-signature
+    * artifact ([[AnnIndex.lshBands]], computed once per corpus version):
+    * corpus rows sharing ≥ 1 of the query's 4 band keys. The probe plan
+    * contains no hyperplane fold at all (pinned in PlanSpec) — the query's
+    * own bands are 4 rows of the same artifact. Vector payloads join back
+    * for the few candidates only (broadcast semi-probe over the corpus
+    * scan — map-side, no shuffle), then exact cosine re-rank.
+    * Scale: the artifact is 24 B/row; at 100 TB it lives bucketed by
+    * band_key so a query touches ~n/2⁴ signature rows per band, and the
+    * payload fetch touches the colliding vectors only. Multi-probe = more
+    * bands, not more scan.
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withVec(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .withColumn("bands", VectorOps.bandKeys(
-        expr("hyperplane_bits(v, 16, 42)"), nBands = 4, bandBits = 4))
-
-    val corpus = emb.select(
-      col("vec_id"), col("v"),
-      posexplode(col("bands")).as(Seq("band_id", "band_key")))
-    val qBands = emb.where(col("vec_id") === 0L).select(
-      col("v").as("qv"),
-      posexplode(col("bands")).as(Seq("band_id", "band_key")))
-
-    corpus
+    val bands = AnnIndex.lshBands(spark, dir)
+    val qBands = bands.where(col("vec_id") === 0L)
+      .select(col("band_id"), col("band_key"))
+    val candIds = bands
       .join(broadcast(qBands), Seq("band_id", "band_key"))
       .where(col("vec_id") =!= 0L)
-      .groupBy("vec_id")
-      .agg(first("v").as("v"), first("qv").as("qv"))
+      .select("vec_id").distinct()
+
+    val emb = withVec(spark, dir)
+    val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
+    emb.join(broadcast(candIds), Seq("vec_id"))
+      .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         round(expr("cosine_sim(v, qv)"), 6).as("sim"))

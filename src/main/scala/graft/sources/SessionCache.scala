@@ -81,8 +81,10 @@ object SessionCache {
     * mtime). One namenode/metadata listing per cache probe — no data reads.
     * Goes through the Hadoop FileSystem API so the probe is correct on
     * hdfs:// and s3a:// paths, not just local disk.
+    * `private[graft]`: [[graft.operators.AnnIndex]] keys its on-disk
+    * inverted file by the same corpus fingerprint.
     */
-  private def dirFingerprint(spark: SparkSession, dir: String): String = {
+  private[graft] def dirFingerprint(spark: SparkSession, dir: String): String = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) "absent"

@@ -187,11 +187,7 @@ object Streams {
     * concern: write a new codebook version, restart the stream on it.
     */
   def annIngest(vectors: DataFrame, codebook: DataFrame): DataFrame =
-    vectors
-      .crossJoin(org.apache.spark.sql.functions.broadcast(codebook))
-      .withColumn("cluster", expr(
-        "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
-      .drop("pvs")
+    graft.operators.AnnIndex.assign(vectors, codebook)
 
   /** Parquet sink for [[annIngest]]: cluster-partitioned append — the
     * partition layout IS the inverted file (SCALING.md "Data layout").

@@ -96,14 +96,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected the decorrelated max aggregate")
   }
 
-  test("simAnnIvf assigns clusters map-side — no vector re-collapse aggregate") {
+  test("simAnnIvf probes the materialized inverted file — partition-pruned, no re-assignment") {
     val p = plan(Similarity.simAnnIvf(spark, sf))
-    // the anti-pattern was crossJoin(pivots) ×16 fan + groupBy(vec_id)
-    // with first(v): a corpus-wide shuffle carrying the vector payload.
-    // Assignment must be an argmax on the row itself.
-    assert(!p.contains("max_by"), "no fan-and-recollapse argmax aggregate")
-    assert(!p.contains("first(v"), "vector payload must not pass through an aggregate")
-    assert(p.contains("BroadcastExchange"), "codebook and probe list must broadcast")
+    // the round-4 weak: every query recomputed the full-corpus coarse
+    // assignment (16 cosines/row). The probe plan must contain NO argmax
+    // assignment at all — assignment is ingest-time work in AnnIndex —
+    // and the inverted-file scan must be partition-pruned to the probed
+    // clusters via dynamic partition pruning.
+    assert(!p.contains("array_max(transform"),
+      "probe plan must not re-assign the corpus to clusters")
+    assert(p.contains("dynamicpruningexpression"),
+      "inverted-file scan must be partition-pruned to the probed clusters")
+    assert(p.contains("graft_ann"), "probe must read the materialized index")
+    assert(p.contains("BroadcastExchange"), "probe list and query must broadcast")
+  }
+
+  test("simAnnLsh probes the materialized signature artifact — no hyperplane fold") {
+    val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
+    // corpus signatures are computed once per corpus version
+    // (AnnIndex.lshBands); a probe that contains the hyperplane fold is
+    // recomputing the index per query — the 100 TB anti-pattern
+    assert(!p.contains("hyperplane_bits"),
+      "probe plan must not recompute corpus signatures")
+    assert(p.contains("localCheckpoint"),
+      "band probe must scan the materialized artifact")
+    // payload fetch for candidates is a broadcast join over the corpus
+    // scan, never a shuffle of the corpus
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("balanceStrata never windows over the bare strata column") {
