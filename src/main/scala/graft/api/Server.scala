@@ -109,6 +109,11 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
     attachLive(
       spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[WaddleSchema.MetricRow].schema)
+        // metrics append under metric_date= partition dirs (WaddleSession
+        // .flush); recursive lookup finds new files there while keeping
+        // the flat declared schema (the partition column is derived, not
+        // part of the metric row)
+        .option("recursiveFileLookup", "true")
         .parquet(s"$root/metrics"),
       s"$root/.live-checkpoint")
   }

@@ -142,6 +142,13 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
 
   /** Batched append of everything buffered — the micro-batch that replaces
     * the reference's row-at-a-time INSERTs.
+    *
+    * Metrics append in the production layout's partition scheme
+    * (`metric_date` derived from ts, the date-pruning story of
+    * `sources/Layout.scala`); appends are NOT bucketed (bucketing needs a
+    * catalog write), so any bucketed catalog table a previous [[WaddleStore.compact]]
+    * registered is dropped here — the zero-shuffle guarantee holds only for
+    * a fully-compacted store and is re-established by the next compaction.
     */
   def flush(): Unit = synchronized {
     import spark.implicits._
@@ -152,7 +159,14 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     append(runBuf.toSeq, "runs"); runBuf.clear()
     append(repoBuf.toSeq, "repos"); repoBuf.clear()
     append(commitBuf.toSeq, "commits"); commitBuf.clear()
-    append(metricBuf.toSeq, "metrics"); metricBuf.clear()
+    if (metricBuf.nonEmpty) {
+      WaddleStore.dropMetricsCatalog(spark, root)
+      metricBuf.toSeq.toDF()
+        .withColumn("metric_date", to_date(from_unixtime(col("ts").cast("long"))))
+        .write.mode("append").partitionBy("metric_date").parquet(s"$root/metrics")
+      spark.catalog.refreshByPath(s"$root/metrics")
+    }
+    metricBuf.clear()
     append(kvBuf.toSeq, "kv"); kvBuf.clear()
     append(artifactBuf.toSeq, "artifacts"); artifactBuf.clear()
   }
@@ -175,8 +189,21 @@ final class WaddleStore(spark: SparkSession, root: String) {
   /** A table nobody has written yet reads as empty with its declared
     * schema (the reference's DDL bootstrap creates empty tables up front —
     * /root/reference/waddle/_schema.py; on a file store absence IS empty).
+    *
+    * Metrics prefer the bucketed catalog table a completed [[compact]]
+    * registered (zero-shuffle per-run reads); otherwise the directory is
+    * read with `recursiveFileLookup` so both the flat legacy layout and
+    * the `metric_date=`-partitioned layout (whose partition column is
+    * derived, not part of the view) read as the same declared schema.
+    * If the current dir is missing mid-compaction-crash (between the two
+    * swap renames), the table is read from its `.compact-old` backup —
+    * a read-only fallback; [[compact]]'s recovery restores it for real.
     */
   private def tbl(name: String): DataFrame = {
+    if (name == "metrics" &&
+        spark.catalog.tableExists(WaddleStore.metricsTableName(root)))
+      return spark.table(WaddleStore.metricsTableName(root))
+        .select(schemas(name).fieldNames.map(col).toSeq: _*)
     // Hadoop-FS existence probe, not java.io.File: the store root may be
     // hdfs:// or s3a:// in the 100 TB deployment. The declared schema is
     // passed unconditionally — an existing-but-empty directory (e.g. the
@@ -184,10 +211,19 @@ final class WaddleStore(spark: SparkSession, root: String) {
     // empty table, not die in schema inference.
     val p = new org.apache.hadoop.fs.Path(s"$root/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.schema(schemas(name)).parquet(s"$root/$name")
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
+    val backup = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$name")
+    val src =
+      if (fs.exists(p)) Some(p)
+      else if (fs.exists(backup)) Some(backup)
+      else None
+    src match {
+      case Some(path) =>
+        spark.read.schema(schemas(name))
+          .option("recursiveFileLookup", "true")
+          .parquet(path.toString)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(name))
+    }
   }
 
   /** Run deletion on an immutable store: an append-only TOMBSTONE row, not
@@ -202,9 +238,13 @@ final class WaddleStore(spark: SparkSession, root: String) {
       .toDF().write.mode("append").parquet(s"$root/deletes")
   }
 
-  /** Anti-join the tombstones: deletes are few, so broadcast. */
+  /** Anti-join the tombstones: deletes are few, so broadcast. No distinct —
+    * left_anti is insensitive to duplicate build keys, and dropping it
+    * keeps the build side exchange-free (a repeat tombstone is rare
+    * anyway).
+    */
   private def alive(df: DataFrame, idCol: String): DataFrame =
-    df.join(broadcast(tbl("deletes").select(col("run_id").as(idCol)).distinct()),
+    df.join(broadcast(tbl("deletes").select(col("run_id").as(idCol))),
       Seq(idCol), "left_anti")
 
   /** Keep-latest run row per id over the append log: finishing a run whose
@@ -362,76 +402,307 @@ final class WaddleStore(spark: SparkSession, root: String) {
       .agg(first("value"))
       .orderBy("key")
 
+  /** Per-run metric profile — the aggregate shape the bucketed compacted
+    * layout exists for: over a freshly compacted store the grouping key is
+    * the bucket key, so the plan has NO shuffle exchange at all (pinned in
+    * WaddleApiSpec, the store analog of `Layout.perUserStats`).
+    */
+  def perRunMetricStats(): DataFrame =
+    alive(tbl("metrics"), "run_id")
+      .groupBy("run_id")
+      .agg(count(lit(1)).as("n_points"),
+        max("step").as("last_step"),
+        max("ts").as("last_ts"))
+
   /** Compaction: materialize the read views back into the store so a
     * long-lived append log's read cost stays bounded. Applies tombstones
-    * (rows of deleted runs vanish physically, the deletes table empties),
-    * collapses run rows to keep-latest, kv to latest-per-(run,kind,key),
-    * and repos/commits to their first-write-wins rows. Every read view is
-    * IDENTICAL before and after — compaction changes physical layout only.
+    * (rows of deleted runs vanish physically), collapses run rows to
+    * keep-latest, kv to latest-per-(run,kind,key), repos/commits to their
+    * first-write-wins rows, and rewrites metrics into the PRODUCTION
+    * LAYOUT: partitioned by `metric_date`, bucketed by `run_id`, sorted by
+    * (key, step) — the store's own reads get `sources/Layout.scala`'s
+    * pruning story, and per-run aggregates plan zero shuffle (the bucketed
+    * table is registered in the session catalog; [[WaddleSession.flush]]
+    * drops it on append since un-bucketed appends void the guarantee).
+    * Every read view is IDENTICAL before and after — compaction changes
+    * physical layout only.
     *
-    * Protocol: write every table to `.compact/<table>`, then swap each into
-    * place (delete old, rename staged). Rename is atomic per table on HDFS
-    * and local FS; a crash between table swaps leaves a mix of compacted
-    * and uncompacted TABLES, but each table is itself consistent and the
-    * views still read correctly (tombstones not yet deleted re-apply as
-    * no-ops). Exactly-once across tables needs a transactional format —
-    * same honest boundary as the streaming ledger (`sources/Layout.scala`).
-    * Scale: each table compacts in one shuffle (its keep-latest window) and
-    * streams to new files; nothing collects to the driver.
+    * Protocol — crash-safe and safe against CONCURRENT WRITERS (a live
+    * `serve` handling deletes, a session flushing) without locking them
+    * out:
+    *
+    *  1. snapshot the tombstone file listing (only these files are deleted
+    *     at the end — a tombstone appended mid-compaction survives and
+    *     re-applies on the next pass, never resurrecting its run);
+    *  2. stage every compacted table under `.compact/<t>` and record in a
+    *     MANIFEST the exact input files each staged frame read (Spark's
+    *     file index is captured at plan time, so `inputFiles` IS the read
+    *     set) plus the staged output file names;
+    *  3. swap each table (cur → `.compact-old/<t>` → staged into place;
+    *     both renames checked);
+    *  4. merge LATE files — files in the backup that were not manifest
+    *     inputs, i.e. appended between staging and swap — into the new
+    *     table, so no concurrent append is lost;
+    *  5. delete the manifest: the COMMIT POINT. While the manifest exists,
+    *     [[recoverCompaction]] can roll the whole store back losslessly
+    *     (restore backups, return already-merged late files, drop staged
+    *     output); after it, leftover staging/backup dirs are provably
+    *     duplicates and are swept.
+    *
+    * Scale: each table compacts in one shuffle (its keep-latest window or
+    * the bucket co-location) and streams to new files; the manifest is one
+    * metadata file; nothing collects to the driver. Concurrent `compact()`
+    * calls are serialized per store root within the JVM (the deployment
+    * shape: one maintenance process per store); cross-process compactors
+    * racing each other is out of scope — writers, as above, are safe.
     */
-  def compact(): Unit = {
-    val fs0 = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover from a previously interrupted swap BEFORE reading any view:
-    // a table sitting only in .compact-old (crash between the two renames)
-    // is restored, so it can never be read as "empty" and re-compacted away
-    val oldRoot = new org.apache.hadoop.fs.Path(s"$root/.compact-old")
-    if (fs0.exists(oldRoot)) {
-      fs0.listStatus(oldRoot).foreach { st =>
-        val cur = new org.apache.hadoop.fs.Path(s"$root/${st.getPath.getName}")
-        if (!fs0.exists(cur))
-          require(fs0.rename(st.getPath, cur), s"recovery rename failed: $cur")
+  def compact(): Unit = compact(_ => ())
+
+  /** [[compact]] with a crash-injection hook for the recovery spec: the
+    * hook is called at each named protocol point and may throw to simulate
+    * a crash there.
+    */
+  private[graft] def compact(crashPoint: String => Unit): Unit =
+    WaddleStore.lockFor(root).synchronized {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverCompaction()
+      val stagingRoot = s"$root/.compact"
+      fs.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
+
+      // 1. tombstone snapshot — strictly BEFORE the staged frames are
+      // built: a frame may apply a newer tombstone than the snapshot
+      // (harmless — its file survives and re-applies as a no-op) but a
+      // snapshotted-yet-unapplied tombstone would resurrect its run.
+      val deletesDir = new org.apache.hadoop.fs.Path(s"$root/deletes")
+      val deletesSnapshot =
+        if (fs.exists(deletesDir))
+          fs.listStatus(deletesDir).map(_.getPath.getName)
+            .filterNot(_.startsWith("_")).toSeq
+        else Seq.empty[String]
+
+      // 2. staged frames + manifest
+      val wKv = Window.partitionBy("run_id", "kind", "key").orderBy(desc("seq"))
+      val staged: Seq[(String, DataFrame)] = Seq(
+        "runs" -> alive(latestRuns(), "id"),
+        "metrics" -> alive(tbl("metrics"), "run_id"),
+        "kv" -> alive(tbl("kv"), "run_id")
+          .withColumn("rn", row_number().over(wKv))
+          .where(col("rn") === 1).drop("rn"),
+        "artifacts" -> alive(tbl("artifacts"), "run_id"),
+        "repos" -> repos(),
+        "commits" -> commits())
+      val inputs = staged.map { case (t, df) =>
+        val dirPath = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$root/$t"))
+          .toUri.getPath
+        t -> df.inputFiles.toSeq
+          .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
+          .filter(_.startsWith(dirPath + "/"))
+          .map(_.stripPrefix(dirPath + "/")).toSet
+      }.toMap
+      staged.foreach { case (t, df) =>
+        if (t == "metrics") {
+          // bucketed layout needs a catalog write; stage through a
+          // throwaway EXTERNAL table whose files land in the staging dir
+          val stagingTable = WaddleStore.metricsTableName(root) + "_staging"
+          spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+          df.withColumn("metric_date",
+              to_date(from_unixtime(col("ts").cast("long"))))
+            // one shuffle co-locating each (date, bucket) cell in one task
+            .repartition(col("metric_date"), col("run_id"))
+            .write.mode("overwrite")
+            .partitionBy("metric_date")
+            .bucketBy(WaddleStore.MetricsBuckets, "run_id")
+            .sortBy("key", "step")
+            .option("path", s"$stagingRoot/metrics")
+            .saveAsTable(stagingTable)
+          spark.sql(s"DROP TABLE $stagingTable") // external: files stay
+        } else
+          df.write.mode("overwrite").parquet(s"$stagingRoot/$t")
       }
-      fs0.delete(oldRoot, true)
+      val stagedFiles = staged.map { case (t, _) =>
+        t -> listFilesRel(fs, new org.apache.hadoop.fs.Path(s"$stagingRoot/$t"))
+      }.toMap
+      crashPoint("staged")
+      writeManifest(fs, deletesSnapshot, staged.map(_._1), inputs, stagedFiles)
+      crashPoint("manifest")
+
+      // 3. swaps (rename-rename: the old table survives in .compact-old
+      // until its replacement is in place; both renames CHECKED)
+      staged.foreach { case (t, _) =>
+        val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
+        val bak = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$t")
+        fs.mkdirs(bak.getParent)
+        if (fs.exists(cur))
+          require(fs.rename(cur, bak), s"compaction swap-out failed: $cur")
+        crashPoint(s"swapped-out:$t")
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$stagingRoot/$t"), cur),
+          s"compaction swap-in failed: $cur")
+        crashPoint(s"swapped-in:$t")
+      }
+
+      // 4. late-file merge: anything a concurrent writer appended between
+      // staging and swap-out sits in the backup but was not a staged input
+      var lateMetrics = false
+      staged.foreach { case (t, _) =>
+        val bak = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$t")
+        if (fs.exists(bak)) {
+          val late = listFilesRel(fs, bak) -- inputs(t)
+          late.foreach { rel =>
+            moveFile(fs, new org.apache.hadoop.fs.Path(bak, rel),
+              new org.apache.hadoop.fs.Path(s"$root/$t/$rel"))
+          }
+          if (t == "metrics" && late.nonEmpty) lateMetrics = true
+        }
+      }
+      crashPoint("merged")
+
+      // 5. COMMIT: the manifest vanishes in one metadata op; everything
+      // after is idempotent cleanup of provable duplicates
+      fs.delete(manifestPath, false)
+      fs.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact-old"), true)
+      deletesSnapshot.foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(deletesDir, n), false)
+      }
+      if (fs.exists(deletesDir) &&
+          fs.listStatus(deletesDir).forall(_.getPath.getName.startsWith("_")))
+        fs.delete(deletesDir, true)
+
+      // 6. bucketed catalog registration — only when no un-bucketed late
+      // metrics files were merged in (they void the bucket guarantee; the
+      // next compaction re-establishes it)
+      WaddleStore.dropMetricsCatalog(spark, root)
+      if (!lateMetrics) {
+        val n = WaddleStore.metricsTableName(root)
+        spark.sql(
+          s"""CREATE TABLE $n (
+             |  run_id STRING, `key` STRING, step INT, ts DOUBLE,
+             |  value DOUBLE, metric_date DATE)
+             |USING parquet
+             |PARTITIONED BY (metric_date)
+             |CLUSTERED BY (run_id) SORTED BY (`key`, step)
+             |INTO ${WaddleStore.MetricsBuckets} BUCKETS
+             |LOCATION '$root/metrics'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $n")
+      }
+      spark.catalog.refreshByPath(s"$root/metrics")
       ()
     }
-    val wKv = Window.partitionBy("run_id", "kind", "key").orderBy(desc("seq"))
-    val staged: Seq[(String, DataFrame)] = Seq(
-      "runs" -> alive(latestRuns(), "id"),
-      "metrics" -> alive(tbl("metrics"), "run_id"),
-      "kv" -> alive(tbl("kv"), "run_id")
-        .withColumn("rn", row_number().over(wKv))
-        .where(col("rn") === 1).drop("rn"),
-      "artifacts" -> alive(tbl("artifacts"), "run_id"),
-      "repos" -> repos(),
-      "commits" -> commits())
+
+  private def manifestPath =
+    new org.apache.hadoop.fs.Path(s"$root/.compact/_manifest.txt")
+
+  /** Everything under `dir` as paths relative to it, metadata files
+    * (`_SUCCESS` etc.) excluded.
+    */
+  private def listFilesRel(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[String] = {
+    if (!fs.exists(dir)) return Set.empty
+    val base = fs.makeQualified(dir).toUri.getPath
+    val out = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        out += st.getPath.toUri.getPath.stripPrefix(base + "/")
+    }
+    out.toSet
+  }
+
+  private def moveFile(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"file move failed: $from -> $to")
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      deletesSnapshot: Seq[String], tables: Seq[String],
+      inputs: Map[String, Set[String]],
+      stagedFiles: Map[String, Set[String]]): Unit = {
+    val sb = new StringBuilder("v1\n")
+    deletesSnapshot.foreach(n => sb.append(s"deletes\t$n\n"))
+    tables.foreach { t =>
+      sb.append(s"table\t$t\n")
+      inputs(t).toSeq.sorted.foreach(r => sb.append(s"input\t$t\t$r\n"))
+      stagedFiles(t).toSeq.sorted.foreach(r => sb.append(s"staged\t$t\t$r\n"))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.compact/_manifest.tmp")
+    val os = fs.create(tmp, true)
+    os.write(sb.toString.getBytes("UTF-8")); os.close()
+    require(fs.rename(tmp, manifestPath), "manifest publish failed")
+  }
+
+  /** Roll back an interrupted compaction. While the manifest exists the
+    * protocol has not committed: every table is restored to its
+    * pre-compaction content — backups renamed back, late files that were
+    * already merged into the new table returned to the backup first (they
+    * are exactly the current files that are not staged outputs), staged
+    * output discarded. Tombstones were untouched before commit, so views
+    * after rollback are identical to before the crashed compaction.
+    * Without a manifest, leftover staging/backup dirs are post-commit
+    * duplicates and are swept. Idempotent — a crash during recovery
+    * re-runs to the same state.
+    */
+  private[graft] def recoverCompaction(): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    staged.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$root/.compact/$t")
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$root/.compact-old")
+    if (!fs.exists(manifestPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact"), true)
+      fs.delete(oldRoot, true)
+      return
     }
-    staged.foreach { case (t, _) =>
-      // rename-rename, not delete-rename: the old table survives in
-      // .compact-old until its replacement is in place (the recovery block
-      // above restores it after a crash between the renames), and the
-      // reader-visible gap is one metadata op wide instead of a recursive
-      // delete. Rename results are CHECKED: a false return (e.g. a
-      // concurrent writer recreated the table between the renames) aborts
-      // the swap before anything is deleted — in particular the deletes
-      // table, whose tombstones must outlive any not-yet-applied swap.
+    val lines = {
+      val is = fs.open(manifestPath)
+      val s = scala.io.Source.fromInputStream(is, "UTF-8").getLines().toList
+      is.close(); s
+    }
+    val tables = lines.collect { case l if l.startsWith("table\t") => l.split('\t')(1) }
+    def fileSet(kind: String, t: String): Set[String] =
+      lines.collect {
+        case l if l.startsWith(s"$kind\t$t\t") => l.split('\t')(2)
+      }.toSet
+    tables.foreach { t =>
       val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
       val bak = new org.apache.hadoop.fs.Path(s"$root/.compact-old/$t")
-      fs.mkdirs(bak.getParent)
-      if (fs.exists(cur))
-        require(fs.rename(cur, bak), s"compaction swap-out failed: $cur")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/.compact/$t"), cur),
-        s"compaction swap-in failed: $cur")
+      val stagedNames = fileSet("staged", t)
+      (fs.exists(cur), fs.exists(bak)) match {
+        case (false, true) => // crashed between swap-out and swap-in
+          require(fs.rename(bak, cur), s"recovery rename failed: $cur")
+        case (true, true) =>
+          // swap-in done (cur = staged output, possibly plus merged late
+          // files and/or post-swap appends): return every non-staged file
+          // to the backup, drop the staged output, restore the backup
+          listFilesRel(fs, cur).foreach { rel =>
+            if (!stagedNames.contains(rel))
+              moveFile(fs, new org.apache.hadoop.fs.Path(cur, rel),
+                new org.apache.hadoop.fs.Path(bak, rel))
+          }
+          fs.delete(cur, true)
+          require(fs.rename(bak, cur), s"recovery rename failed: $cur")
+        case (true, false) =>
+          // either the swap never reached this table (cur is the
+          // original — staged names absent, nothing to do) or the table
+          // had no pre-compaction dir and swap-in created it: drop the
+          // staged files, keep any post-swap appends
+          val present = listFilesRel(fs, cur)
+          present.intersect(stagedNames).foreach { rel =>
+            fs.delete(new org.apache.hadoop.fs.Path(cur, rel), false)
+          }
+          if (present.nonEmpty && present.subsetOf(stagedNames))
+            fs.delete(cur, true)
+        case (false, false) => // table absent throughout
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact-old"), true)
-    // tombstones are now physically applied (only reached when every table
-    // swapped successfully)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes"), true)
+    // refuse to delete a backup entry that was not restored
+    if (fs.exists(oldRoot) && fs.listStatus(oldRoot).isEmpty)
+      fs.delete(oldRoot, true)
+    // the catalog table (if any) may describe a layout this rollback just
+    // replaced — reads fall back to the directory until the next compact
+    WaddleStore.dropMetricsCatalog(spark, root)
+    spark.catalog.refreshByPath(s"$root/metrics")
     ()
   }
 
@@ -447,6 +718,34 @@ final class WaddleStore(spark: SparkSession, root: String) {
       "kv" -> tbl("kv").where(!col("run_id").isin(victims: _*)),
       "artifacts" -> tbl("artifacts").where(!col("run_id").isin(victims: _*)))
   }
+}
+
+object WaddleStore {
+  /** Bucket count for the compacted metrics layout. Test-scale value; the
+    * 100 TB deployment sizes buckets so one (date, bucket) cell fits an
+    * executor read (SCALING.md).
+    */
+  val MetricsBuckets = 8
+
+  // compact() serialization per store root within this JVM — the
+  // deployment shape is one maintenance process per store; concurrent
+  // WRITERS need no lock (the manifest protocol preserves their files)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def lockFor(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
+
+  /** Session-catalog name of the bucketed compacted-metrics table for a
+    * store root (hex hash — no separator chars a table name can't hold).
+    */
+  private[graft] def metricsTableName(root: String): String =
+    s"waddle_metrics_${Integer.toHexString(root.hashCode)}"
+
+  /** Appends void the bucket guarantee: drop the catalog entry (EXTERNAL —
+    * the files stay) so reads fall back to the plain directory scan.
+    */
+  private[graft] def dropMetricsCatalog(spark: SparkSession, root: String): Unit =
+    if (spark.catalog.tableExists(metricsTableName(root)))
+      spark.sql(s"DROP TABLE ${metricsTableName(root)}")
 }
 
 object WaddleSchema {
