@@ -16,6 +16,33 @@ object Graft {
 
   private val lock = new Object
   private var active: Option[(WaddleSession, String)] = None
+  private var hookRegistered = false
+
+  /** The reference's atexit semantics (_run.py:71-83): a process that exits
+    * with a run still active gets that run flushed and marked `aborted` by
+    * a JVM shutdown hook — the WRITE-side abort that complements the
+    * store's read-time staleness inference (WaddleStore.runs). Registered
+    * once, on first init(). Best-effort by nature: shutdown hooks race
+    * Spark's own shutdown, so a failed flush (context already stopped) is
+    * swallowed — the staleness inference still covers that case.
+    */
+  private def registerAbortHook(): Unit =
+    if (!hookRegistered) {
+      hookRegistered = true
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => abortActive(), "graft-abort-hook"))
+    }
+
+  /** Flush-and-abort the active run, if any — the shutdown hook's body,
+    * callable directly from specs to simulate process death.
+    */
+  private[graft] def abortActive(): Unit = lock.synchronized {
+    active.foreach { case (sess, id) =>
+      try sess.finishRun(id, "aborted")
+      catch { case _: Exception => () } // Spark may already be down
+    }
+    active = None
+  }
 
   def init(
       spark: SparkSession, root: String,
@@ -23,6 +50,7 @@ object Graft {
       config: Map[String, String] = Map.empty,
       detectGit: Boolean = false): String = lock.synchronized {
     require(active.isEmpty, "A run is already active; call finish() first")
+    registerAbortHook()
     val sess = new WaddleSession(spark, root, project)
     val repo = if (detectGit) GitInfo.detect() else None
     val id = sess.initRun(Option(name).getOrElse(s"run-${System.nanoTime()}"),

@@ -52,12 +52,29 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
     val t = new Thread(r, "graft-dashboard"); t.setDaemon(true); t
   })
   private val sseClients = new ConcurrentLinkedQueue[OutputStream]()
+  // keepalive: a periodic SSE comment frame so idle proxies don't reap the
+  // stream, and — since the write failing is the only disconnect signal —
+  // dead clients get detected and removed even when nothing publishes
+  // (previously a client that disconnected during a quiet period held its
+  // OutputStream in sseClients forever)
+  private val keepalive = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-sse-keepalive"); t.setDaemon(true); t
+  }
+  private[graft] var keepaliveSeconds = 15L
+  private[graft] def sseClientCount: Int = sseClients.size
   private def nowSec(): Double = System.currentTimeMillis() / 1000.0
 
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): Unit = { server.createContext("/", handle _); server.start() }
+  def start(): Unit = {
+    server.createContext("/", handle _)
+    server.start()
+    keepalive.scheduleAtFixedRate(() => writeAll(": ping\n\n"),
+      keepaliveSeconds, keepaliveSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
   def stop(): Unit = {
+    keepalive.shutdownNow()
     sseClients.forEach(os => try os.close() catch { case _: Exception => () })
     sseClients.clear()
     server.stop(0)
@@ -74,11 +91,13 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
     * on a dashboard's client count; a public deployment would put a
     * bounded per-client queue + writer thread in front.
     */
-  def publish(json: String): Unit = {
+  def publish(json: String): Unit = writeAll(s"data: $json\n\n")
+
+  private def writeAll(frame: String): Unit = {
     val it = sseClients.iterator()
     while (it.hasNext) {
       val os = it.next()
-      try { os.write(s"data: $json\n\n".getBytes(UTF_8)); os.flush() }
+      try { os.write(frame.getBytes(UTF_8)); os.flush() }
       catch { case _: Exception => it.remove() }
     }
   }

@@ -170,6 +170,34 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SSE keepalive pings idle streams and reaps dead clients without a publish") {
+    val root = Files.createTempDirectory("waddle-sse3").toString
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.keepaliveSeconds = 1L // speed the 15 s production cadence up
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/api/events")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(15000)
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream))
+      assert(r.readLine() == ": connected")
+      // no publish happens — the scheduled comment frame arrives anyway,
+      // so idle proxies see traffic
+      assert(Iterator.continually(r.readLine())
+        .dropWhile(l => l != null && l.isEmpty).next() == ": ping")
+      // a client that disconnects during a quiet period is reaped by the
+      // keepalive write failing — no publish required
+      assert(srv.sseClientCount == 1)
+      conn.disconnect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (srv.sseClientCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(srv.sseClientCount == 0, "dead client must be reaped by keepalive")
+    } finally srv.stop()
+  }
+
   test("live SSE endpoint pushes an event when metrics stream in") {
     import org.apache.spark.sql.Encoders
     val root = Files.createTempDirectory("waddle-sse").toString
@@ -184,6 +212,8 @@ class ServerSpec extends SparkSpec {
     val query = srv.attachLive(
       spark.readStream
         .schema(Encoders.product[graft.api.WaddleSchema.MetricRow].schema)
+        // metrics append under metric_date= partition dirs
+        .option("recursiveFileLookup", "true")
         .parquet(s"$root/metrics"),
       ckpt)
     try {

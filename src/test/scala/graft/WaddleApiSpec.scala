@@ -181,6 +181,29 @@ class WaddleApiSpec extends SparkSpec {
     assert(math.abs(loss - 0.5) < 1e-9)
   }
 
+  test("process death with an active run: the shutdown hook flushes and marks it aborted") {
+    import graft.api.Graft
+    Graft.resetForTest()
+    val root = Files.createTempDirectory("waddle-abort").toString
+    Graft.init(spark, root, name = "doomed")
+    Graft.log(Map("loss" -> 3.0)) // buffered, never explicitly flushed
+    // simulated process death: the registered shutdown hook's body
+    // (reference atexit semantics, _run.py:71-83)
+    Graft.abortActive()
+
+    val store = new WaddleStore(spark, root)
+    val now = System.currentTimeMillis() / 1000.0
+    val row = store.runs(now).where(col("name") === "doomed").head()
+    assert(row.getAs[String]("status") == "aborted")
+    assert(!row.isNullAt(row.fieldIndex("ended_at")),
+      "abort stamps the end time")
+    // the buffered metric made it to disk through the abort flush
+    assert(store.metrics(row.getAs[String]("id")).count() == 1)
+    // hook is idempotent and leaves no active run
+    Graft.abortActive()
+    intercept[IllegalStateException] { Graft.log(Map("x" -> 1.0)) }
+  }
+
   test("git provenance: repo + commit rows link to the run") {
     import scala.sys.process._
     val repoDir = Files.createTempDirectory("gitrepo").toFile

@@ -39,7 +39,9 @@ const detail = {
   artifacts: [{ name: 'w.bin', size_bytes: 64, sha256: 'ab'.repeat(32) }],
   metric_keys: [{ key: 'loss' }],
 };
-const series = [ { step: 0, value: 1.0 }, { step: 1, value: 0.5 }, { step: 2, value: 0.25 } ];
+const series = [ { step: 0, ts: 100.0, value: 1.0 },
+                 { step: 1, ts: 101.5, value: 0.5 },
+                 { step: 2, ts: 104.0, value: 0.25 } ];
 const compare = {
   runs,
   params: [{ key: 'lr', r1: '0.01', r2: '0.02' }],
@@ -51,7 +53,7 @@ global.fetch = async (path, opts) => ({
   json: async () => {
     if (path === '/api/runs') return runs;
     if (path.startsWith('/api/runs/r1/metrics')) return series;
-    if (path.startsWith('/api/runs/r2/metrics')) return series.map(p => ({ step: p.step, value: p.value * 2 }));
+    if (path.startsWith('/api/runs/r2/metrics')) return series.map(p => ({ step: p.step, ts: p.ts + 50, value: p.value * 2 }));
     if (path.startsWith('/api/runs/r1')) return detail;
     if (path === '/api/compare') { global._cmpBody = JSON.parse(opts.body); return compare; }
     throw new Error('unexpected ' + path);
@@ -74,6 +76,28 @@ global.fetch = async (path, opts) => ({
   if (!chart.includes('<svg') || !chart.includes('path class="series"')) throw new Error('no svg chart');
   if (!chart.includes('M') || !chart.includes('L')) throw new Error('no line path data');
 
+  // smoothing toggle: the MA5 overlay draws a second path with its legend
+  elements['smooth'].checked = true;
+  await plotCurrent();
+  const smoothed = elements['chart']._html;
+  const nDetailPaths = (smoothed.match(/path class="series"/g) || []).length;
+  if (nDetailPaths !== 2) throw new Error('smooth toggle must overlay ma5, drew ' + nDetailPaths);
+  if (!smoothed.includes('(ma5)')) throw new Error('ma5 legend missing');
+  // trailing MA5 over [1.0, 0.5, 0.25]: last smoothed value ≈ 0.5833 — the
+  // smoothed max stays 1.0 (first window is the point itself) so the y-axis
+  // label is unchanged, but both paths must differ
+  const paths = smoothed.match(/d="([^"]*)"/g);
+  if (paths[0] === paths[1]) throw new Error('smoothed path identical to raw');
+
+  // x-alignment toggle: relative time re-bases x to seconds since first
+  // sample — axis end label becomes 4 (ts 104 - 100), not step 2
+  elements['alignsel'].value = 'time';
+  await plotCurrent();
+  const timed = elements['chart']._html;
+  if (!timed.includes('>4<')) throw new Error('relative-time x axis label missing');
+  elements['smooth'].checked = false;
+  elements['alignsel'].value = 'step';
+
   // tick the two checkboxes through the real click handler (picked is
   // eval-scoped; drive it through the UI path instead)
   elements['runlist'].listeners['click']({ target: { dataset: { pick: 'r1' }, checked: true } });
@@ -90,6 +114,22 @@ global.fetch = async (path, opts) => ({
   if (nPaths !== 2) throw new Error('overlay must draw one line per run, drew ' + nPaths);
   if (!overlay.includes('sweep-1') || !overlay.includes('sweep-2'))
     throw new Error('overlay legend missing run names');
+
+  // compare-overlay toggles: smoothing doubles the path count (raw + ma5
+  // per run); relative-time alignment re-bases each run to ITS OWN start
+  elements['cmpsmooth'].checked = true;
+  await elements['cmpsmooth'].listeners['change']();
+  const smoothCmp = elements['cmpchart']._html;
+  const nCmpPaths = (smoothCmp.match(/path class="series"/g) || []).length;
+  if (nCmpPaths !== 4) throw new Error('smoothed overlay must draw 4 paths, drew ' + nCmpPaths);
+  elements['cmpsmooth'].checked = false;
+  elements['cmpalign'].value = 'time';
+  await elements['cmpalign'].listeners['change']();
+  // r2 starts 50 s after r1 but both series span 0..4 relative seconds, so
+  // the shared axis ends at 4 — per-run re-basing, not a shared clock
+  if (!elements['cmpchart']._html.includes('>4<'))
+    throw new Error('relative-time overlay must re-base each run to its own start');
+  elements['cmpalign'].value = 'step';
 
   // XSS guard: a hostile run name must arrive escaped
   runs[0].name = '<img src=x onerror=alert(1)>';
