@@ -54,6 +54,8 @@ object SparkEntry {
     "q_quantiles_approx" -> (Tracking.quantilesApprox _),
     "q_series_smooth"   -> (Tracking.seriesSmooth _),
     "q_sample_balanced" -> (Sampling.sampleDocuments _),
+    "q_split_assign"    -> (Sampling.splitAssign _),
+    "q_pack_sequences"  -> ((s, d) => Sampling.packSequences(s, d)),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -325,6 +327,31 @@ object SparkEntry {
         |       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_words,
         |       round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_split_assign" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_pack_sequences" ->
+      // the naive single-scan prefix sum; the engine's two-phase sharded
+      // scan must produce the identical packing
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |         COALESCE(length(string_split(text, ' ')), 0) AS tok
+        |  FROM documents),
+        |pre AS (
+        |  SELECT lang, doc_id, tok,
+        |         COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM toks)
+        |SELECT lang, CAST(floor(prefix / 2048) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM pre GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |       length(string_split(text, ' ')) AS n_ws_tokens,

