@@ -45,23 +45,86 @@ object AnnIndex {
   val NPivots = 16
   val NProbe = 2
 
+  /** k-means build parameters: Lloyd iterations over a deterministic
+    * pushdown-pruned sample (`vec_id < SampleIds` reaches the parquet
+    * scan). 4 iterations is where the sample's assignment churn flatlines
+    * at this dimensionality; production tunes sample size ∝ k.
+    */
+  val KmeansIters = 4
+  val SampleIds = 4096L
+
   // one build attempt per (root, corpus fingerprint) per JVM; the on-disk
   // _SUCCESS probe below makes cross-JVM reuse work too
   private val building = new ConcurrentHashMap[String, String]()
+  // codebook per (dir, corpus fingerprint): the probe and the index build
+  // MUST score against identical pivots
+  private val centroidCache = new ConcurrentHashMap[String, Seq[Array[Double]]]()
 
   private def indexRoot(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.ann.indexRoot")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft_ann")
 
-  /** Deterministic pivots: the first [[NPivots]] vectors — a tiny pushdown
-    * read (vec_id < 16 reaches the parquet scan). A production build would
-    * k-means a sample; every downstream shape is identical.
+  /** Sampled k-means centroids (Lloyd), the real IVF codebook build:
+    *  - sample = `vec_id < SampleIds`, a partition-prunable predicate that
+    *    reaches the parquet scan — no corpus pass, no driver-side corpus;
+    *  - seed = the first [[NPivots]] sample vectors (deterministic);
+    *  - each iteration assigns the sample map-side against the broadcast
+    *    codebook (same argmax as [[assign]]) and recomputes per-dimension
+    *    means with DECIMAL-exact sums, so centroids are bit-stable under
+    *    any partitioning — a float partial-sum wobble here would flip
+    *    borderline cell assignments between the on-disk index and a fresh
+    *    probe codebook across JVMs;
+    *  - only k×dim doubles ever reach the driver (the centroids), per
+    *    iteration; empty cells keep their previous centroid.
+    * Cached per corpus version (same fingerprint key as [[ensureIvf]]).
     */
-  def pivots(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .where(col("vec_id") < NPivots.toLong)
-      .select(col("vec_id").as("pivot_id"),
-        col("embedding").cast("array<double>").as("pv"))
+  def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] = {
+    val key = s"$dir|${SessionCache.dirFingerprint(spark, dir)}"
+    centroidCache.computeIfAbsent(key, _ => {
+      val sample = Tables.embeddings(spark, dir)
+        .where(col("vec_id") < SampleIds)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      var cents: Seq[Array[Double]] = sample
+        .where(col("vec_id") < NPivots.toLong)
+        // dropDuplicates: an appended corpus may repeat ids (same vector)
+        .dropDuplicates("vec_id").orderBy("vec_id").limit(NPivots)
+        .collect().map(_.getSeq[Double](1).toArray).toSeq
+      val k = cents.size // corpus smaller than NPivots degrades gracefully
+      for (_ <- 1 to KmeansIters) {
+        val means = assign(sample, codebookOf(spark, cents))
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg((sum(col("x").cast("decimal(28,12)")) /
+            count(lit(1))).cast("double").as("m"))
+          .collect()
+          .groupBy(_.getAs[Long]("cluster"))
+          .map { case (c, rows) =>
+            c.toInt -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
+          }
+        cents = (0 until k).map(c => means.getOrElse(c, cents(c).clone()))
+      }
+      // round for cross-run stability at the cell boundary
+      cents.map(_.map(x => math.rint(x * 1e6) / 1e6))
+    })
+  }
+
+  private def codebookOf(spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("pivot_id", "pv")
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+  }
+
+  /** The codebook pivots as a frame (probe side scores the query against
+    * these — identical vectors to the ones the index was built with).
+    */
+  def pivots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    centroids(spark, dir).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("pivot_id", "pv")
+  }
 
   /** The codebook as ONE row holding all (pivot_id, centroid) entries —
     * broadcasts for map-side assignment with zero row fan. array_sort
@@ -102,7 +165,15 @@ object AnnIndex {
     val fp = SessionCache.dirFingerprint(spark, dir)
     val prefix = s"ivf_${Integer.toHexString(dir.hashCode)}"
     val root = indexRoot(spark)
-    val path = s"$root/${prefix}_$fp"
+    // the index version folds in a CODEBOOK hash, not just the corpus
+    // fingerprint: a pivot-build change (or retrained centroids) must
+    // invalidate an on-disk index built against the old codebook, or
+    // probes would score against pivots the cells were never assigned to
+    val cb = centroids(spark, dir)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
+    val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
+    val path = s"$root/${prefix}_${fp}_$cbHash"
     building.computeIfAbsent(path, _ => {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,11 +191,12 @@ object AnnIndex {
           .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
         if (!fs.rename(staging, p)) fs.delete(staging, true) // lost the race
       }
-      // evict superseded fingerprints of this corpus (best-effort)
+      // evict superseded versions of this corpus — older fingerprints AND
+      // older codebooks (best-effort)
       if (fs.exists(new Path(root))) {
         fs.listStatus(new Path(root)).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith(s"${prefix}_") && n != s"${prefix}_$fp" &&
+          if (n.startsWith(s"${prefix}_") && n != s"${prefix}_${fp}_$cbHash" &&
               !n.contains(".build-"))
             fs.delete(st.getPath, true)
         }
