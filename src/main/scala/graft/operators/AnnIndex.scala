@@ -303,9 +303,36 @@ object AnnIndex {
         Tables.embeddings(spark, dir)
           .repartition(spark.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        // co-locate each (band_id, band_key) bucket into ONE task before the
+        // partitioned write: without this every one of the 32 hyperplane
+        // tasks writes a sliver into every bucket directory — measured in
+        // round 7 as 2,003 files averaging 513 B for an 8 k-row corpus, an
+        // object-store metadata storm at scale and ~2 k file opens per
+        // probe. With it the layout is ≤ one file per bucket; the
+        // hyperplane compute still parallelizes across the pre-repartition
+        // scan above.
+        .repartition(col("band_id"), col("band_key"))
         .write.mode("overwrite").partitionBy("band_id", "band_key").parquet(staging)
     }
   }
+
+  /** The (band_id, band_key) bucket coordinates of ONE query vector,
+    * computed by running [[bandify]] over the 1-row query frame (filter on
+    * `vec_id` pushes into the embeddings scan) and collected — bounded at
+    * [[LshBands]] rows, driver-safe by construction. Probes turn these into
+    * LITERAL predicates on the index's partition columns so STATIC
+    * partition pruning opens exactly the query's ≤ nBands bucket
+    * directories; the round-7 form fetched the query's bands by filtering
+    * the index on `vec_id` — a non-partition column — which full-scanned
+    * all 64 directories to find 4 rows, twice per probe.
+    */
+  def queryBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] =
+    bandify(
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") === vecId)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select("band_id", "band_key")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
 
   /** LSH banded signatures as a DataFrame over the materialized table:
     * (vec_id, band_id, band_key), 24 B/row — orders of magnitude under the

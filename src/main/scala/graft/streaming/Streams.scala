@@ -202,6 +202,35 @@ object Streams {
       .partitionBy("cluster")
       .outputMode("append")
 
+  /** Streaming LSH index ingestion — the incremental build path of the
+    * banded-signature index ([[graft.operators.AnnIndex.ensureLsh]]): each
+    * arriving embedding is banded MAP-SIDE with the exact transform the
+    * batch build uses ([[graft.operators.AnnIndex.bandify]] — hyperplane
+    * bits from plan-time literals, zero shuffle, no state, no watermark),
+    * so streamed vectors land in the same (band_id, band_key) buckets a
+    * batch rebuild would assign them to and probes keep partition-pruning
+    * to the query's buckets while new vectors stream in.
+    * Scale: banding cost is O(batch × planes); output is 24 B/row keys,
+    * never the vector payload. Geometry changes (planes/seed/bands) are a
+    * batch concern: build a fresh index version, restart the stream on it.
+    */
+  def lshIngest(vectors: DataFrame): DataFrame =
+    graft.operators.AnnIndex.bandify(vectors)
+
+  /** Parquet sink for [[lshIngest]]: (band_id, band_key)-partitioned
+    * append — the partition layout IS the hash-bucket index, identical to
+    * the batch build's ([[graft.operators.AnnIndex.ensureLsh]]).
+    */
+  def lshIngestSink(
+      vectors: DataFrame,
+      path: String, checkpointDir: String) =
+    lshIngest(vectors).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("band_id", "band_key")
+      .outputMode("append")
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -32,7 +32,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.exceptAll(fresh).isEmpty && fresh.exceptAll(idx).isEmpty)
   }
 
-  test("ensureIvf is build-once per corpus version; a changed corpus gets a fresh index and evicts the old") {
+  test("ensureIvf is build-once per corpus version; eviction is RETAIN-ONE across versions") {
     // private corpus copy: the shared testdata dir must never be written
     val corpus = Files.createTempDirectory("ann_corpus")
     Files.copy(Paths.get(s"$sf/embeddings.parquet"),
@@ -45,13 +45,75 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.ensureIvf(spark, dir) == path1)
     assert(Files.getLastModifiedTime(success1) == mtime1, "no rebuild on re-probe")
 
-    // corpus changes (append a file) → new fingerprint → new index path,
-    // and the superseded version is deleted from the index root
+    // corpus changes (append a file) → new fingerprint → new index path.
+    // Eviction keeps the most recent superseded version (a cross-JVM
+    // reader that resolved it before this build may be mid-scan), so after
+    // build 2 BOTH versions exist …
     Files.write(corpus.resolve("embeddings_2.parquet"),
       Files.readAllBytes(corpus.resolve("embeddings.parquet")))
     val path2 = AnnIndex.ensureIvf(spark, dir)
     assert(path2 != path1, "changed corpus must get a fresh index version")
+    assert(Files.exists(Paths.get(path1.stripPrefix("file:"))),
+      "retain-one: the immediately superseded version must survive one build")
+
+    // … and after build 3 the oldest (v1) is aged out while v2 survives.
+    Files.write(corpus.resolve("embeddings_3.parquet"),
+      Files.readAllBytes(corpus.resolve("embeddings.parquet")))
+    val path3 = AnnIndex.ensureIvf(spark, dir)
+    assert(path3 != path2 && path3 != path1)
     assert(!Files.exists(Paths.get(path1.stripPrefix("file:"))),
-      "superseded index version must be evicted")
+      "twice-superseded version must be evicted")
+    assert(Files.exists(Paths.get(path2.stripPrefix("file:"))),
+      "retain-one: most recent superseded version survives")
+    assert(Files.exists(Paths.get(path3.stripPrefix("file:"), "_SUCCESS")))
+  }
+
+  test("ensureLsh is build-once per corpus version and lays out one file per bucket") {
+    val corpus = Files.createTempDirectory("ann_corpus_lsh")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val dir = corpus.toString
+
+    val path1 = AnnIndex.ensureLsh(spark, dir)
+    val success1 = Paths.get(path1.stripPrefix("file:"), "_SUCCESS")
+    val mtime1 = Files.getLastModifiedTime(success1)
+    assert(AnnIndex.ensureLsh(spark, dir) == path1)
+    assert(Files.getLastModifiedTime(success1) == mtime1, "no rebuild on re-probe")
+
+    // the version string folds in the LSH geometry so a parameter change
+    // invalidates an artifact keyed under the old hyperplanes
+    val geom = Integer.toHexString(
+      s"${AnnIndex.LshPlanes}/${AnnIndex.LshSeed}/${AnnIndex.LshBands}/${AnnIndex.LshBandBits}".hashCode)
+    assert(path1.endsWith(s"_$geom"), "index version must fold in the LSH geometry")
+
+    // layout: the round-7 build wrote ~32 files per bucket (2,003 tiny
+    // files); the bucket-repartitioned write must produce ≤ 1 data file
+    // per (band_id, band_key) directory
+    val root = Paths.get(path1.stripPrefix("file:"))
+    import scala.jdk.CollectionConverters._
+    val perBucket = Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent)
+    assert(perBucket.nonEmpty)
+    perBucket.foreach { case (bucketDir, files) =>
+      assert(bucketDir.toString.contains("band_id="),
+        s"data files must live under (band_id, band_key) partitions: $bucketDir")
+      assert(files.size == 1, s"expected one file per bucket, $bucketDir has ${files.size}")
+    }
+
+    // coverage: every corpus vector appears in exactly LshBands buckets
+    val n = Tables.embeddings(spark, sf).count()
+    assert(AnnIndex.lshBands(spark, dir).count() == n * AnnIndex.LshBands)
+  }
+
+  test("queryBands matches the materialized index's rows for the same vector") {
+    val qb = AnnIndex.queryBands(spark, sf, 0L).sorted
+    val fromIndex = AnnIndex.lshBands(spark, sf)
+      .where(col("vec_id") === 0L)
+      .select("band_id", "band_key")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(qb == fromIndex,
+      "probe-side band derivation must agree with the index build")
+    assert(qb.size == AnnIndex.LshBands)
   }
 }

@@ -111,15 +111,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "probe list and query must broadcast")
   }
 
-  test("simAnnLsh probes the materialized signature artifact — no hyperplane fold") {
+  test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
     val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
     // corpus signatures are computed once per corpus version
-    // (AnnIndex.lshBands); a probe that contains the hyperplane fold is
+    // (AnnIndex.ensureLsh); a probe that contains the hyperplane fold is
     // recomputing the index per query — the 100 TB anti-pattern
     assert(!p.contains("hyperplane_bits"),
       "probe plan must not recompute corpus signatures")
-    assert(p.contains("localCheckpoint"),
-      "band probe must scan the materialized artifact")
+    assert(p.contains("graft_ann"), "probe must read the materialized on-disk index")
+    // the query's bucket coordinates are LITERAL predicates on the
+    // (band_id, band_key) partition columns: the band-table scan must be
+    // statically pruned to the query's ≤ nBands buckets — round 7 filtered
+    // on vec_id (a data column) and full-scanned all 64 directories twice
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partFilters.exists(l => l.contains("band_id") && l.contains("band_key")),
+      s"band scan must prune on (band_id, band_key); PartitionFilters: $partFilters")
     // payload fetch for candidates is a broadcast join over the corpus
     // scan, never a shuffle of the corpus
     assert(!p.contains("SortMergeJoin"))

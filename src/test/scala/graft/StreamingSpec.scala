@@ -191,6 +191,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH ingest lands rows in the same buckets as a batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = Seq(
+      (10L, Seq(0.9, 0.1, -0.3, 0.4)),
+      (11L, Seq(-0.2, 0.8, 0.2, -0.5)),
+      (12L, Seq(0.1, -0.2, 0.9, 0.3)))
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("lsh_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_ckpt").toString
+    val q = Streams.lshIngestSink(mem.toDF().toDF("vec_id", "v"), out, ckpt).start()
+    try {
+      mem.addData(vecs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(2): _*) // later batch appends into the same layout
+      q.processAllAvailable()
+
+      // explicit schema like AnnIndex.lshBands: partition-column type
+      // inference would narrow band_key to int on small values
+      val streamed = spark.read
+        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // the batch transform on the same rows must yield the same buckets —
+      // bandify is shared verbatim between the two paths
+      val batch = Streams.lshIngest(vecs.toDF("vec_id", "v"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == vecs.size * graft.operators.AnnIndex.LshBands)
+      // the partition layout IS the hash-bucket index
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("band_id=")).map(_.getName)
+      assert(parts.nonEmpty)
+    } finally q.stop()
+  }
+
   test("enrichedStream labels events from the static runs dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
