@@ -152,6 +152,8 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     */
   def flush(): Unit = synchronized {
     import spark.implicits._
+    val dirty = runBuf.nonEmpty || repoBuf.nonEmpty || commitBuf.nonEmpty ||
+      metricBuf.nonEmpty || kvBuf.nonEmpty || artifactBuf.nonEmpty
     def append[T <: Product : org.apache.spark.sql.Encoder](
         rows: Seq[T], table: String): Unit =
       if (rows.nonEmpty)
@@ -169,6 +171,9 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     metricBuf.clear()
     append(kvBuf.toSeq, "kv"); kvBuf.clear()
     append(artifactBuf.toSeq, "artifacts"); artifactBuf.clear()
+    // managed-store contract: every mutation advances the O(1) version
+    // marker, so fingerprint probes of this store never pay a listing
+    if (dirty) graft.sources.StoreVersion.bump(spark, root)
   }
 }
 
@@ -236,6 +241,7 @@ final class WaddleStore(spark: SparkSession, root: String) {
     import spark.implicits._
     Seq(WaddleSchema.DeleteRow(runId, System.currentTimeMillis() / 1000.0))
       .toDF().write.mode("append").parquet(s"$root/deletes")
+    graft.sources.StoreVersion.bump(spark, root)
   }
 
   /** Anti-join the tombstones: deletes are few, so broadcast. No distinct —
@@ -560,6 +566,9 @@ final class WaddleStore(spark: SparkSession, root: String) {
       // 5. COMMIT: the manifest vanishes in one metadata op; everything
       // after is idempotent cleanup of provable duplicates
       fs.delete(manifestPath, false)
+      // compaction rewrote table contents in place — advance the store
+      // version so O(1) fingerprint probes see the new state
+      graft.sources.StoreVersion.bump(spark, root)
       fs.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/.compact-old"), true)
       deletesSnapshot.foreach { n =>

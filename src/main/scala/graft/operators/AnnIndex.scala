@@ -86,6 +86,15 @@ object AnnIndex {
     spark.conf.getOption("spark.graft.ann.indexRoot")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft_ann")
 
+  /** The corpus version token every index artifact is keyed by. O(1) on a
+    * marker-carrying managed store, one metadata listing otherwise (see
+    * [[graft.sources.StoreVersion]]). Probes that touch several artifacts
+    * resolve this ONCE and thread it through — the round-7 IVF probe paid
+    * the listing three times (centroids, pivots, ensureIvf) per query.
+    */
+  def corpusVersion(spark: SparkSession, dir: String): String =
+    SessionCache.dirFingerprint(spark, dir)
+
   /** Deterministic UNBIASED k-means sample: the [[SampleIds]] rows with the
     * lowest (xxhash64(vec_id), vec_id) — a total order, so the draw is
     * identical across runs, partitionings, and engines, and uniform over
@@ -116,8 +125,13 @@ object AnnIndex {
     *    iteration; empty cells keep their previous centroid.
     * Cached per corpus version (same fingerprint key as [[ensureIvf]]).
     */
-  def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] = {
-    val key = s"$dir|${SessionCache.dirFingerprint(spark, dir)}"
+  def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
+    centroids(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[centroids]] with the corpus version precomputed by the caller. */
+  def centroids(
+      spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
+    val key = s"$dir|$version"
     centroidCache.computeIfAbsent(key, _ => {
       val sample = kmeansSample(spark, dir)
       var cents: Seq[Array[Double]] = sample
@@ -156,9 +170,13 @@ object AnnIndex {
   /** The codebook pivots as a frame (probe side scores the query against
     * these — identical vectors to the ones the index was built with).
     */
-  def pivots(spark: SparkSession, dir: String): DataFrame = {
+  def pivots(spark: SparkSession, dir: String): DataFrame =
+    pivots(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[pivots]] with the corpus version precomputed by the caller. */
+  def pivots(spark: SparkSession, dir: String, version: String): DataFrame = {
     import spark.implicits._
-    centroids(spark, dir).zipWithIndex
+    centroids(spark, dir, version).zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("pivot_id", "pv")
   }
@@ -168,7 +186,11 @@ object AnnIndex {
     * makes collect_list order irrelevant.
     */
   def codebook(spark: SparkSession, dir: String): DataFrame =
-    pivots(spark, dir).groupBy()
+    codebook(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[codebook]] with the corpus version precomputed by the caller. */
+  def codebook(spark: SparkSession, dir: String, version: String): DataFrame =
+    pivots(spark, dir, version).groupBy()
       .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
 
   /** Map-side coarse assignment: argmax by (similarity, pivot_id) on the
@@ -248,9 +270,12 @@ object AnnIndex {
     * codebook, or probes would score against pivots the cells were never
     * assigned to.
     */
-  def ensureIvf(spark: SparkSession, dir: String): String = {
-    val fp = SessionCache.dirFingerprint(spark, dir)
-    val cb = centroids(spark, dir)
+  def ensureIvf(spark: SparkSession, dir: String): String =
+    ensureIvf(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[ensureIvf]] with the corpus version precomputed by the caller. */
+  def ensureIvf(spark: SparkSession, dir: String, fp: String): String = {
+    val cb = centroids(spark, dir, fp)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
     val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
@@ -262,7 +287,7 @@ object AnnIndex {
           // 16-cosine assignment is the compute — spread it over all cores
           .repartition(spark.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        codebook(spark, dir))
+        codebook(spark, dir, fp))
         .withColumn("cluster", col("cluster").cast("int"))
         .write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
@@ -272,7 +297,11 @@ object AnnIndex {
     * over the partitioned directory.
     */
   def ivf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(IvfSchema).parquet(ensureIvf(spark, dir))
+    ivf(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[ivf]] with the corpus version precomputed by the caller. */
+  def ivf(spark: SparkSession, dir: String, version: String): DataFrame =
+    spark.read.schema(IvfSchema).parquet(ensureIvf(spark, dir, version))
 
   /** The banded-signature transform — key-only output, shared verbatim by
     * the batch index build and the streaming ingester
@@ -293,8 +322,11 @@ object AnnIndex {
     * hyperplane pass per corpus VERSION — a fresh JVM's first probe reads
     * the prebuilt table instead of paying that pass (round-6 verdict #1).
     */
-  def ensureLsh(spark: SparkSession, dir: String): String = {
-    val fp = SessionCache.dirFingerprint(spark, dir)
+  def ensureLsh(spark: SparkSession, dir: String): String =
+    ensureLsh(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[ensureLsh]] with the corpus version precomputed by the caller. */
+  def ensureLsh(spark: SparkSession, dir: String, fp: String): String = {
     val geom = Integer.toHexString(
       s"$LshPlanes/$LshSeed/$LshBands/$LshBandBits".hashCode)
     ensureBuilt(spark, indexRoot(spark),
@@ -341,5 +373,9 @@ object AnnIndex {
     * ≤ [[LshBands]] buckets. Multi-probe = more bands, not more scan.
     */
   def lshBands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(LshSchema).parquet(ensureLsh(spark, dir))
+    lshBands(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[lshBands]] with the corpus version precomputed by the caller. */
+  def lshBands(spark: SparkSession, dir: String, version: String): DataFrame =
+    spark.read.schema(LshSchema).parquet(ensureLsh(spark, dir, version))
 }

@@ -82,15 +82,19 @@ object Similarity {
     * 14/16ths of the corpus are never opened.
     */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    // one corpus-version resolution per probe, shared by pivots + index
+    // (each resolution is an O(1) marker read on a managed store but a
+    // full metadata listing on an unmanaged one)
+    val ver = AnnIndex.corpusVersion(spark, dir)
     val q = withVec(spark, dir).where(col("vec_id") === 0L)
       .select(col("v").as("qv"))
-    val probe = AnnIndex.pivots(spark, dir).crossJoin(broadcast(q))
+    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(q))
       .select(col("pivot_id"), expr("cosine_sim(pv, qv)").as("psim"))
       .orderBy(desc("psim"), asc("pivot_id"))
       .limit(AnnIndex.NProbe)
       .select(col("pivot_id").cast("int").as("cluster"))
 
-    AnnIndex.ivf(spark, dir)
+    AnnIndex.ivf(spark, dir, ver)
       .join(broadcast(probe), Seq("cluster"))
       .where(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
@@ -125,7 +129,7 @@ object Similarity {
     val bucketPred = qPairs
       .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val candIds = AnnIndex.lshBands(spark, dir)
+    val candIds = AnnIndex.lshBands(spark, dir, AnnIndex.corpusVersion(spark, dir))
       .where(bucketPred)
       .where(col("vec_id") =!= 0L)
       .select("vec_id").distinct()

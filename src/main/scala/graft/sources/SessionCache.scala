@@ -77,10 +77,21 @@ object SessionCache {
     ()
   }
 
-  /** Cheap change detector: hash of the recursive file listing (path, size,
-    * mtime). One namenode/metadata listing per cache probe — no data reads.
-    * Goes through the Hadoop FileSystem API so the probe is correct on
-    * hdfs:// and s3a:// paths, not just local disk.
+  /** Listing-fallback counter, exposed for the StoreVersionSpec assertion
+    * that marker-carrying stores are probed WITHOUT recursive listings.
+    */
+  private[graft] val fallbackListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Cheap change detector. A managed store (one carrying a
+    * [[StoreVersion]] marker) resolves in O(1): one read of the marker
+    * file, no listing — the write paths bump the marker on every mutation.
+    * Anything else falls back to a hash of the recursive file listing
+    * (path, size, mtime): one namenode/metadata listing per cache probe,
+    * no data reads — correct for external corpora whose writers know
+    * nothing about the marker protocol, O(files) round trips on an object
+    * store. Goes through the Hadoop FileSystem API so both probes are
+    * correct on hdfs:// and s3a:// paths, not just local disk.
     * `private[graft]`: [[graft.operators.AnnIndex]] keys its on-disk
     * inverted file by the same corpus fingerprint.
     */
@@ -88,7 +99,8 @@ object SessionCache {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) "absent"
-    else {
+    else StoreVersion.read(fs, path).getOrElse {
+      fallbackListings.incrementAndGet()
       var h = 1125899906842597L
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
