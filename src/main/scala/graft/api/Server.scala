@@ -175,6 +175,8 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
       (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
         case ("GET", Nil) | ("GET", List("static", "dashboard.html")) =>
           respond(ex, 200, DashboardServer.clientHtml, "text/html")
+        case ("GET", "static" :: rest) if rest.nonEmpty =>
+          serveStatic(ex, rest)
         case ("GET", List("api", "events")) => subscribe(ex)
         case ("GET", List("api", "runs")) => listRuns(ex)
         case ("GET", List("api", "runs", id)) => getRun(ex, id)
@@ -197,6 +199,41 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
         respond(ex, 400, Json.jsonObject(Seq("error" -> e.getMessage)))
       case e: Throwable =>
         respond(ex, 500, Json.jsonObject(Seq("error" -> String.valueOf(e.getMessage))))
+    }
+  }
+
+  /** Generic `/static/{path}` route (the reference's `_server.py:108`
+    * `Route("/static/{path:path}", static_file)`): serves classpath
+    * resources under `graft/` so a deployment can bundle extra assets
+    * (plugin JS, icons) next to the dashboard page. Traversal-proof by
+    * construction — each segment is validated, so no `..`, absolute, or
+    * empty segment can escape the resource prefix; unknown files are the
+    * reference's 404 JSON.
+    */
+  private def serveStatic(ex: HttpExchange, segments: List[String]): Unit = {
+    val ok = segments.forall(s =>
+      s.nonEmpty && s != ".." && s != "." && !s.contains('\\') && !s.contains(':'))
+    val resource = s"graft/${segments.mkString("/")}"
+    val stream =
+      if (!ok) None
+      else Option(getClass.getClassLoader.getResourceAsStream(resource))
+    stream match {
+      case None => respond(ex, 404, """{"error":"not found"}""")
+      case Some(is) =>
+        val bytes = try is.readAllBytes() finally is.close()
+        val ct = segments.last.takeRight(5) match {
+          case s if s.endsWith(".html") => "text/html"
+          case s if s.endsWith(".js")   => "application/javascript"
+          case s if s.endsWith(".css")  => "text/css"
+          case s if s.endsWith(".json") => "application/json"
+          case s if s.endsWith(".svg")  => "image/svg+xml"
+          case s if s.endsWith(".png")  => "image/png"
+          case _ => "application/octet-stream"
+        }
+        ex.getResponseHeaders.set("Content-Type", ct)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
     }
   }
 

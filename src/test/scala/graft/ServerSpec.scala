@@ -128,6 +128,25 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("generic /static/{path} serves bundled resources, 404s unknown, blocks traversal") {
+    val root = Files.createTempDirectory("waddle-static").toString
+    val srv = new DashboardServer(spark, root, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // the bundled client is reachable through the generic route too
+      val page = get(port, "/static/dashboard.html")
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      // unknown asset → the reference's 404 JSON (_server.py:85-86)
+      val missing = get(port, "/static/no-such-file.js")
+      assert(missing.statusCode() == 404 && missing.body().contains("not found"))
+      // traversal segments never escape the resource prefix
+      assert(get(port, "/static/../graft/dashboard.html").statusCode() == 404)
+      assert(get(port, "/static/..%2F..%2Fetc%2Fpasswd").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("SSE fan-out reaches every client and survives disconnects") {
     val root = Files.createTempDirectory("waddle-sse2").toString
     val srv = new DashboardServer(spark, root, port = 0)

@@ -311,6 +311,45 @@ class WaddleApiSpec extends SparkSpec {
     assert(keys.contains("system/mem.heap_used_mb"))
   }
 
+  test("system monitor emits per-device gpu keys when the probe binary is present, none otherwise") {
+    // fake nvidia-smi: two devices, reference CSV shape (util %, MiB, °C)
+    val fake = Files.createTempFile("fake-nvidia-smi", ".sh")
+    Files.writeString(fake,
+      "#!/bin/sh\necho '45, 2048, 61'\necho '12, 1024, 50'\n")
+    fake.toFile.setExecutable(true)
+
+    val root = Files.createTempDirectory("waddle").toString
+    val sess = new WaddleSession(spark, root)
+    val run = sess.initRun("gpu-monitored")
+    val mon = new graft.api.SystemMonitor(sess, run, intervalMillis = 50L,
+      gpuCommand = Seq(fake.toString)).start()
+    Thread.sleep(300L)
+    mon.stop()
+    sess.finishRun(run)
+    val store = new WaddleStore(spark, root)
+    val rows = store.metrics(run).where(col("key").startsWith("system/gpu"))
+      .select("key", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.head.getDouble(1)).toMap
+    // reference key scheme: system/gpu{i}_util_percent / _memory_used_gb /
+    // _temp_c (/root/reference/waddle/_sysmetrics.py:92-95)
+    assert(rows("system/gpu0_util_percent") == 45.0)
+    assert(math.abs(rows("system/gpu0_memory_used_gb") - 2.0) < 1e-9)
+    assert(rows("system/gpu0_temp_c") == 61.0)
+    assert(rows("system/gpu1_util_percent") == 12.0)
+    assert(rows.keySet.size == 6, s"exactly two devices × three keys: $rows")
+
+    // absent binary → capability probe fails once → zero gpu keys, no error
+    val run2 = sess.initRun("gpu-less")
+    val mon2 = new graft.api.SystemMonitor(sess, run2, intervalMillis = 50L,
+      gpuCommand = Seq("/nonexistent/nvidia-smi")).start()
+    Thread.sleep(150L)
+    mon2.stop()
+    sess.finishRun(run2)
+    val gone = new WaddleStore(spark, root).metrics(run2)
+      .where(col("key").startsWith("system/gpu")).count()
+    assert(gone == 0L, "no gpu keys on a host without the probe binary")
+  }
+
   test("running run with stale metrics shows aborted at read time") {
     val root = Files.createTempDirectory("waddle").toString
     val sess = new WaddleSession(spark, root)
