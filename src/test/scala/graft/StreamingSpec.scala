@@ -215,11 +215,16 @@ class StreamingSpec extends SparkSpec {
         .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
         .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-      // the batch transform on the same rows must yield the same buckets —
-      // bandify is shared verbatim between the two paths
-      val batch = Streams.lshIngest(vecs.toDF("vec_id", "v"))
+      // a full BATCH REBUILD of the same vectors (ensureLsh over a corpus
+      // dir holding them as embeddings.parquet) must land every row in the
+      // same buckets — the two build paths are interchangeable
+      val corpus = java.nio.file.Files.createTempDirectory("lsh_corpus").toString
+      vecs.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      val batch = graft.operators.AnnIndex.lshBands(spark, corpus)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-      assert(streamed == batch)
+      assert(streamed == batch,
+        "streamed vectors must land in the same buckets as a batch rebuild")
       assert(streamed.size == vecs.size * graft.operators.AnnIndex.LshBands)
       // the partition layout IS the hash-bucket index
       val parts = new java.io.File(out).listFiles()
