@@ -96,6 +96,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "q_text_redact"     -> (TextAnalysis.textRedact _),
     "q_decontaminate"   -> (TextAnalysis.decontaminate _),
+    "q_mix_report"      -> (TextAnalysis.corpusMix _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -327,6 +328,17 @@ object SparkEntry {
         |       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_words,
         |       round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_mix_report" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens, n_chars,
+        |       round(CAST(n_tokens AS DOUBLE) /
+        |             (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM cells), 6)
+        |         AS token_share
+        |FROM cells ORDER BY lang, source""".stripMargin,
     "q_split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -78,6 +78,20 @@ object AnnIndex {
   // one build attempt per (root, index version) per JVM; the on-disk
   // _SUCCESS probe below makes cross-JVM reuse work too
   private val building = new ConcurrentHashMap[String, String]()
+  // resolved index frames: `spark.read.parquet` re-lists the directory and
+  // re-reads footers on EVERY call, so a probe-per-query workload pays an
+  // index-sized listing per probe. The path embeds the corpus version +
+  // parameter hash, so a resolved frame can never serve a stale index —
+  // same discipline as Tables.resolved. Keyed by session identity so plans
+  // never leak across sessions.
+  private val resolved = new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+
+  private def resolvedFrame(
+      spark: SparkSession, path: String, schema: String): DataFrame =
+    resolved.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
+        path),
+      _ => spark.read.schema(schema).parquet(path))
   // codebook per (dir, corpus fingerprint): the probe and the index build
   // MUST score against identical pivots
   private val centroidCache = new ConcurrentHashMap[String, Seq[Array[Double]]]()
@@ -301,7 +315,7 @@ object AnnIndex {
 
   /** As [[ivf]] with the corpus version precomputed by the caller. */
   def ivf(spark: SparkSession, dir: String, version: String): DataFrame =
-    spark.read.schema(IvfSchema).parquet(ensureIvf(spark, dir, version))
+    resolvedFrame(spark, ensureIvf(spark, dir, version), IvfSchema)
 
   /** The banded-signature transform — key-only output, shared verbatim by
     * the batch index build and the streaming ingester
@@ -377,5 +391,5 @@ object AnnIndex {
 
   /** As [[lshBands]] with the corpus version precomputed by the caller. */
   def lshBands(spark: SparkSession, dir: String, version: String): DataFrame =
-    spark.read.schema(LshSchema).parquet(ensureLsh(spark, dir, version))
+    resolvedFrame(spark, ensureLsh(spark, dir, version), LshSchema)
 }

@@ -32,6 +32,35 @@ object TextAnalysis {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
       .orderBy("lang")
 
+  /** Training-data mixture card: per (lang, source) doc/token/char totals
+    * plus each cell's share of corpus tokens — the accounting every
+    * LLM-pretraining pipeline publishes (and tunes) as its mixture weights
+    * before a run; q_text_stats is the per-lang view, this is the
+    * per-mixture-cell one the sampler actually consumes.
+    * Determinism: integer sums are exact; token_share is ONE double
+    * division of two exact longs, so round(…, 6) hashes identically in
+    * both engines.
+    * Scale: one map-side-partial hash aggregate over the corpus →
+    * mixture-cell-sized frame (≤ langs × sources rows); the corpus total
+    * comes from re-aggregating THAT frame (1 row, broadcast back) — the
+    * minmaxScale pattern, never a whole-corpus window or second scan.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+    val total = cells.agg(sum("n_tokens").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
+      .orderBy("lang", "source")
+  }
+
   /** F9 — per-document token counting: whitespace tokens and a BPE-ish
     * regex tokenization (letter runs / digit runs / single other chars —
     * the pre-tokenizer split most BPE vocabularies assume).
