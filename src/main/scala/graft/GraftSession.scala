@@ -34,6 +34,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // the generated-class cache defaults to 100 entries; a 68-query
+      // mixed workload carries several codegen units per query, so at the
+      // default size repeat executions (warm service, bench laps) evict
+      // and RECOMPILE every plan — Janino compile + class-load per query
+      // per pass. Sized so the whole suite's units stay resident.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def create(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
