@@ -56,6 +56,7 @@ object SparkEntry {
     "q_sample_balanced" -> (Sampling.sampleDocuments _),
     "q_split_assign"    -> (Sampling.splitAssign _),
     "q_pack_sequences"  -> ((s, d) => Sampling.packSequences(s, d)),
+    "q_length_bins"     -> (Sampling.lengthBins _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -347,6 +348,25 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_length_bins" ->
+      // naive single-scan form; the engine's sketch-then-map plan must
+      // produce identical bins (percentile ≡ quantile_cont interpolation)
+      """WITH toks AS (
+        |  SELECT lang, CAST(COALESCE(length(string_split(text, ' ')), 0) AS DOUBLE) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, quantile_cont(tok, 0.25) AS q1,
+        |         quantile_cont(tok, 0.5) AS q2, quantile_cont(tok, 0.75) AS q3
+        |  FROM toks GROUP BY lang)
+        |SELECT t.lang,
+        |       CASE WHEN tok <= q1 THEN 0 WHEN tok <= q2 THEN 1
+        |            WHEN tok <= q3 THEN 2 ELSE 3 END AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(CAST(tok AS BIGINT)) AS BIGINT) AS bin_tokens,
+        |       CAST(min(tok) AS BIGINT) AS min_tok,
+        |       CAST(max(tok) AS BIGINT) AS max_tok
+        |FROM toks t JOIN b USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
     "q_pack_sequences" ->
       // the naive single-scan prefix sum; the engine's two-phase sharded
       // scan must produce the identical packing

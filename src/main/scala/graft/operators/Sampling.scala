@@ -128,6 +128,49 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Length-curriculum binning — assign every document to a per-language
+    * token-length quartile (the bucketed-batching / curriculum-schedule
+    * step: short-sequence bins pad less and warm up training, long bins
+    * stress context) and emit the per-(lang, bin) accounting a data
+    * loader's batch sampler consumes.
+    *
+    * Scale: the naive form ranks each language's docs by length — a
+    * whole-corpus sort owned by |langs| reducers (the skew balanceStrata
+    * and packSequences refuse). Here the bin BOUNDARIES come from one
+    * exact `percentile` aggregate (map-side partials, one row per lang),
+    * broadcast back; bin assignment is then a map-side comparison — the
+    * sketch-then-map shape, so no corpus-sized shuffle exists beyond the
+    * final mixture-cell aggregate. At 100 TB swap the exact percentile
+    * for `percentile_approx` without touching the plan shape.
+    * Determinism: Spark `percentile` and DuckDB `quantile_cont` both
+    * linearly interpolate (the q_quantiles equivalence), token counts are
+    * exact ints, and edges compare as doubles — the binning hashes
+    * identically in both engines.
+    */
+  def lengthBins(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        coalesce(size(split(col("text"), " ")), lit(0)).cast("double").as("tok"))
+    val bounds = toks.groupBy("lang")
+      .agg(percentile(col("tok"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("lang"), col("qs").getItem(0).as("q1"),
+        col("qs").getItem(1).as("q2"), col("qs").getItem(2).as("q3"))
+    toks.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bin",
+        when(col("tok") <= col("q1"), 0)
+          .when(col("tok") <= col("q2"), 1)
+          .when(col("tok") <= col("q3"), 2)
+          .otherwise(3))
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok").cast("long")).as("bin_tokens"),
+        min(col("tok").cast("long")).as("min_tok"),
+        max(col("tok").cast("long")).as("max_tok"))
+      .orderBy("lang", "bin")
+  }
+
   /** Sequence packing — assemble fixed-token-budget training sequences
     * from consecutive docs (per lang, ordered by doc_id): each doc joins
     * the pack its first token falls into, `pack_id =

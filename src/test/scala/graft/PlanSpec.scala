@@ -177,6 +177,26 @@ class PlanSpec extends SparkSpec {
       "expected the checkpointed fingerprint leaf")
   }
 
+  test("corpusMix broadcasts the 1-row total — no window, no second corpus scan") {
+    val p = plan(graft.operators.TextAnalysis.corpusMix(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "corpus total must broadcast back to the mixture cells")
+    assert(!p.contains("Window"), "share must come from an aggregate, not a window")
+    // exactly one scan of documents.parquet: the total re-aggregates the
+    // mixture-cell frame, it must not rescan the corpus
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+      "corpus total must derive from the cell aggregate, not a second scan")
+  }
+
+  test("lengthBins assigns bins map-side from broadcast percentile boundaries") {
+    val p = plan(graft.operators.Sampling.lengthBins(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "quartile boundaries must broadcast back for map-side assignment")
+    assert(!p.contains("Window"),
+      "binning must never rank the corpus — the |langs|-reducer sort skew")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("minmaxScale joins broadcast bounds — no whole-partition window") {
     val p = plan(graft.operators.Tracking.minmaxScale(spark, sf))
     assert(p.contains("BroadcastExchange"))
