@@ -146,6 +146,10 @@ object AnnIndex {
   def centroids(
       spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
     val key = s"$dir|$version"
+    // superseded-version entries for the same corpus dir are dead weight
+    // (k×dim doubles each) on a service that re-ingests: drop them before
+    // inserting, mirroring SessionCache's discipline
+    centroidCache.keySet.removeIf(k => k.startsWith(s"$dir|") && k != key)
     centroidCache.computeIfAbsent(key, _ => {
       val sample = kmeansSample(spark, dir)
       var cents: Seq[Array[Double]] = sample
@@ -273,6 +277,12 @@ object AnnIndex {
         if (!fs.rename(staging, p)) fs.delete(staging, true) // lost the race
       }
       evictSuperseded(fs, root, prefix, s"${prefix}_$version")
+      // drop resolved frames of superseded versions: a long-lived service
+      // whose corpus keeps changing must not accumulate one dead plan per
+      // index generation (their directories are evicted above anyway)
+      resolved.keySet.removeIf { case (_, p) =>
+        p.startsWith(s"$root/${prefix}_") && p != path
+      }
       path
     })
   }

@@ -73,20 +73,34 @@ object StoreVersion {
     * any session-cached artifacts derived from it. Write paths call this
     * after the mutation's files are fully visible, so a reader that sees
     * the new version also sees the new data.
+    *
+    * A lost rename race is RETRIED with a fresh counter read: each caller
+    * represents a real mutation, so every bump must land — if racing bumps
+    * could collapse into one, the loser's mutation would be invisible to a
+    * reader that fingerprinted between the two writes. Bounded attempts;
+    * on exhaustion the marker is DELETED, demoting the store to listing
+    * fallback — slower, never stale.
     */
   def bump(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) fs.mkdirs(p)
-    val next = counterOf(fs, p) + 1
-    val nonce = UUID.randomUUID().toString.take(8)
-    val tmp = new Path(p, s".$MarkerName.tmp-$nonce")
-    val out = fs.create(tmp, true)
-    try out.write(s"$next $nonce".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
     val marker = new Path(p, MarkerName)
-    fs.delete(marker, false) // readers in the gap fall back to the listing
-    if (!fs.rename(tmp, marker)) fs.delete(tmp, false) // lost a racing bump
+    var attempts = 0
+    var installed = false
+    while (!installed && attempts < 5) {
+      attempts += 1
+      val next = counterOf(fs, p) + 1
+      val nonce = UUID.randomUUID().toString.take(8)
+      val tmp = new Path(p, s".$MarkerName.tmp-$nonce")
+      val out = fs.create(tmp, true)
+      try out.write(s"$next $nonce".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(marker, false) // readers in the gap fall back to the listing
+      installed = fs.rename(tmp, marker)
+      if (!installed) fs.delete(tmp, false) // lost the race — re-read, retry
+    }
+    if (!installed) fs.delete(marker, false)
     SessionCache.invalidate(dir)
   }
 }

@@ -39,6 +39,10 @@ class StoreVersionSpec extends SparkSpec {
     val v2 = fp(dir)
     assert(v2 != v1, "bump must advance the fingerprint")
     assert(listings == before, "the bumped probe is still listing-free")
+    // the counter is monotonic — every bump lands (a lost rename race
+    // retries), so N mutations are N distinguishable versions
+    assert(v1.startsWith("sv1_") && v2.startsWith("sv2_"),
+      s"monotonic counters expected, got $v1 / $v2")
   }
 
   test("unmanaged dir: every probe pays a listing and appended files are detected") {
