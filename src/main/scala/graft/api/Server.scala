@@ -213,9 +213,16 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
   private def serveStatic(ex: HttpExchange, segments: List[String]): Unit = {
     val ok = segments.forall(s =>
       s.nonEmpty && s != ".." && s != "." && !s.contains('\\') && !s.contains(':'))
+    // asset-extension whitelist: the graft/ resource prefix is also the
+    // application's package root, so without this the route would serve
+    // the engine's own .class files (and any other jar resource) to
+    // anyone holding the dashboard port
+    val servable = Set(".html", ".js", ".css", ".json", ".svg", ".png", ".ico")
+    val okType = segments.lastOption.exists(n =>
+      servable.exists(n.toLowerCase.endsWith(_)))
     val resource = s"graft/${segments.mkString("/")}"
     val stream =
-      if (!ok) None
+      if (!ok || !okType) None
       else Option(getClass.getClassLoader.getResourceAsStream(resource))
     stream match {
       case None => respond(ex, 404, """{"error":"not found"}""")

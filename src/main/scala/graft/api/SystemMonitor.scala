@@ -85,14 +85,23 @@ object SystemMonitor {
   private[api] def queryGpu(cmd: Seq[String]): Seq[(Double, Double, Double)] =
     Try {
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-      val ok = proc.waitFor(5, TimeUnit.SECONDS) && proc.exitValue == 0
-      if (!ok) Seq.empty
-      else out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { line =>
-        line.split(",").map(_.trim) match {
-          case Array(u, m, t) =>
-            Try((u.toDouble, m.toDouble / 1024.0, t.toDouble)).toOption
-          case _ => None
+      // wait FIRST, read after exit: reading to EOF before waitFor would
+      // block forever on a wedged binary (the classic stuck-driver
+      // nvidia-smi failure) and the timeout could never fire. The few
+      // CSV lines fit comfortably in the OS pipe buffer, so the child
+      // never blocks on a full pipe before exiting.
+      if (!proc.waitFor(5, TimeUnit.SECONDS)) {
+        proc.destroyForcibly() // no zombie per sample on a hung binary
+        Seq.empty
+      } else if (proc.exitValue != 0) Seq.empty
+      else {
+        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+        out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { line =>
+          line.split(",").map(_.trim) match {
+            case Array(u, m, t) =>
+              Try((u.toDouble, m.toDouble / 1024.0, t.toDouble)).toOption
+            case _ => None
+          }
         }
       }
     }.getOrElse(Seq.empty)

@@ -154,26 +154,35 @@ final class WaddleSession(spark: SparkSession, root: String, project: String = "
     import spark.implicits._
     val dirty = runBuf.nonEmpty || repoBuf.nonEmpty || commitBuf.nonEmpty ||
       metricBuf.nonEmpty || kvBuf.nonEmpty || artifactBuf.nonEmpty
-    def append[T <: Product : org.apache.spark.sql.Encoder](
-        rows: Seq[T], table: String): Unit =
-      if (rows.nonEmpty)
-        rows.toDF().write.mode("append").parquet(s"$root/$table")
-    append(runBuf.toSeq, "runs"); runBuf.clear()
-    append(repoBuf.toSeq, "repos"); repoBuf.clear()
-    append(commitBuf.toSeq, "commits"); commitBuf.clear()
-    if (metricBuf.nonEmpty) {
-      WaddleStore.dropMetricsCatalog(spark, root)
-      metricBuf.toSeq.toDF()
-        .withColumn("metric_date", to_date(from_unixtime(col("ts").cast("long"))))
-        .write.mode("append").partitionBy("metric_date").parquet(s"$root/metrics")
-      spark.catalog.refreshByPath(s"$root/metrics")
-    }
-    metricBuf.clear()
-    append(kvBuf.toSeq, "kv"); kvBuf.clear()
-    append(artifactBuf.toSeq, "artifacts"); artifactBuf.clear()
     // managed-store contract: every mutation advances the O(1) version
-    // marker, so fingerprint probes of this store never pay a listing
+    // marker. Bumped BOTH sides of the writes: the pre-bump makes a crash
+    // mid-append safe (a reader after the crash sees a version unlike any
+    // it cached against, even though the completion bump never ran — the
+    // failure the listing fallback used to catch for free), the
+    // finally-bump re-invalidates readers that fingerprinted between the
+    // pre-bump and the files becoming visible.
     if (dirty) graft.sources.StoreVersion.bump(spark, root)
+    try {
+      def append[T <: Product : org.apache.spark.sql.Encoder](
+          rows: Seq[T], table: String): Unit =
+        if (rows.nonEmpty)
+          rows.toDF().write.mode("append").parquet(s"$root/$table")
+      append(runBuf.toSeq, "runs"); runBuf.clear()
+      append(repoBuf.toSeq, "repos"); repoBuf.clear()
+      append(commitBuf.toSeq, "commits"); commitBuf.clear()
+      if (metricBuf.nonEmpty) {
+        WaddleStore.dropMetricsCatalog(spark, root)
+        metricBuf.toSeq.toDF()
+          .withColumn("metric_date", to_date(from_unixtime(col("ts").cast("long"))))
+          .write.mode("append").partitionBy("metric_date").parquet(s"$root/metrics")
+        spark.catalog.refreshByPath(s"$root/metrics")
+      }
+      metricBuf.clear()
+      append(kvBuf.toSeq, "kv"); kvBuf.clear()
+      append(artifactBuf.toSeq, "artifacts"); artifactBuf.clear()
+    } finally {
+      if (dirty) graft.sources.StoreVersion.bump(spark, root)
+    }
   }
 }
 

@@ -86,12 +86,41 @@ object AnnIndex {
   // never leak across sessions.
   private val resolved = new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
 
+  private val resolvedHooked = ConcurrentHashMap.newKeySet[String]()
+
   private def resolvedFrame(
-      spark: SparkSession, path: String, schema: String): DataFrame =
-    resolved.computeIfAbsent(
-      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
-        path),
+      spark: SparkSession, path: String, schema: String): DataFrame = {
+    val sessionKey =
+      spark.sparkContext.applicationId + "/" + System.identityHashCode(spark)
+    // same lifecycle discipline as SessionCache: a stopped session's
+    // entries are evicted on application end, so a multi-session process
+    // does not accumulate one dead plan per (session, index version)
+    if (resolvedHooked.add(sessionKey)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            resolved.keySet.removeIf(_._1 == sessionKey)
+            resolvedHooked.remove(sessionKey)
+            ()
+          }
+        })
+    }
+    resolved.computeIfAbsent((sessionKey, path),
       _ => spark.read.schema(schema).parquet(path))
+  }
+
+  /** Drop resolved frames for `path` (all sessions). A resolved frame
+    * snapshots the directory's file listing at first probe, which is
+    * correct for version-keyed batch builds (immutable once `_SUCCESS`
+    * lands) but NOT for an index a streaming ingester is growing in
+    * place — call this after (or periodically between) streamed appends
+    * so same-JVM probes re-list and see the new buckets.
+    */
+  def invalidateResolved(path: String): Unit = {
+    resolved.keySet.removeIf(_._2 == path)
+    ()
+  }
   // codebook per (dir, corpus fingerprint): the probe and the index build
   // MUST score against identical pivots
   private val centroidCache = new ConcurrentHashMap[String, Seq[Array[Double]]]()
@@ -147,9 +176,12 @@ object AnnIndex {
       spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
     val key = s"$dir|$version"
     // superseded-version entries for the same corpus dir are dead weight
-    // (k×dim doubles each) on a service that re-ingests: drop them before
-    // inserting, mirroring SessionCache's discipline
-    centroidCache.keySet.removeIf(k => k.startsWith(s"$dir|") && k != key)
+    // (k×dim doubles each) on a service that re-ingests: drop them when a
+    // NEW version is about to be built — on miss only, so two concurrent
+    // readers holding different version tokens cannot evict each other's
+    // entry and thrash the (expensive) k-means build on every read
+    if (!centroidCache.containsKey(key))
+      centroidCache.keySet.removeIf(k => k.startsWith(s"$dir|") && k != key)
     centroidCache.computeIfAbsent(key, _ => {
       val sample = kmeansSample(spark, dir)
       var cents: Seq[Array[Double]] = sample

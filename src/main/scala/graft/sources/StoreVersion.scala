@@ -51,9 +51,14 @@ object StoreVersion {
       else {
         val in = fs.open(marker)
         try {
-          val buf = new Array[Byte](256)
-          val n = in.read(buf)
-          val s = new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim
+          // read to EOF, not one read() call: a short first read is legal
+          // on remote filesystems and a truncated token would drop the
+          // nonce — exactly the byte that disambiguates racing bumps
+          val buf = new java.io.ByteArrayOutputStream(64)
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          val s = buf.toString(StandardCharsets.UTF_8).trim
           if (s.isEmpty) None else Some("sv" + s.replace(' ', '_'))
         } finally in.close()
       }
@@ -80,8 +85,22 @@ object StoreVersion {
     * reader that fingerprinted between the two writes. Bounded attempts;
     * on exhaustion the marker is DELETED, demoting the store to listing
     * fallback — slower, never stale.
+    *
+    * In-JVM bumps are serialized per directory (the deployment shape: one
+    * writer process per store). CROSS-process racing writers keep version
+    * DISTINCTNESS (every landed bump carries a fresh nonce) but not strict
+    * counter monotonicity — a bump racing the delete/rename gap can
+    * re-read a lower counter. Distinctness is the property staleness
+    * detection needs; the counter is a human-readable convenience.
     */
-  def bump(spark: SparkSession, dir: String): Unit = {
+  private val bumpLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def bump(spark: SparkSession, dir: String): Unit =
+    bumpLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      bumpLocked(spark, dir)
+    }
+
+  private def bumpLocked(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) fs.mkdirs(p)

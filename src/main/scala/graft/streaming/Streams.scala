@@ -220,6 +220,12 @@ object Streams {
   /** Parquet sink for [[lshIngest]]: (band_id, band_key)-partitioned
     * append — the partition layout IS the hash-bucket index, identical to
     * the batch build's ([[graft.operators.AnnIndex.ensureLsh]]).
+    * Same-JVM probes cache a resolved frame per index path (its file
+    * listing frozen at first probe — right for immutable version-keyed
+    * builds, stale for a layout growing in place): call
+    * [[graft.operators.AnnIndex.invalidateResolved]] after (or
+    * periodically between) streamed appends so probes re-list and see the
+    * new buckets. Applies equally to [[annIngestSink]].
     */
   def lshIngestSink(
       vectors: DataFrame,

@@ -144,6 +144,10 @@ class ServerSpec extends SparkSpec {
       // traversal segments never escape the resource prefix
       assert(get(port, "/static/../graft/dashboard.html").statusCode() == 404)
       assert(get(port, "/static/..%2F..%2Fetc%2Fpasswd").statusCode() == 404)
+      // the graft/ resource prefix is also the package root: compiled
+      // classes must never be servable
+      assert(get(port, "/static/GraftSession.class").statusCode() == 404)
+      assert(get(port, "/static/api/DashboardServer.class").statusCode() == 404)
     } finally srv.stop()
   }
 
