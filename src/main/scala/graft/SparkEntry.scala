@@ -98,6 +98,9 @@ object SparkEntry {
     "q_text_redact"     -> (TextAnalysis.textRedact _),
     "q_decontaminate"   -> (TextAnalysis.decontaminate _),
     "q_mix_report"      -> (TextAnalysis.corpusMix _),
+    "q_ngram_counts"    -> (TextAnalysis.ngramCounts _),
+    "q_text_repetition" -> (TextAnalysis.textRepetition _),
+    "q_cluster_profile" -> (Similarity.clusterProfile _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -413,6 +416,41 @@ object SparkEntry {
         |       array_to_string(toks[start+1 : start+100], ' ') AS chunk,
         |       CAST(least(100, n - start) AS INTEGER) AS n_tokens
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM toks),
+        |counts AS (
+        |  SELECT lang, w[i] || ' ' || w[i+1] AS gram,
+        |         count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |  FROM idx GROUP BY 1, 2)
+        |SELECT lang, rank, gram, n_occurrences, n_docs
+        |FROM (SELECT lang, gram, n_occurrences, n_docs,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_occurrences DESC, gram) AS rank
+        |      FROM counts)
+        |WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         list_transform(range(1, len(w) - 1),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM toks)
+        |SELECT doc_id, lang, n_grams, n_distinct, dup_ratio,
+        |       dup_ratio > 0.1 AS flagged
+        |FROM (SELECT doc_id, lang,
+        |             len(grams) AS n_grams,
+        |             len(list_distinct(grams)) AS n_distinct,
+        |             CASE WHEN len(grams) > 0
+        |                  THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                              / len(grams)) * 1e6) / 1e6
+        |                  ELSE 0.0 END AS dup_ratio
+        |      FROM g)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

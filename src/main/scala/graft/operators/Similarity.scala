@@ -103,6 +103,53 @@ object Similarity {
       .limit(10)
   }
 
+  /** Embedding-domain cluster profile: per IVF cell — population, dominant
+    * label and its share, and cohesion (average cosine of members to their
+    * own centroid). This is the composition card a curation pipeline reads
+    * before weighting domains (which semantic regions dominate, how pure
+    * each is, which cells are diffuse enough to need re-clustering) — the
+    * cluster-level view that SemDeDup-style pruning and domain-mixture
+    * tuning both start from.
+    *
+    * Reuses the SAME cached codebook as the ANN index ([[AnnIndex
+    * .centroids]] — build-once per corpus version), so the profile and the
+    * index describe identical cells and a probe's cluster ids line up with
+    * the profile's rows. rows-only: the oracle can't replay k-means.
+    *
+    * Determinism: centroids are rounded at build ([[AnnIndex.centroids]]),
+    * per-row cosine is a fixed-order fold, the cross-row average routes
+    * through DECIMAL(28,12) (order-insensitive sum), dominant-label ties
+    * break on the smaller label value.
+    * Scale: assignment is map-side (broadcast 1-row codebook, zero fan)
+    * over the corpus scan; the only shuffles carry (cluster × label) partial
+    * aggregates — map-side combine leaves ≤ cells×labels rows in flight,
+    * never vectors.
+    */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      // scan-spread: few input splits, 16-cosine assignment is the compute
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cells = AnnIndex.assign(emb, AnnIndex.codebook(spark, dir, ver))
+      .join(broadcast(AnnIndex.pivots(spark, dir, ver)
+        .withColumnRenamed("pivot_id", "cluster")), Seq("cluster"))
+      .select(col("cluster"), col("label"), expr("cosine_sim(v, pv)").as("sim"))
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"), sum(col("sim").cast("decimal(28,12)")).as("s"))
+    cells.groupBy("cluster")
+      .agg(
+        sum("n").as("n_vecs"),
+        // min_by over (-n, label): dominant count first, label-asc ties
+        expr("min_by(label, struct(-n, label))").as("top_label"),
+        round(max("n").cast("double") / sum("n"), 6).as("top_share"),
+        round(sum("s").cast("double") / sum("n"), 6).as("avg_sim"))
+      .select(col("cluster").cast("int").as("cluster"), col("n_vecs"),
+        col("top_label"), col("top_share"), col("avg_sim"))
+      .orderBy("cluster")
+  }
+
   /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
     * twin above is the oracle-verified baseline and its recall reference).
     *

@@ -398,4 +398,85 @@ object TextAnalysis {
       docs.where(col("doc_id") % EvalSliceMod =!= 0),
       docs.where(col("doc_id") % EvalSliceMod === 0))
   }
+
+  /** Vocabulary candidates: top-10 word bigrams per language by occurrence
+    * count, with document frequency — the corpus-statistics pass a
+    * tokenizer/vocab build (or a boilerplate detector: high df/count skew)
+    * runs before training. Deterministic: ties break on the gram string.
+    *
+    * Bigrams come from two aligned `slice`s zipped — NOT
+    * `transform(sequence(0, size-2), …)`: `sequence` flips to a DESCENDING
+    * [0, -1] range on 1-token docs and would fabricate grams from
+    * wrapped indices; slice length `greatest(size-1, 0)` is simply empty
+    * there.
+    *
+    * Scale: gram counting is the canonical map-side-combine hash
+    * aggregate. The top-k is TWO-PHASE — a per-(lang, 32-way gram-hash
+    * bucket) row_number pass keeps 10 rows per bucket, then the global
+    * per-lang rank runs over ≤ langs×32×10 survivors — because a single
+    * `Window.partitionBy(lang)` funnels the whole distinct-gram table
+    * (vocabulary-sized: huge at 100 TB) through one reducer per language.
+    * Bucket-local top-10 under the same total order (count DESC, gram ASC)
+    * is a superset of the global top-10, so phase 2 is exact.
+    */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val n2 = greatest(size(w) - 1, lit(0))
+    val grams = zip_with(slice(w, lit(1), n2), slice(w, lit(2), n2),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+    val local = counts
+      .withColumn("bucket", pmod(xxhash64(col("gram")), lit(32)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("lang", "bucket")
+          .orderBy(desc("n_occurrences"), asc("gram"))))
+      .where(col("lr") <= 10)
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n_occurrences"), asc("gram"))))
+      .where(col("rank") <= 10)
+      .select("lang", "rank", "gram", "n_occurrences", "n_docs")
+      .orderBy("lang", "rank")
+  }
+
+  /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram
+    * fraction" rule): per document, the fraction of word 3-grams that are
+    * repeats of an earlier gram in the same document, plus the filter
+    * flag at the classic 0.1 threshold. Self-repetitive docs (boilerplate,
+    * decoding loops, scraped nav bars) are what this drops from a
+    * pretraining mix.
+    * Doubles are floor-truncated (trunc6, see [[textQuality]]) and the
+    * flag compares the TRUNCATED ratio so the boundary is identical in
+    * both engines.
+    * Scale: map-only over the scan — the gram array lives inside one row's
+    * evaluation (never exploded, never shuffled); output is one row per
+    * doc with no shuffle before the output sort.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+    val w = words(col("text"))
+    val n3 = greatest(size(w) - 2, lit(0))
+    val g12 = zip_with(slice(w, lit(1), n3), slice(w, lit(2), n3),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = zip_with(g12, slice(w, lit(3), n3),
+      (ab, c) => concat(ab, lit(" "), c))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), grams.as("grams"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          trunc6(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams")))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("dup_ratio") > 0.1)
+      .orderBy("doc_id")
+  }
 }

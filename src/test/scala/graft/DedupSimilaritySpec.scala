@@ -194,4 +194,29 @@ class DedupSimilaritySpec extends SparkSpec {
       if (bruteSims.contains(id)) assert(bruteSims(id) == r.getAs[Double]("sim"))
     }
   }
+
+  test("clusterProfile: cells partition the corpus; shares/cohesion bounded; deterministic") {
+    import graft.sources.Tables
+    import graft.operators.AnnIndex
+    val prof = Similarity.clusterProfile(spark, sf).collect()
+    assert(prof.nonEmpty)
+    assert(prof.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sf).count(),
+      "every vector lands in exactly one cell")
+    val clusters = prof.map(_.getAs[Int]("cluster"))
+    assert(clusters.distinct.length == clusters.length)
+    assert(clusters.forall(c => c >= 0 && c < AnnIndex.NPivots))
+    prof.foreach { r =>
+      val share = r.getAs[Double]("top_share")
+      assert(share > 0.0 && share <= 1.0)
+      val sim = r.getAs[Double]("avg_sim")
+      assert(sim >= -1.0 && sim <= 1.0)
+      assert(r.getAs[Int]("top_label") >= 0)
+      // dominant share of an n-member cell is at least 1/n
+      assert(share * r.getAs[Long]("n_vecs") >= 0.999)
+    }
+    // centroids are build-once per corpus version: a rerun is identical
+    val again = Similarity.clusterProfile(spark, sf).collect()
+    assert(prof.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -202,4 +202,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("Window"), "bounds must come from an aggregate, not a window")
   }
+
+  test("ngramCounts top-k is two-phase: bucket-local rank before the per-lang rank") {
+    val p = plan(graft.operators.TextAnalysis.ngramCounts(spark, sf))
+    assert("row_number".r.findAllIn(p).size >= 2,
+      "bucket-local row_number must precede the global per-lang rank — " +
+        "a single per-lang window funnels the vocabulary through one reducer")
+    assert(p.contains("bucket"), "phase 1 partitions by (lang, gram-hash bucket)")
+  }
+
+  test("clusterProfile assigns map-side from broadcast codebook — no vector shuffle join") {
+    val p = plan(Similarity.clusterProfile(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      "vector payloads must never shuffle for a join")
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
+      "1-row codebook cross join + broadcast centroid join")
+  }
 }

@@ -131,4 +131,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rs.count() ==
       graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("ngramCounts: dense per-lang ranks ordered by count desc, gram-asc ties") {
+    val rows = TextAnalysis.ngramCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        "ranks are dense 1..k within each language")
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Long]("n_occurrences"), b.getAs[Long]("n_occurrences"))
+          assert(ca >= cb, "ordered by occurrence count desc")
+          if (ca == cb)
+            assert(a.getAs[String]("gram") < b.getAs[String]("gram"),
+              "count ties break on the gram string")
+        case _ =>
+      }
+      rs.foreach { r =>
+        assert(r.getAs[String]("gram").contains(" "), "bigram of two tokens")
+        assert(r.getAs[Long]("n_docs") >= 1L)
+        assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences"),
+          "document frequency cannot exceed occurrences")
+      }
+    }
+  }
+
+  test("textRepetition matches a direct Scala recomputation per doc") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.textRepetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") < 20 && col("text").isNotNull)
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { d =>
+      // -1 limit: Spark's split keeps trailing empty tokens; Java's default drops them
+      val toks = d.getAs[String]("text").split(" ", -1)
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val r = out(d.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_grams") == grams.length)
+      assert(r.getAs[Int]("n_distinct") == grams.distinct.length)
+      val expect =
+        if (grams.isEmpty) 0.0
+        else math.floor((1.0 - grams.distinct.length.toDouble / grams.length) * 1e6) / 1e6
+      assert(r.getAs[Double]("dup_ratio") == expect)
+      assert(r.getAs[Boolean]("flagged") == (expect > 0.1))
+    }
+  }
 }
