@@ -109,6 +109,29 @@ class CompactionSpec extends SparkSpec {
     assert(store.metrics(r2).count() == 5)
   }
 
+  test("flush recreating a swapped-out table dir does not defeat recovery") {
+    // the history-loss hazard: crash between swap-out and swap-in leaves
+    // metrics only in .compact-old; an append-mode flush() then RECREATES
+    // $root/metrics holding only the new rows. Recovery must merge the
+    // recreated dir's files into the restored backup — treating "cur
+    // exists" as "already restored" would delete the only copy of the
+    // pre-compaction history with the backup dir.
+    val (_, sess, store, r1, _) = freshStore()
+    val metricsBefore = store.metrics(r1).collect().toSeq
+    intercept[RuntimeException] {
+      store.compact { point =>
+        if (point == "swapped-out:metrics") sys.error("injected crash")
+      }
+    }
+    sess.log(r1, Map("loss" -> 0.01))
+    sess.flush() // recreates the missing metrics dir with one new file
+    store.compact() // runs recovery first, then compacts cleanly
+    val after = store.metrics(r1).collect().toSeq
+    assert(after.length == metricsBefore.length + 1,
+      "pre-crash history AND the post-crash flush must both survive")
+    assert(metricsBefore.toSet.subsetOf(after.toSet))
+  }
+
   test("crash after swap-in: rollback discards staged output without row duplication") {
     val (_, _, store, r1, _) = freshStore()
     val metricsBefore = store.metrics(r1).collect().toSeq
