@@ -74,6 +74,8 @@ object SparkEntry {
     "q_correlated_scalar" -> (Analytics.correlatedScalar _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
+    "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),
+    "q_sim_ann_batch"   -> (Similarity.simAnnBatch _),
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
     "q_sim_ann_ivf"     -> (Similarity.simAnnIvf _),
@@ -313,6 +315,22 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_sim_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      q.qv), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id >= 5)
+        |SELECT qid, rank, vec_id, sim
+        |FROM (SELECT qid, vec_id, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY sim DESC, vec_id ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_vector_norms" ->
       """SELECT label, count(*) AS n_vecs,
         |       round(min(norm), 6) AS min_norm,

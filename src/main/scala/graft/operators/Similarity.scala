@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -68,6 +69,37 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batched exact top-k: ONE plan scores [[BatchQueries]] query vectors
+    * against the corpus and returns each query's top-10 — the serving shape
+    * of a retrieval tier, where queries arrive in batches and a per-query
+    * loop would pay the scheduling floor K times (and rescan the corpus K
+    * times).
+    *
+    * Scale: the K-row query frame broadcasts; the corpus is scanned ONCE
+    * with a map-side K-way fan (K·n rows never materialize — the fan feeds
+    * straight into the group-limit). Per-query top-10 is
+    * `row_number ≤ 10`, which Spark rewrites to WindowGroupLimit: each
+    * input partition keeps its local top-10 PER QUERY before the exchange,
+    * so the shuffle carries ≤ K·10 rows per partition, not the scanned
+    * corpus (pinned in PlanSpec).
+    */
+  def simBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withVec(spark, dir)
+    val qs = emb.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    emb.where(col("vec_id") >= BatchQueries)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .where(col("rank") <= 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** How many query vectors the batched variants serve (vec_id 0..4). */
+  val BatchQueries = 5
+
   /** O4'' — IVF (inverted-file) ANN: probe the query's [[AnnIndex.NProbe]]
     * nearest clusters of the MATERIALIZED inverted file; exact cosine
     * re-rank of the probed cells only.
@@ -101,6 +133,43 @@ object Similarity {
       .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** Batched IVF ANN: [[BatchQueries]] queries probed in ONE plan against
+    * the materialized inverted file — cluster selection for ALL queries is
+    * a single K×[[AnnIndex.NPivots]] broadcast product (per-query rank via
+    * WindowGroupLimit over ≤ K·16 rows), and the index scan is pruned by
+    * dynamic partition pruning to the UNION of the probed cells, each read
+    * once even when several queries probe it. A corpus row in a
+    * multi-probed cell fans per probing query AFTER the pruned scan,
+    * tagged with qid; re-rank joins the broadcast query frame and the
+    * per-qid top-10 group-limits map-side like [[simBatchTopK]].
+    * At 100 TB this is the difference between K probes × fixed floor ×
+    * repeated cell reads and one job whose scan cost is the probed-cell
+    * union.
+    */
+  def simAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val qs = withVec(spark, dir).where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(qs))
+      .select(col("qid"), col("pivot_id"),
+        expr("cosine_sim(pv, qv)").as("psim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("psim"), asc("pivot_id"))))
+      .where(col("pr") <= AnnIndex.NProbe)
+      .select(col("qid"), col("pivot_id").cast("int").as("cluster"))
+
+    AnnIndex.ivf(spark, dir, ver)
+      .join(broadcast(probe), Seq("cluster"))
+      .where(col("vec_id") >= BatchQueries)
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .where(col("rank") <= 10)
+      .orderBy("qid", "rank")
   }
 
   /** Embedding-domain cluster profile: per IVF cell — population, dominant

@@ -195,6 +195,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batched ANN agrees with batched exact retrieval per query") {
+    val exact = Similarity.simBatchTopK(spark, sf).collect()
+    val ann = Similarity.simAnnBatch(spark, sf).collect()
+    val qids = exact.map(_.getAs[Long]("qid")).distinct.sorted
+    assert(qids.toSeq == (0L until Similarity.BatchQueries.toLong),
+      "every batch query must return exact results")
+    assert(ann.map(_.getAs[Long]("qid")).distinct.length == qids.length,
+      "every batch query must return ANN results")
+    val exactByQ = exact.groupBy(_.getAs[Long]("qid"))
+    val annByQ = ann.groupBy(_.getAs[Long]("qid"))
+    qids.foreach { q =>
+      val ex = exactByQ(q)
+      assert(ex.length == 10)
+      // ANN candidates score identically to brute force on shared ids
+      val exSims = ex.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+      val an = annByQ(q)
+      an.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        if (exSims.contains(id)) assert(exSims(id) == r.getAs[Double]("sim"))
+      }
+      // recall sanity per query: probed cells overlap the true top-10
+      assert(an.map(_.getAs[Long]("vec_id")).toSet
+        .intersect(ex.map(_.getAs[Long]("vec_id")).toSet).nonEmpty)
+      // ranks are dense and ordered
+      assert(an.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rank")).toSeq ==
+        (1 to an.length))
+    }
+  }
+
   test("clusterProfile: cells partition the corpus; shares/cohesion bounded; deterministic") {
     import graft.sources.Tables
     import graft.operators.AnnIndex

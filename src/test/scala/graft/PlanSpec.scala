@@ -211,6 +211,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), "phase 1 partitions by (lang, gram-hash bucket)")
   }
 
+  test("simBatchTopK group-limits map-side — the K-way fan never reaches the exchange whole") {
+    val p = plan(Similarity.simBatchTopK(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=10 must rewrite to a partial group-limit so each " +
+        "partition ships ≤ K·10 rows, not the scanned corpus ×K")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the K-row query frame must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus shuffle join")
+  }
+
+  test("simAnnBatch prunes the index to the probed-cell union — one batched job") {
+    val p = plan(Similarity.simAnnBatch(spark, sf))
+    assert(!p.contains("array_max(transform"),
+      "probe plan must not re-assign the corpus to clusters")
+    assert(p.contains("dynamicpruningexpression"),
+      "inverted-file scan must be partition-pruned to the probed clusters")
+    assert(p.contains("graft_ann"), "probe must read the materialized index")
+    assert(p.contains("WindowGroupLimit"), "per-qid top-10 group-limits map-side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("clusterProfile assigns map-side from broadcast codebook — no vector shuffle join") {
     val p = plan(Similarity.clusterProfile(spark, sf))
     assert(!p.contains("SortMergeJoin"),
