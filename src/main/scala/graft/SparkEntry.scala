@@ -72,6 +72,7 @@ object SparkEntry {
     "q_full_outer"      -> (Analytics.fullOuterAlign _),
     "q_exists_subquery" -> (Analytics.existsSubquery _),
     "q_correlated_scalar" -> (Analytics.correlatedScalar _),
+    "q_heavy_hitters"   -> (Analytics.heavyHitters _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),
@@ -315,6 +316,20 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(SUM(n_rows) AS DOUBLE) AS total, count(*) AS n_keys
+        |  FROM counts)
+        |SELECT rank, user_id, n_rows,
+        |       round(n_rows / total, 6) AS share,
+        |       round(n_rows * n_keys / total, 6) AS skew_vs_mean
+        |FROM (SELECT user_id, n_rows,
+        |             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+        |      FROM counts) CROSS JOIN tot
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
     "q_sim_topk_batch" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),

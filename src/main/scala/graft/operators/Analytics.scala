@@ -192,4 +192,37 @@ object Analytics {
       .select("event_id", "event_type", "value", "pr", "quartile")
       .orderBy("event_id")
   }
+
+  /** Join-key skew card: the top-20 heaviest `user_id` keys in events with
+    * each key's row share and its ratio over the mean key weight — the
+    * diagnostic a pipeline reads BEFORE a big join to decide broadcast vs
+    * salting vs AQE skew-join (a key whose skew_vs_mean is 100× means one
+    * reducer eats 100× the average partition).
+    *
+    * Scale: one hash aggregate over the fact table (map-side partials;
+    * only distinct keys shuffle). The counts frame is MATERIALIZED
+    * (localCheckpoint, key-count-sized) because two consumers with
+    * different pruned schemas read it — the 1-row total and the top-20 —
+    * and ReuseExchange cannot dedupe the differing subtrees; without the
+    * barrier the fact scan runs twice (the tfidf lesson,
+    * [[TextAnalysis.textTfidf]]). Top-20 is TakeOrderedAndProject
+    * (per-partition heaps); the rank window runs over the 20 survivors.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val tot = counts.agg(
+      sum("n_rows").cast("double").as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(desc("n_rows"), asc("user_id")).limit(20)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_rows"), asc("user_id"))))
+      .select(
+        col("rank"), col("user_id"), col("n_rows"),
+        round(col("n_rows") / col("total"), 6).as("share"),
+        round(col("n_rows") * col("n_keys") / col("total"), 6).as("skew_vs_mean"))
+      .orderBy("rank")
+  }
 }

@@ -211,6 +211,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), "phase 1 partitions by (lang, gram-hash bucket)")
   }
 
+  test("heavyHitters: top-20 is TakeOrdered over the checkpointed counts, total broadcasts") {
+    val p = plan(graft.operators.Analytics.heavyHitters(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be per-partition heaps, not a global sort of the key set")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total must broadcast")
+    // both consumers read the materialized counts, not the fact table
+    assert(!p.contains("events.parquet") ||
+      "events\\.parquet".r.findAllIn(p).size <= 1,
+      "fact table must be scanned at most once (checkpointed counts)")
+  }
+
   test("simBatchTopK group-limits map-side — the K-way fan never reaches the exchange whole") {
     val p = plan(Similarity.simBatchTopK(spark, sf))
     assert(p.contains("WindowGroupLimit"),
