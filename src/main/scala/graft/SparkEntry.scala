@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),
     "q_sim_ann_batch"   -> (Similarity.simAnnBatch _),
+    "q_ann_recall"      -> (Similarity.annRecall _),
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
     "q_sim_ann_ivf"     -> (Similarity.simAnnIvf _),

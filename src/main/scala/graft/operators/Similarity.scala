@@ -172,6 +172,27 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ANN self-audit: recall@10 of each approximate tier ([[simAnnIvf]],
+    * [[simAnnLsh]]) against the exact [[simTopK]] for the same query — the
+    * number a retrieval deployment tracks to decide nprobe / band count
+    * before trading accuracy for scan cost. rows-only: composes three
+    * rows-only/oracle plans whose own correctness is already gated.
+    * Scale: all three inputs are 10-row frames (each already the bounded
+    * output of a pruned plan); the overlap joins and the 2-row union are
+    * driver-trivial by construction.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopK(spark, dir).select("vec_id")
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      approx.select("vec_id").join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"),
+          round(col("hits") / 10.0, 6).as("recall_at_10"))
+    recallOf("ivf", simAnnIvf(spark, dir))
+      .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
+      .orderBy("method")
+  }
+
   /** Embedding-domain cluster profile: per IVF cell — population, dominant
     * label and its share, and cohesion (average cosine of members to their
     * own centroid). This is the composition card a curation pipeline reads

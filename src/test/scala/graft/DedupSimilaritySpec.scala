@@ -195,6 +195,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecall equals the overlap recomputed from the three result sets") {
+    val exact = Similarity.simTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Similarity.simAnnIvf(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.simAnnLsh(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val card = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall_at_10")).toMap
+    assert(card.keySet == Set("ivf", "lsh"))
+    assert(card("ivf") == ivf.intersect(exact).size / 10.0)
+    assert(card("lsh") == lsh.intersect(exact).size / 10.0)
+    card.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("batched ANN agrees with batched exact retrieval per query") {
     val exact = Similarity.simBatchTopK(spark, sf).collect()
     val ann = Similarity.simAnnBatch(spark, sf).collect()
