@@ -75,6 +75,17 @@ object AnnIndex {
   val LshBands = 4
   val LshBandBits = 4
 
+  /** Multi-probe expansion: how many hyperplane-bit flips a probe explores
+    * per band (the multi-probe LSH trick — perturb the query's bucket
+    * coordinates toward adjacent buckets instead of adding bands). 1 means
+    * each band probes its exact bucket plus the [[LshBandBits]] buckets one
+    * bit away: recall rises like an extra-bands index would give, but the
+    * INDEX stays [[LshBands]] entries/vector — at 100 TB bands multiply
+    * stored signature volume, while probe flips multiply only the number of
+    * (pruned, bounded) bucket directories a query opens. 0 disables.
+    */
+  val LshProbeFlips = 1
+
   // one build attempt per (root, index version) per JVM; the on-disk
   // _SUCCESS probe below makes cross-JVM reuse work too
   private val building = new ConcurrentHashMap[String, String]()
@@ -422,11 +433,29 @@ object AnnIndex {
       .select("band_id", "band_key")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
 
+  /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each
+    * band's exact bucket plus every bucket whose key differs in ≤ flips
+    * hyperplane bits — the adjacent buckets a near-neighbor most likely
+    * fell into when one hyperplane split the pair. Bounded at
+    * [[LshBands]]·(1 + [[LshBandBits]]) pairs for one flip; still literal
+    * partition predicates, still driver-safe.
+    */
+  def probeBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] = {
+    val exact = queryBands(spark, dir, vecId)
+    val flipped =
+      if (LshProbeFlips < 1) Seq.empty
+      else exact.flatMap { case (b, k) =>
+        (0 until LshBandBits).map(j => (b, k ^ (1L << j)))
+      }
+    (exact ++ flipped).distinct
+  }
+
   /** LSH banded signatures as a DataFrame over the materialized table:
     * (vec_id, band_id, band_key), 24 B/row — orders of magnitude under the
     * corpus. The (band_id, band_key) partition layout is the hash-bucket
     * index: a probe's bucket equi-join prunes the scan to the query's
-    * ≤ [[LshBands]] buckets. Multi-probe = more bands, not more scan.
+    * ≤ [[LshBands]]·(1 + [[LshBandBits]]) buckets ([[probeBands]] —
+    * multi-probe widens the PROBE, never the stored index).
     */
   def lshBands(spark: SparkSession, dir: String): DataFrame =
     lshBands(spark, dir, corpusVersion(spark, dir))

@@ -245,24 +245,25 @@ object Similarity {
     *
     * Candidates come from the MATERIALIZED key-only banded-signature
     * artifact ([[AnnIndex.lshBands]], computed once per corpus version):
-    * corpus rows sharing ≥ 1 of the query's 4 band keys. The query's own
-    * bucket coordinates are derived from the query VECTOR
-    * ([[AnnIndex.queryBands]] — 4 rows, map-side, collected bounded) and
-    * pushed as LITERAL predicates on the index's (band_id, band_key)
-    * PARTITION columns, so static partition pruning opens exactly the
-    * query's ≤ nBands bucket directories out of nBands·2^bandBits — the
-    * partition layout IS the hash-bucket index, and the probe plan shows
-    * `PartitionFilters` on it (pinned in PlanSpec) with no hyperplane fold
-    * over the corpus. Vector payloads join back for the few candidates only
-    * (broadcast semi-probe over the corpus scan — map-side, no shuffle),
-    * then exact cosine re-rank.
+    * corpus rows landing in any of the query's MULTI-PROBED buckets — each
+    * band's exact bucket plus its one-bit-flip neighbors
+    * ([[AnnIndex.probeBands]], ≤ nBands·(1+bandBits) pairs, map-side,
+    * collected bounded), pushed as LITERAL predicates on the index's
+    * (band_id, band_key) PARTITION columns, so static partition pruning
+    * opens exactly the probed bucket directories out of nBands·2^bandBits
+    * — the partition layout IS the hash-bucket index, and the probe plan
+    * shows `PartitionFilters` on it (pinned in PlanSpec) with no
+    * hyperplane fold over the corpus. Vector payloads join back for the
+    * few candidates only (broadcast semi-probe over the corpus scan —
+    * map-side, no shuffle), then exact cosine re-rank.
     * Scale: the artifact is 24 B/row, one file per bucket; at 100 TB a
     * query opens ~n/(nBands·2^bandBits) signature rows per probed bucket
-    * and the payload fetch touches the colliding vectors only.
-    * Multi-probe = more bands, not more scan.
+    * and the payload fetch touches the colliding vectors only. Multi-probe
+    * widens only this bounded probe set — the stored index never grows
+    * (that's the [[AnnIndex.LshProbeFlips]] trade).
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val qPairs = AnnIndex.queryBands(spark, dir, 0L)
+    val qPairs = AnnIndex.probeBands(spark, dir, 0L)
     val bucketPred = qPairs
       .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
       .reduceOption(_ || _).getOrElse(lit(false))
