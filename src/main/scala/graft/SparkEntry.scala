@@ -104,6 +104,7 @@ object SparkEntry {
     "q_mix_report"      -> (TextAnalysis.corpusMix _),
     "q_ngram_counts"    -> (TextAnalysis.ngramCounts _),
     "q_text_repetition" -> (TextAnalysis.textRepetition _),
+    "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -485,6 +486,37 @@ object SparkEntry {
         |                  ELSE 0.0 END AS dup_ratio
         |      FROM g)
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, text, w,
+        |         list_transform(range(1, len(w) - 1),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(w) AS INTEGER) AS n_words,
+        |         floor((CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.5 +
+        |                least(((CAST(length(text) AS DOUBLE) - (len(w) - 1))
+        |                       / len(w)) / 10.0, 1.0) * 0.3 +
+        |                least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.2)
+        |               * 1e6) / 1e6 AS quality_score,
+        |         CASE WHEN len(grams) > 0
+        |              THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                          / len(grams)) * 1e6) / 1e6
+        |              ELSE 0.0 END AS dup_ratio
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id, lang, n_words, quality_score, dup_ratio,
+        |         concat_ws(',',
+        |           CASE WHEN n_words < 12 THEN 'too_short' END,
+        |           CASE WHEN quality_score < 0.45 THEN 'low_quality' END,
+        |           CASE WHEN dup_ratio > 0.05 THEN 'repetitive' END) AS reasons
+        |  FROM m)
+        |SELECT doc_id, lang, n_words, quality_score, dup_ratio, reasons,
+        |       reasons = '' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

@@ -444,6 +444,52 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** The keep/drop decision card that closes the curation loop: every
+    * pretraining pipeline ends its per-document stage by folding the
+    * individual signals ([[textQuality]]'s score, [[textRepetition]]'s
+    * duplicate-gram ratio, a length floor) into one verdict with
+    * machine-readable reasons — this is that composition, with the same
+    * trunc6 boundaries as the component operators so a doc is never
+    * "kept" here but "flagged" there. Thresholds are corpus-tuned (as in
+    * any real pipeline — the published Gopher constants assume web crawl
+    * distributions): 12/0.45/0.05 sit inside this corpus's tails so every
+    * reason actually fires (~4% dropped at sf0.01), not outside them where
+    * the card would be a vacuous all-keep.
+    * Reasons are a comma-joined string (`concat_ws` skips the null
+    * non-firing branches in both engines), empty ⇔ keep.
+    * Scale: all three signals are map-only expressions over ONE scan —
+    * composing them costs no second pass, no join, no shuffle.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val uniqRatio = size(array_distinct(w)).cast("double") / nWords
+    val avgWordLen = (length(col("text")).cast("double") - (nWords - 1)) / nWords
+    val score = trunc6(
+      uniqRatio * 0.5 +
+        least(avgWordLen / 10.0, lit(1.0)) * 0.3 +
+        least(nWords / 100.0, lit(1.0)) * 0.2)
+    val n3 = greatest(size(w) - 2, lit(0))
+    val g12 = zip_with(slice(w, lit(1), n3), slice(w, lit(2), n3),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = zip_with(g12, slice(w, lit(3), n3),
+      (ab, c) => concat(ab, lit(" "), c))
+    val dup = when(size(grams) > 0,
+      trunc6(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams)))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(w).as("n_words"), score.as("quality_score"), dup.as("dup_ratio"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_words") < 12, lit("too_short")),
+        when(col("quality_score") < 0.45, lit("low_quality")),
+        when(col("dup_ratio") > 0.05, lit("repetitive"))))
+      .withColumn("keep", col("reasons") === "")
+      .orderBy("doc_id")
+  }
+
   /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram
     * fraction" rule): per document, the fraction of word 3-grams that are
     * repeats of an earlier gram in the same document, plus the filter

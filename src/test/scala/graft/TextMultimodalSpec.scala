@@ -158,6 +158,28 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corpusFilter verdicts are consistent with the component operators") {
+    val filt = TextAnalysis.corpusFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val qual = TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val rep = TextAnalysis.textRepetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    assert(filt.nonEmpty && filt.keySet == qual.keySet)
+    filt.foreach { case (id, r) =>
+      // same trunc6 boundaries as the component operators
+      assert(r.getAs[Double]("quality_score") == qual(id))
+      assert(r.getAs[Double]("dup_ratio") == rep(id))
+      val expect = Seq(
+        if (r.getAs[Int]("n_words") < 12) Some("too_short") else None,
+        if (r.getAs[Double]("quality_score") < 0.45) Some("low_quality") else None,
+        if (r.getAs[Double]("dup_ratio") > 0.05) Some("repetitive") else None)
+        .flatten.mkString(",")
+      assert(r.getAs[String]("reasons") == expect)
+      assert(r.getAs[Boolean]("keep") == expect.isEmpty)
+    }
+  }
+
   test("textRepetition matches a direct Scala recomputation per doc") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.textRepetition(spark, sf).collect()
