@@ -460,7 +460,16 @@ object TextAnalysis {
     * Scale: all three signals are map-only expressions over ONE scan —
     * composing them costs no second pass, no join, no shuffle.
     */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    filterVerdicts(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The verdict transform behind [[corpusFilter]], shared verbatim by the
+    * streaming ingest filter ([[graft.streaming.Streams.docFilterStream]])
+    * so a batch sweep and live ingestion apply IDENTICAL keep/drop
+    * boundaries. Input needs (doc_id, lang, text); pure map work with no
+    * aggregate or state, so it is streaming-safe without a watermark.
+    */
+  def filterVerdicts(docs: DataFrame): DataFrame = {
     def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
     val w = words(col("text"))
     val nWords = size(w).cast("double")
@@ -479,7 +488,7 @@ object TextAnalysis {
       trunc6(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams)))
       .otherwise(lit(0.0))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         size(w).as("n_words"), score.as("quality_score"), dup.as("dup_ratio"))
       .withColumn("reasons", concat_ws(",",
@@ -487,7 +496,6 @@ object TextAnalysis {
         when(col("quality_score") < 0.45, lit("low_quality")),
         when(col("dup_ratio") > 0.05, lit("repetitive"))))
       .withColumn("keep", col("reasons") === "")
-      .orderBy("doc_id")
   }
 
   /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram

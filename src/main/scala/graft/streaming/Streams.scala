@@ -140,6 +140,16 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus filter: [[graft.operators.TextAnalysis
+    * .filterVerdicts]] applied to a live document stream — the ingest-time
+    * keep/drop gate of a crawl pipeline, sharing the batch operator's
+    * expressions verbatim so a doc gets the same verdict whether it
+    * arrives in a backfill sweep or off the wire. Map-only (no state, no
+    * watermark): each micro-batch filters independently at scan speed.
+    */
+  def docFilterStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.filterVerdicts(docs)
+
   /** Stream-static enrichment: the live metric stream joined to the runs
     * dimension — how a live dashboard labels incoming points without
     * re-querying the store per event. The static side re-resolves per

@@ -296,4 +296,36 @@ class StreamingSpec extends SparkSpec {
       assert(got(20L) == 1)
     } finally q.stop()
   }
+
+  test("docFilterStream verdicts match the batch transform on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "en", "short doc"), // under the 12-word floor
+      (2L, "en", "the same gram the same gram the same gram the same gram " +
+        "the same gram the same gram the same gram"), // repetitive
+      (3L, "en", "a genuinely varied document with plenty of distinct words " +
+        "covering many different topics and reaching past the length floor easily " +
+        "because it keeps introducing fresh vocabulary throughout its span"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.docFilterStream(
+        mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("docfilter")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM docfilter").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reasons"), r.getAs[Boolean]("keep"))).toMap
+      val batch = graft.operators.TextAnalysis.filterVerdicts(
+          docs.toDF("doc_id", "lang", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reasons"), r.getAs[Boolean]("keep"))).toMap
+      assert(streamed == batch, "stream and batch must agree verdict-for-verdict")
+      assert(!streamed(1L)._2 && streamed(1L)._1.contains("too_short"))
+      assert(!streamed(2L)._2 && streamed(2L)._1.contains("repetitive"))
+      assert(streamed(3L)._2, "the varied doc must be kept")
+    } finally q.stop()
+  }
 }
