@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ngram_counts"    -> (TextAnalysis.ngramCounts _),
     "q_text_repetition" -> (TextAnalysis.textRepetition _),
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
+    "q_source_quality"  -> (TextAnalysis.sourceQuality _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -486,6 +487,45 @@ object SparkEntry {
         |                  ELSE 0.0 END AS dup_ratio
         |      FROM g)
         |ORDER BY doc_id""".stripMargin,
+    "q_source_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, text, w,
+        |         list_transform(range(1, len(w) - 1),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(w) AS INTEGER) AS n_words,
+        |         floor((CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.5 +
+        |                least(((CAST(length(text) AS DOUBLE) - (len(w) - 1))
+        |                       / len(w)) / 10.0, 1.0) * 0.3 +
+        |                least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.2)
+        |               * 1e6) / 1e6 AS quality_score,
+        |         CASE WHEN len(grams) > 0
+        |              THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                          / len(grams)) * 1e6) / 1e6
+        |              ELSE 0.0 END AS dup_ratio
+        |  FROM g),
+        |v AS (
+        |  -- keep via non-firing reasons (NOT a threshold conjunction): a
+        |  -- NULL-text doc has NULL n_words/quality, which fires no reason
+        |  -- and stays kept — the conjunction form would make keep NULL
+        |  SELECT source, quality_score, dup_ratio,
+        |         concat_ws(',',
+        |           CASE WHEN n_words < 12 THEN 'x' END,
+        |           CASE WHEN quality_score < 0.45 THEN 'x' END,
+        |           CASE WHEN dup_ratio > 0.05 THEN 'x' END) = '' AS keep
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |       round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*), 6)
+        |         AS keep_rate,
+        |       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS avg_quality,
+        |       round(CAST(SUM(CAST(dup_ratio AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS avg_dup
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "q_corpus_filter" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),

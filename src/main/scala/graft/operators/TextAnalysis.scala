@@ -463,13 +463,41 @@ object TextAnalysis {
   def corpusFilter(spark: SparkSession, dir: String): DataFrame =
     filterVerdicts(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Per-source curation report: each source's doc count, keep rate under
+    * the [[corpusFilter]] verdict, and average quality / duplicate-gram
+    * scores — the table a pipeline reads to PRUNE WHOLE SOURCES (a crawl
+    * whose keep rate collapses gets dropped upstream of any per-doc work,
+    * the cheapest filter there is).
+    * Determinism: keep_rate is a ratio of exact counts; the score averages
+    * route each trunc6'd double (≤ 6 decimals, so the DECIMAL(18,6) cast is
+    * EXACT) through an order-insensitive decimal sum, then one double
+    * division — `avg(double)` would depend on partial-sum order.
+    * Scale: [[filterVerdicts]] is map-only, so this is one scan + one
+    * mixture-cell-sized hash aggregate with map-side partials.
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    filterVerdicts(Tables.documents(spark, dir), passthrough = Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("keep_rate"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"),
+        round(sum(col("dup_ratio").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_dup"))
+      .orderBy("source")
+
   /** The verdict transform behind [[corpusFilter]], shared verbatim by the
     * streaming ingest filter ([[graft.streaming.Streams.docFilterStream]])
     * so a batch sweep and live ingestion apply IDENTICAL keep/drop
     * boundaries. Input needs (doc_id, lang, text); pure map work with no
     * aggregate or state, so it is streaming-safe without a watermark.
+    * `passthrough` names extra input columns to carry into the output
+    * (e.g. `source` for [[sourceQuality]]'s rollup) — carried on the same
+    * row, never re-joined.
     */
-  def filterVerdicts(docs: DataFrame): DataFrame = {
+  def filterVerdicts(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
     val w = words(col("text"))
     val nWords = size(w).cast("double")
@@ -489,8 +517,9 @@ object TextAnalysis {
         size(array_distinct(grams)).cast("double") / size(grams)))
       .otherwise(lit(0.0))
     docs
-      .select(col("doc_id"), col("lang"),
-        size(w).as("n_words"), score.as("quality_score"), dup.as("dup_ratio"))
+      .select(Seq(col("doc_id"), col("lang"),
+        size(w).as("n_words"), score.as("quality_score"),
+        dup.as("dup_ratio")) ++ passthrough.map(col): _*)
       .withColumn("reasons", concat_ws(",",
         when(col("n_words") < 12, lit("too_short")),
         when(col("quality_score") < 0.45, lit("low_quality")),
