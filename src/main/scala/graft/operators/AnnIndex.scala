@@ -51,11 +51,15 @@ import graft.sources.{SessionCache, Tables}
   */
 object AnnIndex {
 
-  /** Pivot count (coarse clusters) and probe width. 16/2 match the round-3
-    * operators; production tunes √n pivots and recall-driven nprobe.
+  /** Pivot count (coarse clusters) and probe width. nprobe=4 (25% of the
+    * 16 toy cells) measures recall@10 = 0.5 vs 0.3 at nprobe=2 for the
+    * same ~0.3 s probe — the scan is floor-dominated at this scale, so the
+    * wider probe is free here; production tunes √n pivots and sets nprobe
+    * from the recall card ([[Similarity.annRecall]]), where each extra
+    * probed cell costs 1/√n of a corpus scan, not a fixed floor.
     */
   val NPivots = 16
-  val NProbe = 2
+  val NProbe = 4
 
   /** k-means build parameters: Lloyd iterations over a deterministic
     * unbiased sample (see [[kmeansSample]]). 4 iterations is where the
