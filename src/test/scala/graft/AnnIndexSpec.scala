@@ -116,4 +116,20 @@ class AnnIndexSpec extends SparkSpec {
       "probe-side band derivation must agree with the index build")
     assert(qb.size == AnnIndex.LshBands)
   }
+
+  test("probeBands: superset of exact buckets, one bit flipped, keys in range") {
+    val exact = AnnIndex.queryBands(spark, sf, 0L).toSet
+    val probed = AnnIndex.probeBands(spark, sf, 0L)
+    assert(probed.distinct == probed, "no duplicate probe pairs")
+    assert(exact.subsetOf(probed.toSet), "exact buckets always probed")
+    assert(probed.size <= AnnIndex.LshBands * (1 + AnnIndex.LshBandBits),
+      "probe set bounded by bands*(1+bandBits)")
+    val flipped = probed.toSet -- exact
+    val exactByBand = exact.toMap
+    flipped.foreach { case (b, k) =>
+      assert(k >= 0 && k < (1L << AnnIndex.LshBandBits), "key stays in band range")
+      val bits = java.lang.Long.bitCount(k ^ exactByBand(b))
+      assert(bits == 1, s"flipped bucket must differ in exactly 1 bit, got $bits")
+    }
+  }
 }
