@@ -73,6 +73,7 @@ object SparkEntry {
     "q_exists_subquery" -> (Analytics.existsSubquery _),
     "q_correlated_scalar" -> (Analytics.correlatedScalar _),
     "q_heavy_hitters"   -> (Analytics.heavyHitters _),
+    "q_profile_events"  -> (Analytics.profileEvents _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),
@@ -319,6 +320,31 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_profile_events" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_n,
+        |         count(DISTINCT event_id) AS event_id_d,
+        |         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_n,
+        |         count(DISTINCT user_id) AS user_id_d,
+        |         SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_n,
+        |         count(DISTINCT event_type) AS event_type_d,
+        |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_n,
+        |         count(DISTINCT value) AS value_d,
+        |         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_n,
+        |         count(DISTINCT props) AS props_d
+        |  FROM events)
+        |SELECT col_name, n_rows, n_nulls,
+        |       round(CAST(n_nulls AS DOUBLE) / n_rows, 6) AS null_rate,
+        |       n_distinct
+        |FROM (
+        |  SELECT 'event_id' AS col_name, n_rows, event_id_n AS n_nulls,
+        |         event_id_d AS n_distinct FROM s
+        |  UNION ALL SELECT 'user_id', n_rows, user_id_n, user_id_d FROM s
+        |  UNION ALL SELECT 'event_type', n_rows, event_type_n, event_type_d FROM s
+        |  UNION ALL SELECT 'value', n_rows, value_n, value_d FROM s
+        |  UNION ALL SELECT 'props', n_rows, props_n, props_d FROM s)
+        |ORDER BY col_name""".stripMargin,
     "q_heavy_hitters" ->
       """WITH counts AS (
         |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),

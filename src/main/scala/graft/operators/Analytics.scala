@@ -193,6 +193,37 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Data-quality profile of the fact table: per column — null count/rate
+    * and exact distinct cardinality. The trust-but-verify card a pipeline
+    * runs before consuming a new drop of data (schema drift shows as a
+    * cardinality jump, a broken producer as a null-rate spike) — the
+    * Deequ/expectations stage, as one query.
+    * Scale: ONE pass; the multi-column exact distinct compiles to Spark's
+    * Expand (×|columns| row fan into one shuffle of distinct values). At
+    * 100 TB swap `countDistinct` for `approx_count_distinct` (the
+    * [[graft.operators.Tracking.approxDistinct]] HLL path — mergeable
+    * KB sketches instead of distinct-value shuffles); exact is kept here
+    * because the oracle can check it.
+    */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val agg = Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"))): _*)
+    agg.select(
+      col("n_rows"),
+      expr("stack(" + cols.size + ", " + cols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ") +
+        ") AS (col_name, n_nulls, n_distinct)"))
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        round(col("n_nulls").cast("double") / col("n_rows"), 6).as("null_rate"),
+        col("n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** Join-key skew card: the top-20 heaviest `user_id` keys in events with
     * each key's row share and its ratio over the mean key weight — the
     * diagnostic a pipeline reads BEFORE a big join to decide broadcast vs
