@@ -203,6 +203,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "bounds must come from an aggregate, not a window")
   }
 
+  test("sourceQuality carries source on the verdict row — no corpus self-join") {
+    val p = plan(graft.operators.TextAnalysis.sourceQuality(spark, sf))
+    assert(!p.contains("Join"),
+      "the source column must ride the map-only verdict row, never re-join")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      "one corpus scan feeds the rollup")
+  }
+
   test("ngramCounts top-k is two-phase: bucket-local rank before the per-lang rank") {
     val p = plan(graft.operators.TextAnalysis.ngramCounts(spark, sf))
     assert("row_number".r.findAllIn(p).size >= 2,
