@@ -57,6 +57,7 @@ object SparkEntry {
     "q_split_assign"    -> (Sampling.splitAssign _),
     "q_pack_sequences"  -> ((s, d) => Sampling.packSequences(s, d)),
     "q_length_bins"     -> (Sampling.lengthBins _),
+    "q_shuffle_shards"  -> (Sampling.shuffleShards _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),
     "q_sim_ann_batch"   -> (Similarity.simAnnBatch _),
     "q_ann_recall"      -> (Similarity.annRecall _),
+    "q_knn_label"       -> (Similarity.knnLabel _),
     "q_vector_norms"    -> (Similarity.vectorNorms _),
     "q_sim_ann_lsh"     -> (Similarity.simAnnLsh _),
     "q_sim_ann_ivf"     -> (Similarity.simAnnIvf _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_text_langid"     -> (TextAnalysis.textLangId _),
     "q_text_tfidf"      -> (TextAnalysis.textTfidf _),
+    "q_lm_quality"      -> (TextAnalysis.lmQuality _),
     "q_text_chunks"     -> (TextAnalysis.textChunks _),
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "q_text_redact"     -> (TextAnalysis.textRedact _),
@@ -375,6 +378,34 @@ object SparkEntry {
         |      FROM scored)
         |WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+    "q_knn_label" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      q.qv), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id >= 5),
+        |knn AS (
+        |  SELECT qid, label, sim
+        |  FROM (SELECT qid, label, sim,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY sim DESC, vec_id ASC) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 10),
+        |votes AS (
+        |  SELECT qid, label, count(*) AS votes,
+        |         SUM(CAST(sim AS DECIMAL(18,6))) AS simsum
+        |  FROM knn GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, votes,
+        |       round(CAST(simsum AS DOUBLE) / votes, 6) AS avg_sim
+        |FROM (SELECT qid, label, votes, simsum,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY votes DESC, simsum DESC, label ASC) AS r
+        |      FROM votes)
+        |WHERE r = 1
+        |ORDER BY qid""".stripMargin,
     "q_vector_norms" ->
       """SELECT label, count(*) AS n_vecs,
         |       round(min(norm), 6) AS min_norm,
@@ -432,6 +463,30 @@ object SparkEntry {
         |       CAST(max(tok) AS BIGINT) AS max_tok
         |FROM toks t JOIN b USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "q_shuffle_shards" ->
+      // shard = first md5 hex digit / 2 — instr + floor are portable;
+      // CAST(double AS INT) is not (DuckDB rounds half-away, Spark
+      // truncates), hence the explicit floor on both sides
+      """WITH sharded AS (
+        |  SELECT doc_id, text, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(floor((instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) / 2)
+        |           AS INT) AS shard
+        |  FROM documents),
+        |cells AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |         arg_min(doc_id, h) AS first_doc,
+        |         arg_max(doc_id, h) AS last_doc
+        |  FROM sharded GROUP BY shard)
+        |SELECT shard, n_docs,
+        |       round(CAST(n_docs AS DOUBLE) /
+        |             (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM cells), 6)
+        |         AS doc_share,
+        |       n_tokens, n_chars, first_doc, last_doc
+        |FROM cells ORDER BY shard""".stripMargin,
     "q_pack_sequences" ->
       // the naive single-scan prefix sum; the engine's two-phase sharded
       // scan must produce the identical packing
@@ -599,6 +654,28 @@ object SparkEntry {
         |      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+    "q_lm_quality" ->
+      // naive per-occurrence form; the engine's RLE plan must score
+      // identically. lp is rounded-then-DECIMAL on both sides so the
+      // per-doc sum is exact and order-insensitive.
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+        |lp AS (
+        |  SELECT token,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE) / tot), 6)
+        |           AS DECIMAL(18,6)) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        |dt AS (SELECT doc_id, token, count(*) AS c FROM occ
+        |       GROUP BY doc_id, token)
+        |SELECT doc_id, n_tokens,
+        |       round(CAST(lpsum AS DOUBLE) / n_tokens, 6) AS avg_logp
+        |FROM (SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+        |             SUM(dt.c * lp.lp) AS lpsum
+        |      FROM dt JOIN lp USING (token) GROUP BY dt.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')

@@ -171,6 +171,89 @@ object Sampling {
       .orderBy("lang", "bin")
   }
 
+  /** Training shard count for [[shuffleShards]] / [[writeTrainingShards]].
+    * 8 keeps the sf-test card readable; production sets executor-count ×
+    * files-per-executor (the shard FUNCTION below is nShards-agnostic:
+    * first md5 hex digit ÷ (16/n) for any n dividing 16, or the first two
+    * digits for up to 256 shards).
+    */
+  val NShards = 8
+
+  // md5-hex of the row key: the portable shuffle key (same idiom as
+  // splitAssign — DuckDB and Spark produce identical hex strings, unlike
+  // xxhash64 which only Spark has)
+  private def shardHash(idCol: String) = md5(col(idCol).cast("string"))
+
+  // shard = first hex digit of the hash mapped onto 0..NShards-1. floor()
+  // on both engines — DuckDB CAST(double AS INT) rounds half-away while
+  // Spark's truncates, so a bare cast would disagree on x.5
+  private def shardOf(idCol: String) =
+    floor((expr(s"instr('0123456789abcdef', " +
+      s"substring(md5(cast($idCol as string)), 1, 1))") - 1) /
+      lit(16 / NShards)).cast("int")
+
+  /** Global deterministic pre-training shuffle — the step between curation
+    * and the trainer: every doc gets a shard (hash bucket) and a
+    * pseudo-random yet reproducible position (md5 order within the shard),
+    * so epoch-0 data order is an artifact of the corpus alone — identical
+    * across runs, engines, and cluster layouts, never of `df.sample`/RNG
+    * state. Emitted as the shard manifest card: per-shard doc/token/char
+    * load, each shard's corpus share (the balance check — md5 uniformity
+    * keeps shards within ~1% at real corpus sizes), and the first/last doc
+    * in shuffle order (the spot-check handles a resumed trainer logs).
+    *
+    * Scale: shard assignment and the shuffle key are map-side row-local
+    * functions; ONE hash aggregate produces the 8-row card, which is
+    * localCheckpointed so the corpus-share denominator re-aggregates the
+    * CARD, not the corpus (one scan total — the q_mix_report shape minus
+    * its second scan). The actual data movement lives in
+    * [[writeTrainingShards]]; this card is its dry-run accounting.
+    * Determinism: integer sums exact; doc_share is one double division;
+    * first/last doc via min_by/max_by on the full 32-hex-char hash (md5
+    * ties are structurally impossible).
+    */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .withColumn("__h", shardHash("doc_id"))
+      .withColumn("shard", shardOf("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min_by(col("doc_id"), col("__h")).as("first_doc"),
+        max_by(col("doc_id"), col("__h")).as("last_doc"))
+      .localCheckpoint(true) // card-sized; total below must not rescan
+    val total = cells.agg(sum("n_docs").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("tot"), 6).as("doc_share"),
+        col("n_tokens"), col("n_chars"), col("first_doc"), col("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** Materialize the [[shuffleShards]] order as the trainer's on-disk
+    * layout: `path/shard=K/` directories, rows inside each shard sorted by
+    * the md5 shuffle key — a data loader streams shard files sequentially
+    * and reads the epoch in shuffled order with zero seek/sort at load
+    * time.
+    *
+    * Scale: one shuffle, keyed by the shard column, into exactly
+    * [[NShards]] reducers; each sorts its shard ONCE at write
+    * (sortWithinPartitions — engine sort, spill-safe) and writes ONE file
+    * per shard directory — the LSH-index lesson (round 7's 2,003-file
+    * layout) applied from the start. Shard membership is a pure key
+    * function, so an appended corpus re-shards without moving any
+    * existing doc's assignment.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, path: String): Unit =
+    df.withColumn("__h", shardHash(idCol))
+      .withColumn("shard", shardOf(idCol))
+      .repartition(NShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Sequence packing — assemble fixed-token-budget training sequences
     * from consecutive docs (per lang, ordered by doc_id): each doc joins
     * the pack its first token falls into, `pack_id =

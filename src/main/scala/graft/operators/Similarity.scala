@@ -240,6 +240,46 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** k-NN label propagation — classify each of the [[BatchQueries]] query
+    * vectors by the majority label of its 10 nearest corpus neighbors (the
+    * label-a-new-document / auto-tag-an-unlabeled-drop step a curation
+    * pipeline runs between embedding and mixture assignment; SemDeDup-era
+    * pipelines use exactly this to extend a small labeled seed set over an
+    * unlabeled crawl).
+    *
+    * Shape: the neighbor retrieval IS [[simBatchTopK]] — one corpus scan,
+    * broadcast K-row query frame, per-query WindowGroupLimit keeps each
+    * partition's local top-10 before the exchange — followed by a
+    * vote-count aggregate over the ≤ K·10 surviving rows. At scale the
+    * retrieval swaps to the IVF probe ([[simAnnBatch]]) without touching
+    * the voting stage.
+    * Determinism: neighbor boundary on (rounded sim, vec_id); votes are
+    * exact counts; tie on votes breaks by DECIMAL-exact similarity mass
+    * then smaller label; avg_sim is one double division of exact terms.
+    */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withVec(spark, dir)
+    val qs = emb.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val knn = emb.where(col("vec_id") >= BatchQueries)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .where(col("rank") <= 10)
+    knn.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"),
+        sum(col("sim").cast("decimal(18,6)")).as("simsum"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(desc("votes"), desc("simsum"), asc("label"))))
+      .where(col("r") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"),
+        round(col("simsum").cast("double") / col("votes"), 6).as("avg_sim"))
+      .orderBy("qid")
+  }
+
   /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
     * twin above is the oracle-verified baseline and its recall reference).
     *

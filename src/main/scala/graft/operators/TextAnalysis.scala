@@ -280,6 +280,52 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** Unigram-LM quality score — per-doc average log-probability under the
+    * corpus's own unigram model (the CCNet / quality-classifier signal: a
+    * doc stuffed with rare or garbled tokens scores far below one written
+    * in the corpus's common vocabulary; the score feeds percentile-based
+    * keep/drop the same way the Wikipedia-LM perplexity filter does).
+    *
+    * Two corpus passes BY CONSTRUCTION (the model must exist before
+    * scoring — exactly CCNet's train-then-score shape), each one map-side
+    * RLE via the native `ngram_hashes(text, 1, 'word_counts')` so no
+    * per-occurrence row ever exists:
+    *  1. vocabulary pass: per-doc (token, count) partials aggregate into
+    *     corpus counts — the only shuffle carries per-partition-vocabulary
+    *     rows, then log-probs are derived vocabulary-side (checkpointed,
+    *     vocabulary-sized — the total must not trigger a rescan);
+    *  2. scoring pass: the broadcast log-prob table joins each doc's RLE
+    *     terms map-side (word vocabulary is Zipf-bounded — broadcast while
+    *     it fits; at an extreme vocabulary this becomes a shuffle join on
+    *     token with the same semantics), and the per-doc aggregate is the
+    *     only doc-keyed shuffle.
+    * Determinism: each token's log-prob is rounded then DECIMAL(18,6) —
+    * the per-doc sum Σ c·lp is exact and order-insensitive; avg_logp is
+    * one double division. NULL-text docs drop on both engines (NULL RLE ≡
+    * NULL unnest).
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val docTerm = docs.select(col("doc_id"),
+        explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.c").as("c"))
+    val vocab = docTerm.groupBy("token").agg(sum("c").as("cnt"))
+      .localCheckpoint() // vocabulary-sized; total + lp read it twice
+    val total = vocab.agg(sum("cnt").as("tot"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    docTerm.join(broadcast(lp), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("lp")).as("lpsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lpsum").cast("double") / col("n_tokens"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** F9 — rolling-hash document fingerprint: char-5-gram rolling hashes,
     * bottom-32 sketch (the 32 smallest distinct gram hashes) as the
     * fingerprint set; emitted as set size + one stable 64-bit digest.

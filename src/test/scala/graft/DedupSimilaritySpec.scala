@@ -239,6 +239,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabel predicts the majority label of simBatchTopK's neighbor set") {
+    import graft.sources.Tables
+    val preds = Similarity.knnLabel(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(preds.keySet == (0L until Similarity.BatchQueries).toSet,
+      "one prediction per query")
+    // recompute the expected vote from the oracle-verified retrieval tier
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val neighbors = Similarity.simBatchTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    for ((qid, rows) <- neighbors) {
+      val votes = rows.map(r => labels(r.getAs[Long]("vec_id")))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (predLabel, predVotes) = preds(qid)
+      assert(votes(predLabel) == predVotes,
+        s"q$qid: reported votes must count the winner's neighbors")
+      assert(votes.values.max == predVotes,
+        s"q$qid: predicted label must carry the maximum vote count")
+    }
+  }
+
   test("clusterProfile: cells partition the corpus; shares/cohesion bounded; deterministic") {
     import graft.sources.Tables
     import graft.operators.AnnIndex

@@ -97,6 +97,49 @@ class SamplingAggSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: shards partition the corpus; assignment is a pure key function") {
+    val rows = Sampling.shuffleShards(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "shards must partition the corpus")
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 8).toSet))
+    // shares sum to ~1 and no shard hoards the corpus (md5 uniformity)
+    val shares = rows.map(_.getAs[Double]("doc_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    assert(shares.max < 0.35, s"uniform-ish expected, got max ${shares.max}")
+    // stability: the card is identical on a repartitioned input
+    val again = Sampling.shuffleShards(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("writeTrainingShards: one file per shard dir, rows in md5 shuffle order") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Sampling.writeTrainingShards(Tables.documents(spark, sf), "doc_id", out)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(dirs.nonEmpty && dirs.length <= 8)
+      var seen = 0L
+      for (d <- dirs) {
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${d.getName}: expected ONE file per shard, got ${files.length}")
+        // within-shard row order is the md5 shuffle order (file order —
+        // single file, so read order is write order)
+        val ids = spark.read.parquet(d.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+        val hashes = ids.map(id => org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(id.toString))
+        assert(hashes.sameElements(hashes.sorted),
+          s"${d.getName}: rows must be sorted by md5(doc_id)")
+        seen += ids.length
+      }
+      assert(seen == Tables.documents(spark, sf).count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("approx_count_distinct lands within the HLL error bound") {
     val rows = Tracking.approxDistinct(spark, sf).collect()
     rows.foreach { r =>

@@ -180,6 +180,35 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lmQuality: RLE plan equals the naive per-occurrence scoring; scores negative") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.lmQuality(spark, sf)
+    // naive twin of the oracle, in Spark: per-occurrence explode, no RLE
+    val occ = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = occ.groupBy("token").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val tot = vocab.agg(sum("cnt").as("tot"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val naive = occ.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .join(lp, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("lp")).as("lpsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lpsum").cast("double") / col("n_tokens"), 6).as("avg_logp"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "native word_counts RLE must reproduce per-occurrence unigram scoring")
+    val rows = got.collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf).where(col("text").isNotNull).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logp") < 0.0, "log-prob of p<1 is negative")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("textRepetition matches a direct Scala recomputation per doc") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.textRepetition(spark, sf).collect()
