@@ -259,4 +259,36 @@ class PlanSpec extends SparkSpec {
     assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
       "1-row codebook cross join + broadcast centroid join")
   }
+
+  test("shuffleShards: one corpus scan — the share total reads the checkpointed card") {
+    val p = plan(graft.operators.Sampling.shuffleShards(spark, sf))
+    assert(!p.contains("documents.parquet") ||
+      "documents\\.parquet".r.findAllIn(p).size <= 1,
+      "doc_share's denominator must re-aggregate the 8-row card, not the corpus")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total must broadcast")
+    assert(!p.contains("Window"), "the card is pure hash aggregation")
+  }
+
+  test("knnLabel retrieval group-limits map-side like simBatchTopK") {
+    val p = plan(Similarity.knnLabel(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "neighbor top-10 must keep per-partition heaps off the exchange")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the K-row query frame must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus shuffle join")
+  }
+
+  test("lmQuality: RLE both passes, broadcast log-prob join, no occurrence shuffle") {
+    val p = plan(graft.operators.TextAnalysis.lmQuality(spark, sf))
+    assert(p.contains("ngram_hashes"),
+      "scoring pass must run the native per-doc RLE, not an explode+groupBy " +
+        "of raw occurrences")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the vocabulary log-prob table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join on token")
+    // scoring pass scans the corpus once; the vocab pass is checkpointed
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      "only the scoring scan may appear — vocab is a materialized artifact")
+  }
 }
