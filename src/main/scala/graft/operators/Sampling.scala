@@ -192,6 +192,17 @@ object Sampling {
       s"substring(md5(cast($idCol as string)), 1, 1))") - 1) /
       lit(16 / NShards)).cast("int")
 
+  /** Shard assignment as a reusable transform — shared verbatim by the
+    * card ([[shuffleShards]]), the batch layout writer
+    * ([[writeTrainingShards]]), and the streaming shard ingester
+    * ([[graft.streaming.Streams.shardIngestSink]]), so batch and streamed
+    * docs land in the same `shard=K` directories. Membership is a pure
+    * function of the row's own key — stateless, composable with any
+    * trigger.
+    */
+  def assignShards(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shard", shardOf(idCol))
+
   /** Global deterministic pre-training shuffle — the step between curation
     * and the trainer: every doc gets a shard (hash bucket) and a
     * pseudo-random yet reproducible position (md5 order within the shard),
@@ -247,8 +258,7 @@ object Sampling {
     * existing doc's assignment.
     */
   def writeTrainingShards(df: DataFrame, idCol: String, path: String): Unit =
-    df.withColumn("__h", shardHash(idCol))
-      .withColumn("shard", shardOf(idCol))
+    assignShards(df.withColumn("__h", shardHash(idCol)), idCol)
       .repartition(NShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")

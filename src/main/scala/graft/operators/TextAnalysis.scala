@@ -52,6 +52,9 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(size(words(col("text"))).cast("long")).as("n_tokens"),
         sum(col("n_chars")).cast("long").as("n_chars"))
+      // card-sized (≤ langs × sources rows); without the barrier the total
+      // below re-plans the whole corpus aggregate — two scans for one card
+      .localCheckpoint(true)
     val total = cells.agg(sum("n_tokens").as("tot"))
     cells.crossJoin(broadcast(total))
       .select(

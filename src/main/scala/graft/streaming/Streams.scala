@@ -247,6 +247,35 @@ object Streams {
       .partitionBy("band_id", "band_key")
       .outputMode("append")
 
+  /** Streaming training-shard ingestion — the incremental path of the
+    * [[graft.operators.Sampling.writeTrainingShards]] layout: each
+    * arriving doc gets its shard MAP-SIDE from the same pure md5 key
+    * function the batch writer and the manifest card use (stateless, no
+    * shuffle, no watermark), so streamed docs append into the same
+    * `shard=K` directories a batch re-shard would assign them to and an
+    * appended corpus never moves an existing doc's shard.
+    * Scale: assignment is one hash per row; within-file shuffle ORDER is
+    * a batch concern (streamed appends are unordered tail files — a
+    * periodic [[graft.operators.Sampling.writeTrainingShards]] re-shard
+    * compacts and re-sorts, the same division as the ANN ingesters'
+    * re-cluster story).
+    */
+  def shardIngest(docs: DataFrame, idCol: String): DataFrame =
+    graft.operators.Sampling.assignShards(docs, idCol)
+
+  /** Parquet sink for [[shardIngest]]: shard-partitioned append into the
+    * [[graft.operators.Sampling.writeTrainingShards]] directory layout.
+    */
+  def shardIngestSink(
+      docs: DataFrame, idCol: String,
+      path: String, checkpointDir: String) =
+    shardIngest(docs, idCol).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("shard")
+      .outputMode("append")
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -183,8 +183,8 @@ class PlanSpec extends SparkSpec {
       "corpus total must broadcast back to the mixture cells")
     assert(!p.contains("Window"), "share must come from an aggregate, not a window")
     // exactly one scan of documents.parquet: the total re-aggregates the
-    // mixture-cell frame, it must not rescan the corpus
-    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+    // checkpointed mixture-cell frame, it must not rescan the corpus
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
       "corpus total must derive from the cell aggregate, not a second scan")
   }
 

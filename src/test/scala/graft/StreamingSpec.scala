@@ -233,6 +233,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shard ingest lands docs in the same shards as the batch writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 40L).map(i => (i, s"doc $i body"))
+
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("shard_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shard_ckpt").toString
+    val q = Streams.shardIngestSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", out, ckpt).start()
+    try {
+      mem.addData(docs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(25): _*) // later batch appends into the layout
+      q.processAllAvailable()
+
+      val streamed = spark.read
+        .schema("doc_id BIGINT, text STRING, shard INT").parquet(out)
+        .select("doc_id", "shard")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // the batch assignment of the same docs must agree per doc — the
+      // two ingestion paths grow one interchangeable layout
+      val batch = graft.operators.Sampling
+        .assignShards(docs.toDF("doc_id", "text"), "doc_id")
+        .select("doc_id", "shard")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed == batch,
+        "streamed docs must land in the same shards as the batch writer")
+      assert(streamed.size == docs.size)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName)
+      assert(parts.nonEmpty && parts.length <= graft.operators.Sampling.NShards)
+    } finally q.stop()
+  }
+
   test("enrichedStream labels events from the static runs dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
