@@ -101,6 +101,7 @@ object SparkEntry {
     "q_text_langid"     -> (TextAnalysis.textLangId _),
     "q_text_tfidf"      -> (TextAnalysis.textTfidf _),
     "q_lm_quality"      -> (TextAnalysis.lmQuality _),
+    "q_lm_filter"       -> (TextAnalysis.lmFilter _),
     "q_text_chunks"     -> (TextAnalysis.textChunks _),
     "q_text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "q_text_redact"     -> (TextAnalysis.textRedact _),
@@ -676,6 +677,44 @@ object SparkEntry {
         |             SUM(dt.c * lp.lp) AS lpsum
         |      FROM dt JOIN lp USING (token) GROUP BY dt.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_lm_filter" ->
+      // CAST(1 AS DOUBLE)/3: force IEEE double quantile fractions —
+      // DuckDB's bare 1.0/3 is DECIMAL division and lands a different
+      // boundary than Spark's double 1/3
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+        |lp AS (
+        |  SELECT token,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE) / tot), 6)
+        |           AS DECIMAL(18,6)) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        |dt AS (SELECT doc_id, lang, token, count(*) AS c FROM occ
+        |       GROUP BY doc_id, lang, token),
+        |scored AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         round(CAST(lpsum AS DOUBLE) / n_tokens, 6) AS avg_logp
+        |  FROM (SELECT dt.doc_id, dt.lang,
+        |               CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+        |               SUM(dt.c * lp.lp) AS lpsum
+        |        FROM dt JOIN lp USING (token) GROUP BY dt.doc_id, dt.lang)),
+        |b AS (
+        |  SELECT lang,
+        |         quantile_cont(avg_logp, CAST(1 AS DOUBLE)/3) AS q1,
+        |         quantile_cont(avg_logp, CAST(2 AS DOUBLE)/3) AS q2
+        |  FROM scored GROUP BY lang)
+        |SELECT s.lang,
+        |       CASE WHEN avg_logp <= q1 THEN 'tail'
+        |            WHEN avg_logp <= q2 THEN 'middle'
+        |            ELSE 'head' END AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+        |       min(avg_logp) AS min_score,
+        |       max(avg_logp) AS max_score
+        |FROM scored s JOIN b USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')

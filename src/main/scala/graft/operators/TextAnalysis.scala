@@ -307,12 +307,22 @@ object TextAnalysis {
     * one double division. NULL-text docs drop on both engines (NULL RLE ≡
     * NULL unnest).
     */
-  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmScored(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logp"))
+      .orderBy("doc_id")
+
+  /** The per-doc LM score frame behind [[lmQuality]] and [[lmFilter]],
+    * with `lang` carried on the row (free — it rides the scoring
+    * aggregate's key, no join back to the corpus).
+    */
+  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val docTerm = docs.select(col("doc_id"),
+    val docTerm = docs.select(col("doc_id"), col("lang"),
         explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
-      .select(col("doc_id"), col("tc.token").as("token"), col("tc.c").as("c"))
+      .select(col("doc_id"), col("lang"),
+        col("tc.token").as("token"), col("tc.c").as("c"))
     val vocab = docTerm.groupBy("token").agg(sum("c").as("cnt"))
       .localCheckpoint() // vocabulary-sized; total + lp read it twice
     val total = vocab.agg(sum("cnt").as("tot"))
@@ -321,12 +331,53 @@ object TextAnalysis {
         round(log(col("cnt").cast("double") / col("tot").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))
     docTerm.join(broadcast(lp), Seq("token"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(sum("c").as("n_tokens"),
         sum(col("c") * col("lp")).as("lpsum"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("lpsum").cast("double") / col("n_tokens"), 6).as("avg_logp"))
-      .orderBy("doc_id")
+  }
+
+  /** LM-percentile corpus buckets — CCNet's head/middle/tail split: each
+    * language's docs are cut at the 1/3 and 2/3 quantiles of their
+    * unigram-LM score ([[lmQuality]]); "head" is the most in-distribution
+    * third (CCNet keeps head+middle for pretraining, mines tail for
+    * recall), and the card is the per-(lang, bucket) accounting the
+    * downstream sampler consumes.
+    *
+    * Scale: the sketch-then-map shape over a DERIVED signal — the
+    * doc-sized score frame (id, lang, two numbers; no text) is
+    * materialized once (at 100 TB this is the score table a pipeline
+    * persists anyway), tercile boundaries come from one exact percentile
+    * aggregate (per-lang rows) broadcast back, bucket assignment is a
+    * map-side comparison, and no corpus-sized sort or window exists —
+    * the [[graft.operators.Sampling.lengthBins]] discipline.
+    * Determinism: boundaries interpolate over 6-rounded doubles
+    * identically in both engines (percentile ≡ quantile_cont); the
+    * quantile fractions are IEEE-double 1/3 and 2/3 on both sides (the
+    * oracle casts before dividing — DuckDB's 1.0/3 would be DECIMAL
+    * division and land a different boundary).
+    */
+  def lmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScored(spark, dir)
+      .localCheckpoint(true) // doc-sized score table, read twice below
+    val bounds = scored.groupBy("lang")
+      .agg(percentile(col("avg_logp"),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .select(col("lang"), col("qs").getItem(0).as("q1"),
+        col("qs").getItem(1).as("q2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp") <= col("q1"), "tail")
+          .when(col("avg_logp") <= col("q2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bucket_tokens"),
+        min("avg_logp").as("min_score"),
+        max("avg_logp").as("max_score"))
+      .orderBy("lang", "bucket")
   }
 
   /** F9 — rolling-hash document fingerprint: char-5-gram rolling hashes,

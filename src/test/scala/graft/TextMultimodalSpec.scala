@@ -209,6 +209,32 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lmFilter: buckets partition each language with ordered score ranges") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.lmFilter(spark, sf).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    val docCounts = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == docCounts.keySet)
+    for ((lang, bs) <- perLang) {
+      assert(bs.map(_.getAs[Long]("n_docs")).sum == docCounts(lang),
+        s"$lang: buckets must partition the language's docs")
+      val byName = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(byName.keySet.subsetOf(Set("head", "middle", "tail")))
+      // score ranges are ordered and non-overlapping: tail < middle < head
+      for ((lo, hi) <- Seq("tail" -> "middle", "middle" -> "head"))
+        for (l <- byName.get(lo); h <- byName.get(hi))
+          assert(l.getAs[Double]("max_score") <= h.getAs[Double]("min_score"),
+            s"$lang: $lo range must sit below $hi")
+      // terciles: no bucket swallows the language (ties aside, ~n/3 each)
+      if (docCounts(lang) >= 9)
+        assert(bs.map(_.getAs[Long]("n_docs")).max < docCounts(lang),
+          s"$lang: a single bucket must not hold every doc")
+    }
+  }
+
   test("textRepetition matches a direct Scala recomputation per doc") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.textRepetition(spark, sf).collect()
