@@ -279,6 +279,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no corpus shuffle join")
   }
 
+  test("lmFilter buckets map-side from the materialized score table") {
+    val p = plan(graft.operators.TextAnalysis.lmFilter(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      "both consumers must read the checkpointed score table — the corpus " +
+        "passes happen once, at materialization")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "tercile boundaries must broadcast back for map-side assignment")
+    assert(!p.contains("Window"),
+      "bucketing must never rank the corpus — boundaries come from one " +
+        "percentile aggregate")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("lmQuality: RLE both passes, broadcast log-prob join, no occurrence shuffle") {
     val p = plan(graft.operators.TextAnalysis.lmQuality(spark, sf))
     assert(p.contains("ngram_hashes"),
