@@ -58,6 +58,7 @@ object SparkEntry {
     "q_pack_sequences"  -> ((s, d) => Sampling.packSequences(s, d)),
     "q_length_bins"     -> (Sampling.lengthBins _),
     "q_shuffle_shards"  -> (Sampling.shuffleShards _),
+    "q_mix_sample"      -> (Sampling.mixSample _),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -118,6 +119,14 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, d) => Multimodal.multimodalFrames(s, d)),
     "q_multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
   )
+
+  // q_mix_sample's threshold/target CASEs, generated from the SAME
+  // Sampling.MixWeights constants the operator folds into its plan — the
+  // two sides cannot drift
+  private def mixCase(f: ((String, Double)) => String, default: String) =
+    Sampling.MixWeights.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"WHEN lang = '$l' THEN ${f((l, w))}" }
+      .mkString("CASE ", " ", s" ELSE $default END")
 
   /** DuckDB-runnable twin per query key (driver registers each parquet file
     * as a view named by table). Omitted keys get a rows-only check.
@@ -488,6 +497,17 @@ object SparkEntry {
         |         AS doc_share,
         |       n_tokens, n_chars, first_doc, last_doc
         |FROM cells ORDER BY shard""".stripMargin,
+    "q_mix_sample" ->
+      s"""SELECT lang, source, n_total, n_kept,
+         |       round(CAST(n_kept AS DOUBLE) / n_total, 6) AS realized_rate,
+         |       ${mixCase(kv => s"CAST(${kv._2} AS DOUBLE)", "CAST(1.0 AS DOUBLE)")} AS target_rate
+         |FROM (
+         |  SELECT lang, source, count(*) AS n_total,
+         |         CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |               ${mixCase(kv => s"'${Sampling.hexThreshold(kv._2)}'", "'g'")}
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM documents GROUP BY lang, source)
+         |ORDER BY lang, source""".stripMargin,
     "q_pack_sequences" ->
       // the naive single-scan prefix sum; the engine's two-phase sharded
       // scan must produce the identical packing

@@ -192,6 +192,53 @@ object Sampling {
       s"substring(md5(cast($idCol as string)), 1, 1))") - 1) /
       lit(16 / NShards)).cast("int")
 
+  /** Mixture re-weighting targets: per-language keep rates the sampler
+    * enforces (the knob a pretraining run turns after reading
+    * `q_mix_report` — here: halve the dominant `en`, trim `zh`; unlisted
+    * languages keep everything). Values are plan-time constants so the
+    * sampler is a pure map over the corpus.
+    */
+  val MixWeights: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.75)
+
+  // keep-threshold as an 8-hex-digit string: doc kept iff the first 8 hex
+  // chars of md5(id) sort below it — string comparison, no engine-specific
+  // hex-to-int conversion (DuckDB has no conv(); lexicographic compare of
+  // fixed-width lowercase hex IS the numeric compare). w ≥ 1 uses the
+  // sentinel "g": every hex char sorts below it, so everything keeps.
+  private[graft] def hexThreshold(w: Double): String =
+    if (w >= 1.0) "g" else f"${(w * 4294967296.0).toLong}%08x"
+
+  /** Deterministic mixture re-sampler — apply [[MixWeights]] to the corpus
+    * and emit the per-(lang, source) audit card: total vs kept docs,
+    * realized rate vs target. Membership is the md5-prefix bucket of the
+    * doc's own id (the [[splitAssign]] idiom), so the SAME docs are kept
+    * on every run, engine, and partitioning, and growing the corpus never
+    * flips an existing doc's verdict — re-weighting is reproducible and
+    * incremental, which `df.sample` can never give.
+    * Scale: one map-side verdict + one hash aggregate; the kept-set
+    * materialization is the same `where` clause applied to the full row.
+    */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = MixWeights.toSeq.sortBy(_._1)
+    val thr = weights.foldLeft(lit("g")) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(hexThreshold(w))).otherwise(acc)
+    }
+    val target = weights.foldLeft(lit(1.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("kept",
+        (substring(md5(col("doc_id").cast("string")), 1, 8) < thr).cast("int"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("kept").as("n_kept"))
+      .withColumn("realized_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 6))
+      .withColumn("target_rate", target)
+      .orderBy("lang", "source")
+  }
+
   /** Shard assignment as a reusable transform — shared verbatim by the
     * card ([[shuffleShards]]), the batch layout writer
     * ([[writeTrainingShards]]), and the streaming shard ingester

@@ -97,6 +97,41 @@ class SamplingAggSpec extends SparkSpec {
     }
   }
 
+  test("mixSample enforces per-lang keep rates via the md5 verdict") {
+    val rows = Sampling.mixSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> (rs.map(_.getAs[Long]("n_kept")).sum, rs.map(_.getAs[Long]("n_total")).sum)
+    }
+    for ((lang, (kept, total)) <- perLang) {
+      val target = Sampling.MixWeights.getOrElse(lang, 1.0)
+      if (target >= 1.0)
+        assert(kept == total, s"$lang: unweighted language must keep all docs")
+      else {
+        val rate = kept.toDouble / total
+        assert(math.abs(rate - target) < 0.2,
+          s"$lang: realized $rate must track target $target")
+      }
+    }
+    // the verdict is the doc's own md5 bucket — recompute independently
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expectKept = docs.count { case (id, lang) =>
+      val thr = Sampling.hexThreshold(Sampling.MixWeights.getOrElse(lang, 1.0))
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+        .substring(0, 8) < thr
+    }
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == expectKept,
+      "per-doc verdicts must equal the independent md5 recomputation")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("realized_rate") >= 0.0 &&
+        r.getAs[Double]("realized_rate") <= 1.0)
+      assert(r.getAs[Double]("target_rate") ==
+        Sampling.MixWeights.getOrElse(r.getAs[String]("lang"), 1.0))
+    }
+  }
+
   test("shuffleShards: shards partition the corpus; assignment is a pure key function") {
     val rows = Sampling.shuffleShards(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
