@@ -314,9 +314,20 @@ object TextAnalysis {
 
   /** The per-doc LM score frame behind [[lmQuality]] and [[lmFilter]],
     * with `lang` carried on the row (free — it rides the scoring
-    * aggregate's key, no join back to the corpus).
+    * aggregate's key, no join back to the corpus). Cached per
+    * (session, corpus fingerprint) like the langid profile and the
+    * simhash fingerprints: the two corpus passes behind the score are
+    * train-once work every LM-family query shares, and the artifact
+    * itself (id + lang + two numbers, no text) is orders of magnitude
+    * under the corpus — exactly what [[SessionCache]] is for.
     */
-  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
+  private def lmScored(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "lm_scores", dir)(lmScoredBuild(spark, dir))
+
+  /** The uncached builder behind [[lmScored]] (PlanSpec pins ITS shape —
+    * the cached consumers read a checkpoint leaf).
+    */
+  private[graft] def lmScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
     val docTerm = docs.select(col("doc_id"), col("lang"),
@@ -359,8 +370,7 @@ object TextAnalysis {
     * division and land a different boundary).
     */
   def lmFilter(spark: SparkSession, dir: String): DataFrame = {
-    val scored = lmScored(spark, dir)
-      .localCheckpoint(true) // doc-sized score table, read twice below
+    val scored = lmScored(spark, dir) // session artifact, read twice below
     val bounds = scored.groupBy("lang")
       .agg(percentile(col("avg_logp"),
         array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))

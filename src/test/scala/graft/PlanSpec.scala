@@ -292,16 +292,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("lmQuality: RLE both passes, broadcast log-prob join, no occurrence shuffle") {
-    val p = plan(graft.operators.TextAnalysis.lmQuality(spark, sf))
+  test("lm score builder: RLE both passes, broadcast log-prob join, no occurrence shuffle") {
+    val p = plan(graft.operators.TextAnalysis.lmScoredBuild(spark, sf))
     assert(p.contains("ngram_hashes"),
       "scoring pass must run the native per-doc RLE, not an explode+groupBy " +
         "of raw occurrences")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "the vocabulary log-prob table must broadcast")
     assert(!p.contains("SortMergeJoin"), "no shuffle join on token")
-    // scoring pass scans the corpus once; the vocab pass is checkpointed
-    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
-      "only the scoring scan may appear — vocab is a materialized artifact")
+    // two corpus passes BY CONSTRUCTION (train the LM, then score);
+    // the vocab side is checkpointed so nothing triples
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+      "only the two deliberate passes may appear")
+  }
+
+  test("lmQuality reads the session score artifact — no corpus scan per query") {
+    val p = plan(graft.operators.TextAnalysis.lmQuality(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      "the per-query plan must read the cached score table; the corpus " +
+        "passes happen once per (session, corpus version)")
   }
 }
