@@ -260,9 +260,15 @@ object TextAnalysis {
     // ReuseExchange can NOT dedupe them — without the barrier the corpus
     // explode+shuffle runs three times (measured, plan-verified). The
     // checkpoint is vocabulary-sized, orders of magnitude under the corpus.
-    val tfDfl = perDoc.groupBy("lang", "token")
-      .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
-      .localCheckpoint()
+    // SESSION artifact, not just a plan-local checkpoint: the (lang, token)
+    // frequency table is corpus-derived, vocabulary-sized, and every tf-idf
+    // query over the same corpus version reads the identical frame — the
+    // langid-profile discipline (the checkpoint barrier it replaces is
+    // still there, inside SessionCache.cached)
+    val tfDfl = SessionCache.cached(spark, "tfidf_tf_dfl", dir) {
+      perDoc.groupBy("lang", "token")
+        .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
+    }
     val dfreq = tfDfl.where(col("token") =!= marker)
       .groupBy("token").agg(sum("dfl").as("df"))
     val nDocs = tfDfl.where(col("token") === marker)
@@ -534,12 +540,16 @@ object TextAnalysis {
     val n2 = greatest(size(w) - 1, lit(0))
     val grams = zip_with(slice(w, lit(1), n2), slice(w, lit(2), n2),
       (a, b) => concat(a, lit(" "), b))
-    val counts = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
-      .groupBy("lang", "gram")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct("doc_id").as("n_docs"))
+    // session artifact (vocabulary-sized): the bigram frequency table is
+    // the expensive stage — the two-phase top-k below is survivor-sized
+    val counts = SessionCache.cached(spark, "bigram_counts", dir) {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
+        .groupBy("lang", "gram")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"))
+    }
     val local = counts
       .withColumn("bucket", pmod(xxhash64(col("gram")), lit(32)))
       .withColumn("lr", row_number().over(
