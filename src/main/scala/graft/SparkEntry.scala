@@ -110,6 +110,7 @@ object SparkEntry {
     "q_mix_report"      -> (TextAnalysis.corpusMix _),
     "q_ngram_counts"    -> (TextAnalysis.ngramCounts _),
     "q_text_repetition" -> (TextAnalysis.textRepetition _),
+    "q_text_compress"   -> (TextAnalysis.textCompress _),
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_source_quality"  -> (TextAnalysis.sourceQuality _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),

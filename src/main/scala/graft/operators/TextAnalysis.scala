@@ -396,6 +396,57 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** One compressibility verdict row. */
+  case class CompressRow(
+      doc_id: Long, n_bytes: Long, n_compressed: Long,
+      ratio: Double, flagged: Boolean)
+
+  /** Compression-ratio quality signal — deflate each doc's UTF-8 bytes and
+    * emit compressed/raw (the Gopher/RefinedWeb "too compressible" filter:
+    * templated or repeated text compresses far below prose, catching
+    * boilerplate that token-level repetition scores miss because the
+    * repeats are long-range). Flag below [[CompressFlagRatio]].
+    *
+    * This is the ONE text operator on `mapPartitions` rather than column
+    * expressions: no SQL surface exposes a codec, and a Deflater is
+    * exactly the "initialize once per partition, reuse per row" resource
+    * the Multimodal decode path already models. rows-only by the same
+    * token: DuckDB has no deflate to agree with. Determinism: fixed level
+    * and strategy, one `reset()` per row — same bytes in, same length
+    * out, independent of partitioning (spec-pinned).
+    * Scale: map-only; the compressed bytes are DISCARDED, only lengths
+    * leave the row, so nothing codec-sized ever shuffles.
+    */
+  val CompressFlagRatio = 0.35
+
+  def textCompress(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = CompressFlagRatio
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, true)
+        val out = new Array[Byte](1 << 20)
+        batch.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(out)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else math.floor(n.toDouble / raw.length * 1e6) / 1e6
+          CompressRow(id, raw.length.toLong, n, ratio, ratio < thr)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** F9 — rolling-hash document fingerprint: char-5-gram rolling hashes,
     * bottom-32 sketch (the 32 smallest distinct gram hashes) as the
     * fingerprint set; emitted as set size + one stable 64-bit digest.

@@ -25,7 +25,8 @@ class AllQueriesSpec extends SparkSpec {
       "q_text_langid", "q_text_fingerprint", "q_approx_distinct",
       "q_quantiles_approx", "q_sample_balanced", "q_multimodal_decode",
       "q_multimodal_frames", "q_multimodal_resize", "q_decontaminate",
-      "q_dedup_keep", "q_cluster_profile", "q_sim_ann_batch", "q_ann_recall")
+      "q_dedup_keep", "q_cluster_profile", "q_sim_ann_batch", "q_ann_recall",
+      "q_text_compress")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

@@ -235,6 +235,48 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("textCompress: partition-independent, matches a direct Deflater, separates repetition") {
+    import org.apache.spark.sql.functions._
+    def deflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new Array[Byte](1 << 20)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(out)
+      d.end(); n
+    }
+    val rows = TextAnalysis.textCompress(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.nonEmpty)
+    // independent recomputation for a sample of docs
+    Tables.documents(spark, sf).where(col("doc_id") < 10 && col("text").isNotNull)
+      .select("doc_id", "text").collect().foreach { d =>
+      val r = rows(d.getLong(0))
+      val raw = d.getString(1).getBytes("UTF-8").length
+      assert(r.getAs[Long]("n_bytes") == raw)
+      assert(r.getAs[Long]("n_compressed") == deflateLen(d.getString(1)),
+        s"doc ${d.getLong(0)}: deflate length must match a direct Deflater")
+      val expect = if (raw == 0) 1.0
+        else math.floor(r.getAs[Long]("n_compressed").toDouble / raw * 1e6) / 1e6
+      assert(r.getAs[Double]("ratio") == expect)
+    }
+    // a pathological long-range repeat compresses far below real prose
+    import spark.implicits._
+    val synth = Seq(
+      (1L, Array.fill(200)("the quick brown fox jumps").mkString(" ")),
+      (2L, (0 until 200).map(i => s"w${i * 2654435761L % 977}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compress").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val s = TextAnalysis.textCompress(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio")).toMap
+      assert(s(1L) < 0.1, s"repeated text must compress hard, got ${s(1L)}")
+      assert(s(2L) > s(1L) * 3, "varied text must compress far less")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("textRepetition matches a direct Scala recomputation per doc") {
     import org.apache.spark.sql.functions._
     val out = TextAnalysis.textRepetition(spark, sf).collect()
