@@ -129,4 +129,27 @@ class PropertySpec extends AnyFunSuite {
       minhash(xs).sameElements(minhash(xs))
     })
   }
+
+  test("mixSample hexThreshold is monotone, 8-hex, and keeps ~w of random ids") {
+    import graft.operators.Sampling.hexThreshold
+    // monotone in w, fixed width, and the sentinel admits every hex prefix
+    check("hex-threshold-monotone",
+      Prop.forAll(Gen.zip(Gen.chooseNum(0.0, 0.999), Gen.chooseNum(0.0, 0.999))) {
+        case (a, b) =>
+          val (lo, hi) = (math.min(a, b), math.max(a, b))
+          hexThreshold(lo) <= hexThreshold(hi) &&
+            hexThreshold(lo).length == 8 &&
+            hexThreshold(1.0) == "g" && "ffffffff" < hexThreshold(1.0)
+      })
+    // realized keep rate over md5 prefixes tracks the target weight
+    check("hex-threshold-rate", Prop.forAll(Gen.chooseNum(0.05, 0.95)) { w =>
+      val thr = hexThreshold(w)
+      val n = 2000
+      val kept = (0 until n).count { i =>
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(i.toString).substring(0, 8) < thr
+      }
+      math.abs(kept.toDouble / n - w) < 0.05 // md5 uniformity, 4.5σ at n=2000
+    })
+  }
 }
