@@ -430,17 +430,27 @@ object TextAnalysis {
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_SPEED, true)
         val out = new Array[Byte](1 << 20)
-        batch.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(raw)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(out)
-          val ratio =
-            if (raw.length == 0) 1.0
-            else math.floor(n.toDouble / raw.length * 1e6) / 1e6
-          CompressRow(id, raw.length.toLong, n, ratio, ratio < thr)
+        new Iterator[CompressRow] {
+          // release the native zlib buffer when the partition drains
+          // instead of waiting for the GC cleaner (end() is idempotent)
+          def hasNext: Boolean = {
+            val h = batch.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): CompressRow = {
+            val (id, text) = batch.next()
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(out)
+            val ratio =
+              if (raw.length == 0) 1.0
+              else math.floor(n.toDouble / raw.length * 1e6) / 1e6
+            CompressRow(id, raw.length.toLong, n, ratio, ratio < thr)
+          }
         }
       }
       .toDF()
