@@ -4,16 +4,19 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the operator library — the
   * runnable proof that the curation stages compose: one command takes the
-  * raw corpus through profile → per-doc verdicts → near-dup dedup →
-  * benchmark decontamination → LM-percentile filter → mixture
-  * re-weighting → split assignment → shard layout, printing each stage's
-  * card and writing the final training shards.
+  * raw corpus through profile → per-doc verdicts → near-dup keep-one →
+  * benchmark decontamination → LM-tail drop → mixture re-weighting →
+  * split assignment → shard layout, printing each stage's card and
+  * writing the final training shards.
   *
-  * Every stage is an existing `SparkEntry` operator (each independently
-  * oracle- or spec-verified); this main only sequences them the way a
-  * production pipeline would, with the kept-set filters composed as
-  * semi-/anti-joins on doc ids — key-only frames, so the chain adds no
-  * payload shuffles beyond the stages themselves.
+  * Every stage is an existing operator (each independently oracle- or
+  * spec-verified); this main sequences them the way a production pipeline
+  * would, and every stage's verdict ACTUALLY GATES the written shards:
+  * the kept set is the intersection of the verdict-kept, dedup-
+  * representative, mixture-kept ids minus the contaminated and LM-tail
+  * ids — all key-only frames, so the chain adds no payload shuffles
+  * beyond the stages themselves (the text joins back once, at the shard
+  * write).
   *
   * Usage: runMain graft.PipelineDemo [sfDir] [outDir]
   */
@@ -35,39 +38,48 @@ object PipelineDemo {
 
     banner("per-doc verdicts: quality + repetition + length floor")
     val verdicts = TextAnalysis.corpusFilter(spark, sfDir)
-    val kept = verdicts.where(col("keep")).select("doc_id")
     verdicts.groupBy("keep").count().show()
+    val verdictKept = verdicts.where(col("keep")).select("doc_id")
 
     banner("near-dup clusters: keep one representative per cluster")
-    val dedupKeep = Dedup.dedupKeep(spark, sfDir)
-    dedupKeep.show(10, truncate = false)
+    Dedup.dedupKeep(spark, sfDir).show(10, truncate = false)
+    val dedupReps = Dedup.nearDupLabels(spark, sfDir)
+      .where(col("doc_id") === col("label")).select("doc_id")
 
     banner("benchmark decontamination (13-gram overlap with eval slice)")
-    val contaminated = TextAnalysis.decontaminate(spark, sfDir)
-      .select(col("doc_id")).distinct()
+    // the FULL contaminated id set — decontaminate() is the top-20 audit
+    // card; dropping from the card would silently truncate the removal
+    val contaminated = TextAnalysis.contaminatedIds(spark, sfDir)
     println(s"contaminated docs dropped: ${contaminated.count()}")
 
-    banner("LM-percentile split (CCNet head/middle/tail)")
+    banner("LM split (CCNet: keep head+middle, drop tail)")
     TextAnalysis.lmFilter(spark, sfDir).show(15, truncate = false)
+    val lmTail = TextAnalysis.lmBucketed(spark, sfDir)
+      .where(col("bucket") === "tail").select("doc_id")
 
     banner("mixture re-weighting (md5 verdict, audit card)")
     Sampling.mixSample(spark, sfDir).show(10, truncate = false)
 
-    // compose the kept set: verdict-kept MINUS contaminated, as key-only
-    // joins — the payload joins back exactly once, at the shard write
-    val keptIds = kept
+    // compose the kept set — key-only joins; every stage above gates here
+    val keptIds = verdictKept
+      .join(dedupReps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(lmTail, Seq("doc_id"), "left_anti")
     val corpus = sources.Tables.documents(spark, sfDir)
-      .join(keptIds, Seq("doc_id"))
+      .where(Sampling.mixKeep)
+      .join(keptIds, Seq("doc_id"), "left_semi")
 
-    banner("split assignment over the curated corpus")
-    Sampling.splitAssign(spark, sfDir).show()
+    banner("split assignment over the CURATED corpus")
+    corpus.withColumn("split", Sampling.splitOf)
+      .groupBy("split").count().orderBy("split").show()
 
     banner(s"shard layout -> $outDir/shards")
     Sampling.writeTrainingShards(corpus, "doc_id", s"$outDir/shards")
     val shards = spark.read.parquet(s"$outDir/shards")
     shards.groupBy("shard").count().orderBy("shard").show()
-    println(s"curated ${corpus.count()} of " +
+    // count from the WRITTEN layout — recounting `corpus` would re-run
+    // the whole verdict/join chain a second time
+    println(s"curated ${shards.count()} of " +
       s"${sources.Tables.documents(spark, sfDir).count()} docs into " +
       s"${shards.select("shard").distinct().count()} shards at $outDir/shards")
 

@@ -250,7 +250,7 @@ object Dedup {
     * algorithm is part of the artifact key, so flipping the flag never
     * serves the other engine's frame.
     */
-  private def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
     val algo = spark.conf.get("spark.graft.cc", "propagate")
     SessionCache.cached(spark, s"neardup_labels_$algo", dir) {
       val edges = minhashPairs(spark, dir)

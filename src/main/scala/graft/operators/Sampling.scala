@@ -113,13 +113,20 @@ object Sampling {
     * Scale: map-side hash + one 3-group aggregate; no shuffle of payload.
     * Oracle-portable: md5 hex and substring compare identically in DuckDB.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** The train/val/test membership of a `doc_id` column — the pure key
+    * function behind [[splitAssign]], exposed so a pipeline can apply the
+    * split to any (possibly curated) frame.
+    */
+  private[graft] def splitOf: org.apache.spark.sql.Column = {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(bucket < "cc", "train")
+      .when(bucket < "e6", "val")
+      .otherwise("test")
+  }
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < "cc", "train")
-          .when(bucket < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf)
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -218,17 +225,25 @@ object Sampling {
     * Scale: one map-side verdict + one hash aggregate; the kept-set
     * materialization is the same `where` clause applied to the full row.
     */
-  def mixSample(spark: SparkSession, dir: String): DataFrame = {
-    val weights = MixWeights.toSeq.sortBy(_._1)
-    val thr = weights.foldLeft(lit("g")) { case (acc, (l, w)) =>
-      when(col("lang") === l, lit(hexThreshold(w))).otherwise(acc)
+  /** The [[MixWeights]] keep verdict as a Column over (doc_id, lang) —
+    * shared by [[mixSample]]'s audit card and any pipeline applying the
+    * re-weighting as a filter.
+    */
+  private[graft] def mixKeep: org.apache.spark.sql.Column = {
+    val thr = MixWeights.toSeq.sortBy(_._1).foldLeft(lit("g")) {
+      case (acc, (l, w)) =>
+        when(col("lang") === l, lit(hexThreshold(w))).otherwise(acc)
     }
-    val target = weights.foldLeft(lit(1.0)) { case (acc, (l, w)) =>
-      when(col("lang") === l, lit(w)).otherwise(acc)
+    substring(md5(col("doc_id").cast("string")), 1, 8) < thr
+  }
+
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val target = MixWeights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (l, w)) =>
+        when(col("lang") === l, lit(w)).otherwise(acc)
     }
     Tables.documents(spark, dir)
-      .withColumn("kept",
-        (substring(md5(col("doc_id").cast("string")), 1, 8) < thr).cast("int"))
+      .withColumn("kept", mixKeep.cast("int"))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_total"),
@@ -306,7 +321,13 @@ object Sampling {
     */
   def writeTrainingShards(df: DataFrame, idCol: String, path: String): Unit =
     assignShards(df.withColumn("__h", shardHash(idCol)), idCol)
-      .repartition(NShards, col("shard"))
+      // RANGE repartition, not hash: with NShards distinct values hashed
+      // into NShards buckets ~1/3 of the writers would sit idle behind
+      // murmur3 collisions while collided tasks sort 2-3 shards serially.
+      // Range boundaries are sampled VALUES and equal keys never split
+      // across partitions, so one-file-per-shard still holds and each
+      // reducer owns ~one shard.
+      .repartitionByRange(NShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")
       .write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -375,7 +375,22 @@ object TextAnalysis {
     * oracle casts before dividing — DuckDB's 1.0/3 would be DECIMAL
     * division and land a different boundary).
     */
-  def lmFilter(spark: SparkSession, dir: String): DataFrame = {
+  def lmFilter(spark: SparkSession, dir: String): DataFrame =
+    lmBucketed(spark, dir)
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bucket_tokens"),
+        min("avg_logp").as("min_score"),
+        max("avg_logp").as("max_score"))
+      .orderBy("lang", "bucket")
+
+  /** Per-doc head/middle/tail assignment behind [[lmFilter]] — exposed so
+    * a pipeline can DROP the tail (CCNet keeps head+middle) instead of
+    * only reading the aggregate card. Same sketch-then-map shape: the
+    * session score artifact joins broadcast tercile boundaries map-side.
+    */
+  private[graft] def lmBucketed(spark: SparkSession, dir: String): DataFrame = {
     val scored = lmScored(spark, dir) // session artifact, read twice below
     val bounds = scored.groupBy("lang")
       .agg(percentile(col("avg_logp"),
@@ -387,13 +402,7 @@ object TextAnalysis {
         when(col("avg_logp") <= col("q1"), "tail")
           .when(col("avg_logp") <= col("q2"), "middle")
           .otherwise("head"))
-      .groupBy("lang", "bucket")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("bucket_tokens"),
-        min("avg_logp").as("min_score"),
-        max("avg_logp").as("max_score"))
-      .orderBy("lang", "bucket")
+      .drop("q1", "q2")
   }
 
   /** One compressibility verdict row. */
@@ -429,28 +438,23 @@ object TextAnalysis {
       .mapPartitions { batch =>
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_SPEED, true)
+        // release the native zlib buffer on EVERY task exit path (normal
+        // drain, failure, kill) — an iterator-drain hook would miss
+        // mid-partition aborts and leak until the GC cleaner fires
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val out = new Array[Byte](1 << 20)
-        new Iterator[CompressRow] {
-          // release the native zlib buffer when the partition drains
-          // instead of waiting for the GC cleaner (end() is idempotent)
-          def hasNext: Boolean = {
-            val h = batch.hasNext
-            if (!h) deflater.end()
-            h
-          }
-          def next(): CompressRow = {
-            val (id, text) = batch.next()
-            val raw = text.getBytes("UTF-8")
-            deflater.reset()
-            deflater.setInput(raw)
-            deflater.finish()
-            var n = 0L
-            while (!deflater.finished()) n += deflater.deflate(out)
-            val ratio =
-              if (raw.length == 0) 1.0
-              else math.floor(n.toDouble / raw.length * 1e6) / 1e6
-            CompressRow(id, raw.length.toLong, n, ratio, ratio < thr)
-          }
+        batch.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(out)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else math.floor(n.toDouble / raw.length * 1e6) / 1e6
+          CompressRow(id, raw.length.toLong, n, ratio, ratio < thr)
         }
       }
       .toDF()
@@ -547,6 +551,17 @@ object TextAnalysis {
     * `eval` doc. Both frames need (doc_id, text).
     */
   def decontaminateAgainst(
+      train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame =
+    contaminationCounts(train, eval, n)
+      .orderBy(desc("n_shared_grams"), asc("doc_id"))
+      .limit(20)
+
+  /** The FULL contamination frame behind [[decontaminateAgainst]]'s top-20
+    * audit card: one row per contaminated train doc, no truncation — this
+    * is what a pipeline's drop set must anti-join against (the card's
+    * LIMIT is a display bound, not the removal set).
+    */
+  private[graft] def contaminationCounts(
       train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
     val grams = array_distinct(expr(s"ngram_hashes(text, $n, 'word')"))
     val evalGrams = eval.select(explode(grams).as("g")).distinct()
@@ -555,8 +570,17 @@ object TextAnalysis {
       .select(col("doc_id"), explode(grams).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
-      .orderBy(desc("n_shared_grams"), asc("doc_id"))
-      .limit(20)
+  }
+
+  /** Every contaminated train doc id for the corpus at `dir` (the
+    * [[decontaminate]] split, untruncated).
+    */
+  private[graft] def contaminatedIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationCounts(
+      docs.where(col("doc_id") % EvalSliceMod =!= 0),
+      docs.where(col("doc_id") % EvalSliceMod === 0))
+      .select("doc_id")
   }
 
   /** Eval-slice selector for [[decontaminate]]. Mod 10, not the previous 97:
