@@ -113,6 +113,7 @@ object SparkEntry {
     "q_text_compress"   -> (TextAnalysis.textCompress _),
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_source_quality"  -> (TextAnalysis.sourceQuality _),
+    "q_source_drift"    -> (TextAnalysis.sourceDrift _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -698,6 +699,28 @@ object SparkEntry {
         |             SUM(dt.c * lp.lp) AS lpsum
         |      FROM dt JOIN lp USING (token) GROUP BY dt.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_source_drift" ->
+      // naive per-occurrence form; terms rounded-then-DECIMAL so the
+      // per-source KL sum is order-insensitive on both engines
+      """WITH st AS (
+        |  SELECT source, token, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY source, token),
+        |tok AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY token),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM st GROUP BY source),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM st)
+        |SELECT source, n_tokens, round(CAST(kl AS DOUBLE), 6) AS kl_vs_corpus
+        |FROM (
+        |  SELECT st.source, ns.n_tokens,
+        |         SUM(CAST(round(
+        |           (CAST(st.c AS DOUBLE) / ns.n_tokens) *
+        |           ln((CAST(st.c AS DOUBLE) / ns.n_tokens) /
+        |              (CAST(tok.ct AS DOUBLE) / nt.nt)), 9)
+        |           AS DECIMAL(28,9))) AS kl
+        |  FROM st JOIN tok USING (token) JOIN ns USING (source) CROSS JOIN nt
+        |  GROUP BY st.source, ns.n_tokens)
+        |ORDER BY source""".stripMargin,
     "q_lm_filter" ->
       // CAST(1 AS DOUBLE)/3: force IEEE double quantile fractions —
       // DuckDB's bare 1.0/3 is DECIMAL division and lands a different

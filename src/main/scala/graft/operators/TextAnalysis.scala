@@ -680,6 +680,53 @@ object TextAnalysis {
     * Scale: [[filterVerdicts]] is map-only, so this is one scan + one
     * mixture-cell-sized hash aggregate with map-side partials.
     */
+  /** Source-drift card — per-source unigram KL divergence against the
+    * whole-corpus distribution: KL(P_source ‖ P_corpus) =
+    * Σ_t p·ln(p/q). The distributional twin of [[sourceQuality]]'s
+    * verdict rollup: a source whose token mix diverges hard from the
+    * corpus (machine-generated spam, a mislabeled scrape, a domain
+    * outlier) spikes here before any per-doc filter fires — the signal a
+    * curation pipeline reads when deciding which sources to prune or
+    * re-weight wholesale.
+    *
+    * Scale: ONE corpus scan. The (source, token) count table — map-side
+    * RLE via the native `word_counts`, one hash aggregate — is the
+    * session artifact; the corpus vocabulary, per-source totals, and
+    * grand total are all RE-AGGREGATED from it (vocabulary-sized inputs,
+    * never a second scan) and broadcast back. KL never materializes a
+    * cross-source product: each (source, token) row contributes its own
+    * term.
+    * Determinism: each term is rounded then DECIMAL(28,9) — the
+    * per-source sum is exact and order-insensitive; p and q are single
+    * double divisions of exact longs (KL ≥ 0 up to the 1e-9 term
+    * rounding; spec-pinned).
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = SessionCache.cached(spark, "source_token_counts", dir) {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"),
+          explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
+        .select(col("source"), col("tc.token").as("token"), col("tc.c").as("c"))
+        .groupBy("source", "token").agg(sum("c").as("c"))
+    }
+    val tok = st.groupBy("token").agg(sum("c").as("ct"))
+    val ns = st.groupBy("source").agg(sum("c").as("n_tokens"))
+    val nt = ns.agg(sum("n_tokens").as("nt"))
+    st.join(broadcast(tok), Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .withColumn("p", col("c").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("q", col("ct").cast("double") / col("nt").cast("double"))
+      .withColumn("term",
+        round(col("p") * log(col("p") / col("q")), 9).cast("decimal(28,9)"))
+      .groupBy("source", "n_tokens")
+      .agg(sum("term").as("kl"))
+      .select(col("source"), col("n_tokens"),
+        round(col("kl").cast("double"), 6).as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
   def sourceQuality(spark: SparkSession, dir: String): DataFrame =
     filterVerdicts(Tables.documents(spark, dir), passthrough = Seq("source"))
       .groupBy("source")

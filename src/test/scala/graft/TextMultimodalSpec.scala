@@ -209,6 +209,37 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sourceDrift: KL non-negative, covers every source, spikes on a skewed source") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.sourceDrift(spark, sf).collect()
+    val sources = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select("source").distinct().count()
+    assert(rows.length == sources, "one row per source")
+    rows.foreach { r =>
+      // KL >= 0 up to the 1e-9 per-term rounding over the vocabulary
+      assert(r.getAs[Double]("kl_vs_corpus") > -1e-3,
+        s"${r.getString(0)}: KL must be non-negative, got ${r.getAs[Double]("kl_vs_corpus")}")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // a synthetic corpus with one wildly skewed source: its KL dominates
+    import spark.implicits._
+    val synth = ((0 until 50).map(i =>
+        (i.toLong, s"common words shared by every source $i", "balanced")) ++
+      (50 until 60).map(i =>
+        (i.toLong, "zzyx zzyx zzyx zzyx zzyx zzyx zzyx zzyx", "skewed")))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val kl = TextAnalysis.sourceDrift(spark, tmp).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("kl_vs_corpus")).toMap
+      assert(kl("skewed") > kl("balanced") + 0.5,
+        s"the skewed source must spike: $kl")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("lmFilter: buckets partition each language with ordered score ranges") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.lmFilter(spark, sf).collect()
