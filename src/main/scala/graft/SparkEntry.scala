@@ -114,7 +114,9 @@ object SparkEntry {
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_source_quality"  -> (TextAnalysis.sourceQuality _),
     "q_source_drift"    -> (TextAnalysis.sourceDrift _),
+    "q_topic_terms"     -> (TextAnalysis.topicTerms _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
+    "q_index_health"    -> (Similarity.indexHealth _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -721,6 +723,29 @@ object SparkEntry {
         |  FROM st JOIN tok USING (token) JOIN ns USING (source) CROSS JOIN nt
         |  GROUP BY st.source, ns.n_tokens)
         |ORDER BY source""".stripMargin,
+    "q_topic_terms" ->
+      // lift computed double-rounded BEFORE the rank so the row_number
+      // boundary compares the values the output shows; token tiebreak
+      """WITH st AS (
+        |  SELECT source, token, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY source, token),
+        |tok AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY token),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM st GROUP BY source),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM st),
+        |lifts AS (
+        |  SELECT st.source, st.token, st.c,
+        |         round((CAST(st.c AS DOUBLE) / ns.n_tokens) /
+        |               (CAST(tok.ct AS DOUBLE) / nt.nt), 6) AS lift
+        |  FROM st JOIN tok USING (token) JOIN ns USING (source) CROSS JOIN nt)
+        |SELECT source, rank, token, c, lift
+        |FROM (SELECT source, token, c, lift,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY lift DESC, token) AS rank
+        |      FROM lifts)
+        |WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "q_lm_filter" ->
       // CAST(1 AS DOUBLE)/3: force IEEE double quantile fractions —
       // DuckDB's bare 1.0/3 is DECIMAL division and lands a different

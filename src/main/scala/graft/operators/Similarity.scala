@@ -322,4 +322,45 @@ object Similarity {
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
+
+  /** Index-health card — per index family (IVF cells, LSH buckets): cell
+    * count, total entries, min/max/avg cell population, and skew
+    * (max/avg). This is the ops table behind every ANN serving decision:
+    * probe latency variance IS bucket skew (a probe landing in the max
+    * cell pays skew× the average), an empty-cell count says the codebook
+    * has dead pivots, and an LSH band whose buckets collapse into a few
+    * keys has lost its hashing power. A deployment alerts on skew and
+    * re-clusters / re-seeds hyperplanes from this card — the ANN analog
+    * of [[graft.operators.Relational]]'s table-profile cards.
+    *
+    * Scale: reads ONLY the two materialized key-only index artifacts
+    * (warm path: zero corpus scan — spec-pinned); each aggregates its
+    * partition columns with map-side combine, so the shuffle carries
+    * ≤ cells rows. Determinism: counts are exact; avg is one double
+    * division; rows-only (the oracle cannot replay k-means or the
+    * hyperplane draw).
+    */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val ivfCells = AnnIndex.ivf(spark, dir, ver)
+      .groupBy(lit("ivf").as("index"), col("cluster").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val lshCells = AnnIndex.lshBands(spark, dir, ver)
+      // flatten (band_id, band_key) into one cell coordinate: band_key is
+      // bandBits wide, so the band id shifted above it cannot collide
+      .groupBy(lit("lsh").as("index"),
+        (col("band_id").cast("bigint") * (1L << AnnIndex.LshBandBits) +
+          col("band_key")).as("cell"))
+      .agg(count(lit(1)).as("n"))
+    ivfCells.unionByName(lshCells)
+      .groupBy("index")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum("n").as("n_entries"),
+        min("n").as("min_cell"),
+        max("n").as("max_cell"),
+        round(sum("n").cast("double") / count(lit(1)), 6).as("avg_cell"),
+        round(max("n").cast("double") * count(lit(1)) / sum("n"), 6).as("skew"))
+      .orderBy("index")
+  }
 }

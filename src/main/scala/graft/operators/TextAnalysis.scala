@@ -701,8 +701,13 @@ object TextAnalysis {
     * double divisions of exact longs (KL ≥ 0 up to the 1e-9 term
     * rounding; spec-pinned).
     */
-  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val st = SessionCache.cached(spark, "source_token_counts", dir) {
+  /** The (source, token, count) table behind [[sourceDrift]] and
+    * [[topicTerms]] — one corpus scan per (session, corpus version),
+    * map-side RLE via the native `word_counts`, one hash aggregate,
+    * checkpointed at vocabulary×sources size.
+    */
+  private def sourceTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "source_token_counts", dir) {
       Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("source"),
@@ -710,6 +715,9 @@ object TextAnalysis {
         .select(col("source"), col("tc.token").as("token"), col("tc.c").as("c"))
         .groupBy("source", "token").agg(sum("c").as("c"))
     }
+
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = sourceTokenCounts(spark, dir)
     val tok = st.groupBy("token").agg(sum("c").as("ct"))
     val ns = st.groupBy("source").agg(sum("c").as("n_tokens"))
     val nt = ns.agg(sum("n_tokens").as("nt"))
@@ -725,6 +733,43 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"),
         round(col("kl").cast("double"), 6).as("kl_vs_corpus"))
       .orderBy("source")
+  }
+
+  /** Per-source distinctive-terms card — the top-5 tokens whose
+    * within-source frequency most exceeds their corpus frequency
+    * (lift = p_source/p_corpus), the "what is this source actually
+    * about" companion to [[sourceDrift]]'s single-number divergence:
+    * drift says WHICH source shifted, this says WHAT shifted it (the
+    * spam token, the boilerplate phrase, the domain vocabulary), the
+    * evidence a curation run attaches to a prune/re-weight decision.
+    *
+    * Scale: ZERO additional corpus work — reads the same
+    * `source_token_counts` session artifact as [[sourceDrift]] (one scan
+    * per session, amortized across the family); the per-source ranking
+    * runs over the vocabulary-sized count table, and the `rank <= 5`
+    * filter over row_number plans as a WindowGroupLimit, so each
+    * partition keeps its local top-5 before the exchange.
+    * Determinism: lift is three IEEE double ops on exact longs
+    * (identical on both engines), rounded to 6 before the ordering so
+    * the rank boundary compares the same values the output shows; ties
+    * break token-ascending.
+    */
+  def topicTerms(spark: SparkSession, dir: String): DataFrame = {
+    val st = sourceTokenCounts(spark, dir)
+    val tok = st.groupBy("token").agg(sum("c").as("ct"))
+    val ns = st.groupBy("source").agg(sum("c").as("n_tokens"))
+    val nt = ns.agg(sum("n_tokens").as("nt"))
+    st.join(broadcast(tok), Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lift", round(
+        (col("c").cast("double") / col("n_tokens").cast("double")) /
+          (col("ct").cast("double") / col("nt").cast("double")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("lift"), asc("token"))))
+      .where(col("rank") <= 5)
+      .select("source", "rank", "token", "c", "lift")
+      .orderBy("source", "rank")
   }
 
   def sourceQuality(spark: SparkSession, dir: String): DataFrame =

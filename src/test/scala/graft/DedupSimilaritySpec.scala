@@ -286,4 +286,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val again = Similarity.clusterProfile(spark, sf).collect()
     assert(prof.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("indexHealth: entry totals reconcile with the corpus; skew/avg consistent") {
+    import graft.sources.Tables
+    import graft.operators.AnnIndex
+    val card = Similarity.indexHealth(spark, sf).collect()
+      .map(r => r.getAs[String]("index") -> r).toMap
+    assert(card.keySet == Set("ivf", "lsh"))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(card("ivf").getAs[Long]("n_entries") == n,
+      "IVF inverts every corpus vector exactly once")
+    assert(card("lsh").getAs[Long]("n_entries") == n * AnnIndex.LshBands,
+      "LSH stores one signature row per (vector, band)")
+    assert(card("ivf").getAs[Long]("n_cells") <= AnnIndex.NPivots)
+    assert(card("lsh").getAs[Long]("n_cells") <=
+      AnnIndex.LshBands.toLong * (1L << AnnIndex.LshBandBits))
+    card.values.foreach { r =>
+      assert(r.getAs[Long]("min_cell") >= 1, "only non-empty cells appear")
+      assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+      val avg = r.getAs[Double]("avg_cell")
+      assert(math.abs(avg - r.getAs[Long]("n_entries").toDouble /
+        r.getAs[Long]("n_cells")) < 1e-6)
+      assert(r.getAs[Double]("skew") >= 0.999999,
+        "max cell is at least the average cell")
+    }
+  }
 }

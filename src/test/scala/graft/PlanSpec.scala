@@ -312,4 +312,21 @@ class PlanSpec extends SparkSpec {
       "the per-query plan must read the cached score table; the corpus " +
         "passes happen once per (session, corpus version)")
   }
+
+  test("topicTerms reuses the source-token artifact and plans a group-limit") {
+    // warm the shared artifact (sourceDrift and topicTerms read the same one)
+    graft.operators.TextAnalysis.sourceDrift(spark, sf).collect()
+    val p = plan(graft.operators.TextAnalysis.topicTerms(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      "the ranking runs over the cached vocabulary-sized count table")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= 5 must push a per-partition local top-5 below the exchange")
+  }
+
+  test("indexHealth reads only the key-only index artifacts — no corpus scan") {
+    val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
+    assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
+    assert(!p.contains("embeddings.parquet"),
+      "the card aggregates index keys; the corpus is never rescanned")
+  }
 }

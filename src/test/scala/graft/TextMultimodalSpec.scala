@@ -236,8 +236,37 @@ class TextMultimodalSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getAs[Double]("kl_vs_corpus")).toMap
       assert(kl("skewed") > kl("balanced") + 0.5,
         s"the skewed source must spike: $kl")
+      // the distinctive-terms card names the token that caused the spike
+      val top = TextAnalysis.topicTerms(spark, tmp).collect()
+        .filter(r => r.getString(0) == "skewed" && r.getAs[Int]("rank") == 1)
+      assert(top.length == 1 && top.head.getAs[String]("token") == "zzyx",
+        "the skewed source's top lift term must be its private token")
+      assert(top.head.getAs[Double]("lift") > 1.0)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("topicTerms: ranks dense 1..5 per source, lift positive, token lifts consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.topicTerms(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length),
+        s"$src: ranks must be dense from 1")
+      assert(rs.length <= 5)
+      // ranking is by (lift desc, token asc): re-sorting the card's own
+      // columns reproduces the rank order
+      val sorted = rs.sortBy(r => (-r.getAs[Double]("lift"), r.getAs[String]("token")))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == rs.map(_.getAs[Int]("rank")).sorted.toSeq)
+      rs.foreach { r =>
+        assert(r.getAs[Double]("lift") > 0.0)
+        assert(r.getAs[Long]("c") > 0L)
+      }
+    }
+    // every source with text is represented
+    val sources = Tables.documents(spark, sf)
+      .where(col("text").isNotNull).select("source").distinct().count()
+    assert(bySource.size == sources)
   }
 
   test("lmFilter: buckets partition each language with ordered score ranges") {
