@@ -117,6 +117,7 @@ object SparkEntry {
     "q_topic_terms"     -> (TextAnalysis.topicTerms _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     "q_index_health"    -> (Similarity.indexHealth _),
+    "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -746,6 +747,29 @@ object SparkEntry {
         |      FROM lifts)
         |WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
+    "q_quantize_embed" ->
+      // per-vector element sums route through DECIMAL so SUM order over
+      // the unnested elements cannot wobble the 6th decimal
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127 AS scale
+        |  FROM e),
+        |t AS (SELECT vec_id, label, scale, unnest(v) AS x FROM s),
+        |pv AS (
+        |  SELECT vec_id, label,
+        |         round(sqrt(
+        |           CAST(SUM(CAST(pow(x - round(x / scale) * scale, 2)
+        |                         AS DECIMAL(28,12))) AS DOUBLE) /
+        |           CAST(SUM(CAST(pow(x, 2) AS DECIMAL(28,12))) AS DOUBLE)), 6)
+        |           AS rel_err
+        |  FROM t GROUP BY vec_id, label, scale)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(CAST(SUM(CAST(rel_err AS DECIMAL(18,6))) AS DOUBLE) /
+        |             count(*), 6) AS avg_rel_err,
+        |       round(max(rel_err), 6) AS max_rel_err
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
     "q_lm_filter" ->
       // CAST(1 AS DOUBLE)/3: force IEEE double quantile fractions —
       // DuckDB's bare 1.0/3 is DECIMAL division and lands a different

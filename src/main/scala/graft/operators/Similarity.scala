@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -43,6 +43,48 @@ object Similarity {
         round(sum(col("norm").cast("decimal(28,12)")).cast("double") /
           count(lit(1)), 6).as("avg_norm"),
         round(max("norm"), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** Scalar-quantization audit — per label: how much reconstruction error
+    * symmetric int8 quantization (scale = max|x|/127 per vector, the
+    * standard serving-tier compression) would cost this corpus. At 100 TB
+    * an f32 embedding store is 4× the int8 one, and the decision to
+    * quantize is made from exactly this table: relative L2 error per
+    * class (a class with tiny-magnitude vectors quantizes worse) against
+    * the 4× memory/IO win. The card is the audit; a deployment then
+    * stores `transform(v, x -> CAST(round(x/scale) AS TINYINT))` +
+    * `scale` and reconstructs in the probe.
+    *
+    * Determinism: per-element terms fold in array order; the per-vector
+    * error sums route each term rounded-then-DECIMAL(28,12) so the sum is
+    * order-insensitive; per-label avg is a DECIMAL sum of rounded
+    * per-vector ratios over an exact count. round(x/scale) at an exact
+    * .5 is engine-ambiguous but measure-zero over real-valued floats.
+    * Scale: map-only over one corpus scan (no per-vector shuffle), one
+    * label-sized hash aggregate with map-side partials.
+    */
+  def quantizeEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    // order-insensitive per-vector sum: each double term casts to
+    // DECIMAL(28,12) (the vectorNorms discipline) and the fold re-casts
+    // the accumulator so the decimal type stays fixed across steps
+    def dsum(arr: Column): Column = aggregate(
+      arr, lit(0).cast("decimal(28,12)"),
+      (acc, x) => (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"))
+    val errSq = dsum(zip_with(v, transform(v, x => round(x / scale) * scale),
+      (x, q) => pow(x - q, 2)))
+    val normSq = dsum(transform(v, x => pow(x, 2)))
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(sqrt(errSq.cast("double") / normSq.cast("double")), 6).as("rel_err"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("rel_err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_rel_err"),
+        round(max("rel_err"), 6).as("max_rel_err"))
       .orderBy("label")
   }
 

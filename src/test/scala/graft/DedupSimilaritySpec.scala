@@ -287,6 +287,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prof.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("quantizeEmbed: int8 reconstruction error small, bounded, covers the corpus") {
+    import graft.sources.Tables
+    val card = Similarity.quantizeEmbed(spark, sf).collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sf).count())
+    card.foreach { r =>
+      val avg = r.getAs[Double]("avg_rel_err")
+      val max = r.getAs[Double]("max_rel_err")
+      assert(avg >= 0.0 && avg <= max + 1e-9)
+      // int8 over 64 dims: relative L2 error lands well under 1% —
+      // anything near 1 would mean quantization destroyed the vectors
+      assert(max > 0.0 && max < 0.05, s"label ${r.get(0)}: max_rel_err $max")
+    }
+  }
+
   test("indexHealth: entry totals reconcile with the corpus; skew/avg consistent") {
     import graft.sources.Tables
     import graft.operators.AnnIndex
