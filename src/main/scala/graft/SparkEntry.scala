@@ -113,6 +113,7 @@ object SparkEntry {
     "q_text_compress"   -> (TextAnalysis.textCompress _),
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_source_quality"  -> (TextAnalysis.sourceQuality _),
+    "q_boilerplate"     -> (TextAnalysis.boilerplate _),
     "q_source_drift"    -> (TextAnalysis.sourceDrift _),
     "q_topic_terms"     -> (TextAnalysis.topicTerms _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
@@ -747,6 +748,34 @@ object SparkEntry {
         |      FROM lifts)
         |WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
+    "q_boilerplate" ->
+      // shingle = non-overlapping full 50-token window; tail fragments
+      // dropped on BOTH engines so the hash universe is identical
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, toks, len(toks) AS n FROM t WHERE len(toks) >= 50),
+        |st AS (
+        |  SELECT doc_id, source, toks,
+        |         unnest(range(0, n - 49, 50)) AS s FROM f),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(toks[s+1 : s+50], ' ')) AS h FROM st),
+        |pc AS (
+        |  SELECT h, source, doc_id, count(*) AS n_occ FROM sh GROUP BY 1, 2, 3),
+        |dp AS (SELECT h, count(*) AS n_docs FROM pc GROUP BY h)
+        |SELECT pc.source,
+        |       CAST(SUM(pc.n_occ) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(pc.n_occ * (CASE WHEN dp.n_docs >= 2 THEN 1 ELSE 0 END))
+        |            AS BIGINT) AS n_dup_shingles,
+        |       count(DISTINCT pc.h) AS n_passages,
+        |       count(DISTINCT CASE WHEN dp.n_docs >= 2 THEN pc.h END)
+        |         AS n_dup_passages,
+        |       round(CAST(SUM(pc.n_occ * (CASE WHEN dp.n_docs >= 2 THEN 1 ELSE 0 END))
+        |                  AS DOUBLE) /
+        |             CAST(SUM(pc.n_occ) AS DOUBLE), 6) AS dup_ratio
+        |FROM pc JOIN dp USING (h)
+        |GROUP BY pc.source ORDER BY pc.source""".stripMargin,
     "q_quantize_embed" ->
       // per-vector element sums route through DECIMAL so SUM order over
       // the unnested elements cannot wobble the 6th decimal

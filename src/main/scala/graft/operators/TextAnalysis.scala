@@ -859,4 +859,66 @@ object TextAnalysis {
       .withColumn("flagged", col("dup_ratio") > 0.1)
       .orderBy("doc_id")
   }
+
+  /** The (passage-hash, source, doc_id, n_occ) table behind
+    * [[boilerplate]] — one row per distinct (50-token shingle, doc)
+    * pair, one corpus scan per (session, corpus version). The shingles
+    * are NON-overlapping full windows (tail fragments dropped), so the
+    * artifact is ≤ corpus_tokens/50 key-only rows (hash + ids + a
+    * count, no text) — the same "band table" shape as the MinHash
+    * index, and the standard scale for exact passage-level dedup.
+    */
+  private def passageCounts(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "passage_counts", dir) {
+      val toks = words(col("text"))
+      val starts = sequence(lit(0), size(col("toks")) - 50, lit(50))
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+        .where(size(col("toks")) >= 50)
+        .select(col("doc_id"), col("source"),
+          explode(transform(starts,
+            s => md5(concat_ws(" ", slice(col("toks"), s + 1, lit(50))))))
+            .as("h"))
+        .groupBy("h", "source", "doc_id")
+        .agg(count(lit(1)).as("n_occ"))
+    }
+
+  /** Per-source boilerplate card — what fraction of each source's text
+    * is a passage that also appears verbatim in ANOTHER document
+    * (cross-document repeated 50-token shingles: nav bars, license
+    * headers, templated intros — the RefinedWeb/CCNet line-dedup signal
+    * at passage granularity). Complements [[textRepetition]] (WITHIN-doc
+    * repetition) and the `q_dedup_*` family (whole-doc near-dups): a
+    * source can be full of unique documents that all share the same
+    * boilerplate frame, and this card is what catches it. Columns:
+    * occurrence-weighted `dup_ratio` (the fraction of shingle
+    * occurrences whose passage is cross-doc duplicated — "how much of
+    * this source's text is boilerplate"), plus the distinct-passage
+    * counts behind it.
+    *
+    * Scale: the corpus is scanned once per session (checkpointed
+    * key-only artifact, [[passageCounts]]); the per-query work is one
+    * hash agg over the artifact for corpus-wide doc counts, a sort-merge
+    * join on the hash (key-only rows, no text ever shuffles), and a
+    * sources-sized final agg. Determinism: every count is an exact
+    * long; the one double division is rounded to 6.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val pc = passageCounts(spark, dir)
+    val docsPerPassage = pc.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"))
+    pc.join(docsPerPassage, Seq("h"))
+      .withColumn("dup", (col("n_docs") >= 2).cast("long"))
+      .groupBy("source")
+      .agg(
+        sum(col("n_occ")).as("n_shingles"),
+        sum(col("n_occ") * col("dup")).as("n_dup_shingles"),
+        countDistinct(col("h")).as("n_passages"),
+        countDistinct(when(col("dup") === 1, col("h"))).as("n_dup_passages"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_shingles").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .orderBy("source")
+  }
 }

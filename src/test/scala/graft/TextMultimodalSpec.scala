@@ -246,6 +246,53 @@ class TextMultimodalSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("boilerplate: counts reconcile with the corpus; a shared header is caught") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // occurrence total reconciles with an independent per-doc count:
+    // every doc with >= 50 tokens contributes exactly floor(n/50) shingles
+    val expected = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(floor(size(split(col("text"), " ")) / 50).as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_shingles")).sum == expected)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val d = r.getAs[Long]("n_dup_shingles")
+      assert(d >= 0 && d <= n)
+      assert(r.getAs[Long]("n_dup_passages") <= r.getAs[Long]("n_passages"))
+      assert(r.getAs[Double]("dup_ratio") ==
+        BigDecimal(d.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // synthetic: source A's docs all open with the same 50-token header
+    // (cross-doc boilerplate); source B's docs are fully unique
+    import spark.implicits._
+    val header = (0 until 50).map(j => s"hdr$j").mkString(" ")
+    val synth = ((0 until 10).map { i =>
+        (i.toLong, header + " " + (0 until 50).map(j => s"u${i}x$j").mkString(" "), "A")
+      } ++ (10 until 20).map { i =>
+        (i.toLong, (0 until 100).map(j => s"v${i}x$j").mkString(" "), "B")
+      } :+ (20L, "short doc under fifty tokens", "B"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val card = TextAnalysis.boilerplate(spark, tmp).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // A: 2 shingles per doc, the header one duplicated across all 10
+      assert(card("A").getAs[Long]("n_shingles") == 20)
+      assert(card("A").getAs[Long]("n_dup_shingles") == 10)
+      assert(card("A").getAs[Double]("dup_ratio") == 0.5)
+      assert(card("A").getAs[Long]("n_dup_passages") == 1)
+      // B: nothing repeats; the <50-token doc contributes no shingles
+      assert(card("B").getAs[Long]("n_shingles") == 20)
+      assert(card("B").getAs[Long]("n_dup_shingles") == 0)
+      assert(card("B").getAs[Double]("dup_ratio") == 0.0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("topicTerms: ranks dense 1..5 per source, lift positive, token lifts consistent") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.topicTerms(spark, sf).collect()
