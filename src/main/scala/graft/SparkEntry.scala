@@ -114,6 +114,7 @@ object SparkEntry {
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     "q_source_quality"  -> (TextAnalysis.sourceQuality _),
     "q_boilerplate"     -> (TextAnalysis.boilerplate _),
+    "q_top_passages"    -> (TextAnalysis.topPassages _),
     "q_source_drift"    -> (TextAnalysis.sourceDrift _),
     "q_topic_terms"     -> (TextAnalysis.topicTerms _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
@@ -776,6 +777,24 @@ object SparkEntry {
         |             CAST(SUM(pc.n_occ) AS DOUBLE), 6) AS dup_ratio
         |FROM pc JOIN dp USING (h)
         |GROUP BY pc.source ORDER BY pc.source""".stripMargin,
+    "q_top_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 50),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, n - 49, 50)) AS s FROM f),
+        |sh AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(toks[s+1 : s+50], ' ')) AS h,
+        |         array_to_string(toks[s+1 : s+8], ' ') AS preview FROM st),
+        |pc AS (
+        |  SELECT h, doc_id, count(*) AS n_occ, min(preview) AS preview
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT h, count(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occ,
+        |       min(preview) AS preview
+        |FROM pc GROUP BY h HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, h LIMIT 20""".stripMargin,
     "q_quantize_embed" ->
       // per-vector element sums route through DECIMAL so SUM order over
       // the unnested elements cannot wobble the 6th decimal

@@ -877,11 +877,16 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), toks.as("toks"))
         .where(size(col("toks")) >= 50)
         .select(col("doc_id"), col("source"),
-          explode(transform(starts,
-            s => md5(concat_ws(" ", slice(col("toks"), s + 1, lit(50))))))
-            .as("h"))
+          explode(transform(starts, s => struct(
+            md5(concat_ws(" ", slice(col("toks"), s + 1, lit(50)))).as("h"),
+            // bounded human-readable evidence for [[topPassages]] — 8
+            // tokens, not the passage (the artifact stays key-only-sized)
+            concat_ws(" ", slice(col("toks"), s + 1, lit(8))).as("preview"))))
+            .as("sh"))
+        .select(col("doc_id"), col("source"),
+          col("sh.h").as("h"), col("sh.preview").as("preview"))
         .groupBy("h", "source", "doc_id")
-        .agg(count(lit(1)).as("n_occ"))
+        .agg(count(lit(1)).as("n_occ"), min("preview").as("preview"))
     }
 
   /** Per-source boilerplate card — what fraction of each source's text
@@ -921,4 +926,25 @@ object TextAnalysis {
           col("n_shingles").cast("double"), 6))
       .orderBy("source")
   }
+
+  /** Top repeated passages — the WHAT behind [[boilerplate]]'s ratio:
+    * the 20 most widely cross-document-duplicated 50-token passages
+    * (by distinct docs containing them), each with its occurrence total
+    * and an 8-token preview as the evidence a curation run attaches to
+    * a strip-this-boilerplate rule.
+    *
+    * Scale: ZERO additional corpus work — reads the same
+    * `passage_counts` session artifact as [[boilerplate]]; one hash agg
+    * to per-passage doc counts, then the `n_docs >= 2` filter and a
+    * TakeOrdered top-20 (no global sort materializes). Determinism:
+    * exact-long ordering, ties broken on the hash.
+    */
+  def topPassages(spark: SparkSession, dir: String): DataFrame =
+    passageCounts(spark, dir)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("n_occ").as("n_occ"),
+        min("preview").as("preview"))
+      .where(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("h"))
+      .limit(20)
 }

@@ -323,6 +323,19 @@ class PlanSpec extends SparkSpec {
       "rank <= 5 must push a per-partition local top-5 below the exchange")
   }
 
+  test("boilerplate family shares the passage artifact; warm path never rescans docs") {
+    // cold call builds the checkpointed (hash, source, doc) shingle table
+    graft.operators.TextAnalysis.boilerplate(spark, sf).collect()
+    val p = plan(graft.operators.TextAnalysis.boilerplate(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      "warm path = two aggs + a hash join over the cached key-only artifact")
+    val tp = plan(graft.operators.TextAnalysis.topPassages(spark, sf))
+    assert(!tp.contains("documents.parquet"),
+      "the companion card reads the same artifact — zero extra corpus work")
+    assert(tp.contains("TakeOrdered"),
+      "top-20 must plan as TakeOrdered, not a global sort")
+  }
+
   test("indexHealth reads only the key-only index artifacts — no corpus scan") {
     val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
     assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")

@@ -289,6 +289,13 @@ class TextMultimodalSpec extends SparkSpec {
       assert(card("B").getAs[Long]("n_shingles") == 20)
       assert(card("B").getAs[Long]("n_dup_shingles") == 0)
       assert(card("B").getAs[Double]("dup_ratio") == 0.0)
+      // the companion card names the shared header as THE repeated passage
+      val top = TextAnalysis.topPassages(spark, tmp).collect()
+      assert(top.length == 1, s"only the header repeats: ${top.mkString(";")}")
+      assert(top.head.getAs[Long]("n_docs") == 10)
+      assert(top.head.getAs[Long]("n_occ") == 10)
+      assert(top.head.getAs[String]("preview") ==
+        (0 until 8).map(j => s"hdr$j").mkString(" "))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
   }
