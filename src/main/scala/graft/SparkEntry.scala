@@ -120,6 +120,7 @@ object SparkEntry {
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     "q_index_health"    -> (Similarity.indexHealth _),
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
+    "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -777,6 +778,31 @@ object SparkEntry {
         |             CAST(SUM(pc.n_occ) AS DOUBLE), 6) AS dup_ratio
         |FROM pc JOIN dp USING (h)
         |GROUP BY pc.source ORDER BY pc.source""".stripMargin,
+    "q_sim_ann_int8" ->
+      // replicate the quantized pipeline, not just the answer: stage 1
+      // scores round(x/scale)*scale dequantized vectors (bit-identical to
+      // tinyint*scale), stage 2 re-ranks the 50 candidates exactly
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv0 FROM e WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         (CASE WHEN m = 0 THEN 1.0 ELSE m END) AS scale
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127
+        |            AS m
+        |        FROM e)),
+        |cand AS (
+        |  SELECT s.vec_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(s.v, x -> round(x / s.scale) * s.scale),
+        |           q.qv0), 6) AS asim
+        |  FROM s, q WHERE s.vec_id <> 0
+        |  ORDER BY asim DESC, s.vec_id ASC LIMIT 50)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, q.qv0), 6) AS sim
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "q_top_passages" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{SessionCache, Tables}
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (driver extension; SURVEY.md §2.6 O4).
@@ -91,6 +91,59 @@ object Similarity {
   private def withVec(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
+
+  /** The int8 serving store behind [[simAnnInt8]] — (vec_id, scale, qv)
+    * with qv = round(v/scale) as TINYINT, scale = max|x|/127 per vector
+    * (the symmetric quantization [[quantizeEmbed]] audits). Built once
+    * per (session, corpus version); 4× smaller than the f32 table, which
+    * at 100 TB is the difference between a serving tier that fits in
+    * cluster memory and one that doesn't. All-zero vectors quantize with
+    * scale=1 so the store never divides by zero.
+    */
+  private def int8Store(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "int8_store", dir) {
+      val v = col("embedding").cast("array<double>")
+      val m = array_max(transform(v, x => abs(x))) / lit(127.0)
+      val scale = when(m === 0.0, lit(1.0)).otherwise(m)
+      Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), scale.as("scale"),
+          transform(v, x => round(x / scale).cast("tinyint")).as("qv"))
+    }
+
+  /** Quantized retrieve + exact re-rank — the standard int8 serving
+    * pattern: score the whole corpus on the 4×-smaller int8 store
+    * (map-side dequantize `x*scale`, TakeOrdered top-50 candidates),
+    * then re-score ONLY those 50 against the f32 table and return the
+    * exact top-10. The f32 corpus is never scanned for scoring: the
+    * candidate ids are collected (bounded — 50 longs, the same driver
+    * discipline as the LSH band keys) and pushed as a literal `isin`
+    * predicate, so the re-rank scan shows `PushedFilters: In(vec_id, …)`
+    * and reads only the row groups holding candidates (plan-pinned).
+    * Determinism: both stages round to 6 with a vec_id tiebreak; the
+    * re-ranked scores are exact cosine, so the output matches
+    * [[simTopK]] whenever the int8 recall holds (spec-asserted).
+    */
+  def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val q = withVec(spark, dir).where(col("vec_id") === 0L)
+      .select(col("v").as("qv0"))
+    val ids = int8Store(spark, dir)
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr(
+          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)"), 6)
+          .as("asim"))
+      .orderBy(desc("asim"), asc("vec_id"))
+      .limit(50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    withVec(spark, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(v, qv0)"), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
 
   /** O4 — exact cosine top-k for query vector vec_id=0.
     * Scale: the single query row is broadcast; similarity is evaluated

@@ -303,6 +303,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simAnnInt8: exact-re-ranked int8 retrieval recalls the exact top-10") {
+    val exact = Similarity.simTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val int8 = Similarity.simAnnInt8(spark, sf).collect()
+    assert(int8.length == 10)
+    val sims = int8.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, "descending by exact re-ranked sim")
+    val overlap = int8.map(_.getAs[Long]("vec_id")).count(exact.contains)
+    // int8 over 64 dims costs <1% sim error; the exact top-10 must
+    // survive the 50-candidate quantized retrieve essentially intact
+    assert(overlap >= 8, s"recall@10 too low: $overlap/10")
+    val again = Similarity.simAnnInt8(spark, sf).collect()
+    assert(int8.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("indexHealth: entry totals reconcile with the corpus; skew/avg consistent") {
     import graft.sources.Tables
     import graft.operators.AnnIndex

@@ -336,6 +336,13 @@ class PlanSpec extends SparkSpec {
       "top-20 must plan as TakeOrdered, not a global sort")
   }
 
+  test("simAnnInt8 re-rank pushes the candidate ids into the f32 scan") {
+    val p = plan(graft.operators.Similarity.simAnnInt8(spark, sf))
+    assert(p.contains("In(vec_id"),
+      "the 50 candidate ids must reach the parquet scan as a pushed filter " +
+        "so the re-rank reads candidate row groups, not the corpus")
+  }
+
   test("indexHealth reads only the key-only index artifacts — no corpus scan") {
     val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
     assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
