@@ -121,6 +121,7 @@ object SparkEntry {
     "q_index_health"    -> (Similarity.indexHealth _),
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
+    "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.sources.{SessionCache, Tables}
@@ -68,6 +69,19 @@ object Dedup {
       minhashPairsBuild(spark, dir)
     }
 
+  /** (doc_id, sh) → one (doc_id, band_id, band_hash) row per LSH band:
+    * 16 bands × 4 minhash rows, each band hashed to one 8-byte key.
+    * Shared by the whole-corpus pair search ([[minhashPairsBuild]]) and
+    * the batch-vs-store probe ([[dedupIncremental]]) so the two sides of
+    * an incremental join are banded bit-identically.
+    */
+  private def bandRows(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", expr("minhash_sig(sh)"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)), b =>
+          xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band_id", "band_hash")))
+
   private def minhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     // two-exchange shape: a round-robin repartition spreads the
     // single-split text rows so shingling runs in parallel; the hash
@@ -85,12 +99,7 @@ object Dedup {
 
     // bands carry ONLY (band, doc_id) — never the shingle arrays: the
     // candidate join must shuffle 24-byte rows, not kilobyte payloads
-    val banded = sh
-      .withColumn("sig", expr("minhash_sig(sh)"))
-      .select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(15)), b =>
-          xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band_id", "band_hash")))
+    val banded = bandRows(sh)
 
     val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
@@ -512,5 +521,83 @@ object Dedup {
       .select("id_a", "id_b", "sim")
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(20)
+  }
+
+  /** The arriving-batch predicate for [[dedupIncremental]]: every 20th
+    * doc plays the "today's crawl drop" (deterministic, ~5% of the
+    * corpus); the rest is the established corpus.
+    */
+  private val IncrementMod = 20L
+
+  /** The established corpus's persisted band store — (doc_id, band_id,
+    * band_hash) for every non-batch doc, the artifact an incremental
+    * dedup deployment keeps on disk and APPENDS to as batches are
+    * admitted. Built once per (session, corpus version); key-only rows.
+    */
+  private def corpusBandStore(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "inc_band_store", dir) {
+      bandRows(Tables.documents(spark, dir)
+        .where(col("doc_id") % lit(IncrementMod) =!= 0L)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh")))
+    }
+
+  /** Incremental dedup — the production shape at 100 TB: a corpus that
+    * size is deduplicated ONCE, and every later batch (a crawl drop, a
+    * day's ingest) is checked against the persisted band store instead of
+    * re-running the O(corpus²-candidate) pair search. Per batch doc:
+    * how many corpus docs collided in ≥1 LSH band, the best match by
+    * exact Jaccard, and the admit/reject verdict at the 0.5 threshold
+    * (batch docs with no collisions pass with n_candidates = 0).
+    *
+    * Scale: the corpus side is ONLY the band store (never re-shingled —
+    * plan-pinned); the batch (~5%) is shingled fresh and banded
+    * map-side; the candidate join is key-only on (band_id, band_hash);
+    * exact verification re-shingles just the candidate corpus docs
+    * (a key-only semi-join selects them — at production this is the
+    * doc-store point-fetch). Determinism: Jaccard rounded to 6; best
+    * match ties break on match_id; verdict compares the rounded value.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % lit(IncrementMod) === 0L
+    // same two-exchange shape as minhashPairsBuild: the hash repartition
+    // above the shingle arrays is the materialization point both
+    // consumers (banding, verification join-back) reuse via AQE
+    val batchSh = docs.where(isBatch)
+      .repartition(par)
+      .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
+      .repartition(par, col("doc_id"))
+    val cand = bandRows(batchSh)
+      .join(corpusBandStore(spark, dir)
+          .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("match_id")).distinct()
+    val candSh = docs
+      .join(cand.select(col("match_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .repartition(par)
+      .select(col("doc_id").as("match_id"),
+        expr("ngram_hashes(text, 3, 'word')").as("sh_c"))
+    val verified = cand
+      .join(batchSh, Seq("doc_id"))
+      .join(candSh, Seq("match_id"))
+      .withColumn("ca", size(array_distinct(col("sh"))).cast("double"))
+      .withColumn("cb", size(array_distinct(col("sh_c"))).cast("double"))
+      .withColumn("c", size(array_intersect(col("sh"), col("sh_c"))).cast("double"))
+      .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("jaccard"), asc("match_id"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rk") === 1, col("match_id"))).as("match_id"),
+        max(when(col("rk") === 1, col("jaccard"))).as("jaccard"))
+    docs.where(isBatch).select("doc_id")
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("match_id"), col("jaccard"),
+        coalesce(col("jaccard") >= 0.5, lit(false)).as("is_dup"))
+      .orderBy("doc_id")
   }
 }

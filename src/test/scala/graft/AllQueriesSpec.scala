@@ -26,7 +26,7 @@ class AllQueriesSpec extends SparkSpec {
       "q_quantiles_approx", "q_sample_balanced", "q_multimodal_decode",
       "q_multimodal_frames", "q_multimodal_resize", "q_decontaminate",
       "q_dedup_keep", "q_cluster_profile", "q_sim_ann_batch", "q_ann_recall",
-      "q_text_compress", "q_index_health")
+      "q_text_compress", "q_index_health", "q_dedup_incremental")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

@@ -303,6 +303,46 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedupIncremental: covers the batch; an injected cross-boundary dup is caught") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val out = Dedup.dedupIncremental(spark, sf).collect()
+    val nBatch = Tables.documents(spark, sf)
+      .where(col("doc_id") % 20 === 0).count()
+    assert(out.length == nBatch, "one verdict row per arriving-batch doc")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_candidates")
+      if (n == 0) {
+        assert(r.isNullAt(r.fieldIndex("match_id")) && !r.getAs[Boolean]("is_dup"))
+      } else if (r.getAs[Boolean]("is_dup")) {
+        assert(r.getAs[Double]("jaccard") >= 0.5)
+      }
+    }
+    // synthetic: doc 20 (batch) is an exact copy of corpus doc 1; doc 40
+    // (batch) shares nothing with the corpus
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet shade"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (40L, "totally different words entirely unique tokens here now"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val card = Dedup.dedupIncremental(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(card.keySet == Set(20L, 40L))
+      assert(card(20L).getAs[Boolean]("is_dup"))
+      assert(card(20L).getAs[Long]("match_id") == 1L)
+      assert(card(20L).getAs[Double]("jaccard") == 1.0)
+      assert(!card(40L).getAs[Boolean]("is_dup"))
+      assert(card(40L).getAs[Long]("n_candidates") == 0L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("simAnnInt8: exact-re-ranked int8 retrieval recalls the exact top-10") {
     val exact = Similarity.simTopK(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet

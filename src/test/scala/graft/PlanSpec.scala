@@ -336,6 +336,18 @@ class PlanSpec extends SparkSpec {
       "top-20 must plan as TakeOrdered, not a global sort")
   }
 
+  test("dedupIncremental probes the warm band store without re-shingling the corpus") {
+    // warm the store, then pin: the corpus bands must come from the
+    // checkpointed artifact (an ExistingRDD scan), not a rebuild — the
+    // batch scan and candidate doc-fetch are the only parquet work.
+    // (The static plan repeats the batch lineage per consumer; AQE
+    // stage reuse collapses those at runtime, as in minhashPairsBuild.)
+    graft.operators.Dedup.dedupIncremental(spark, sf).collect()
+    val p = plan(graft.operators.Dedup.dedupIncremental(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "warm probe must read the corpus band store from the session artifact")
+  }
+
   test("simAnnInt8 re-rank pushes the candidate ids into the f32 scan") {
     val p = plan(graft.operators.Similarity.simAnnInt8(spark, sf))
     assert(p.contains("In(vec_id"),
