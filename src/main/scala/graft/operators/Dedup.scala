@@ -536,11 +536,21 @@ object Dedup {
     */
   private def corpusBandStore(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, "inc_band_store", dir) {
-      bandRows(Tables.documents(spark, dir)
+      bandDocs(Tables.documents(spark, dir)
         .where(col("doc_id") % lit(IncrementMod) =!= 0L)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh")))
+        .repartition(spark.sparkContext.defaultParallelism))
     }
+
+  /** (doc_id, text, …) → one (doc_id, band_id, band_hash) row per band:
+    * shingle + minhash + band, all per-row map-side expressions (no
+    * shuffle, no state). Shared VERBATIM by the batch store build above
+    * and the streaming ingester ([[graft.streaming.Streams.dedupBandIngest]])
+    * so a doc streamed into the store lands in exactly the buckets a
+    * batch rebuild would assign it.
+    */
+  private[graft] def bandDocs(docs: DataFrame): DataFrame =
+    bandRows(docs.select(col("doc_id"),
+      expr("ngram_hashes(text, 3, 'word')").as("sh")))
 
   /** Incremental dedup — the production shape at 100 TB: a corpus that
     * size is deduplicated ONCE, and every later batch (a crawl drop, a

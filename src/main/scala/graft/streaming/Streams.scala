@@ -247,6 +247,34 @@ object Streams {
       .partitionBy("band_id", "band_key")
       .outputMode("append")
 
+  /** Streaming dedup-band ingestion — the admit path of
+    * [[graft.operators.Dedup.dedupIncremental]]'s band store: each
+    * arriving document is shingled + minhashed + banded MAP-SIDE with
+    * the exact transform the batch store build uses
+    * ([[graft.operators.Dedup.bandDocs]] — stateless, no shuffle, no
+    * watermark), so admitted docs append into the same store the next
+    * batch's probe joins against. This closes the incremental-dedup
+    * loop: probe the store, admit the non-dups, ingest their bands.
+    */
+  def dedupBandIngest(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.bandDocs(docs)
+
+  /** Parquet sink for [[dedupBandIngest]]: band_id-partitioned append
+    * (16 dirs). Unlike the LSH index, band_hash is a full 64-bit key —
+    * partitioning on it would be a directory-per-row explosion, so the
+    * store prunes on band_id and the probe's (band_id, band_hash) join
+    * handles the hash — the join is key-only either way.
+    */
+  def dedupBandIngestSink(
+      docs: DataFrame,
+      path: String, checkpointDir: String) =
+    dedupBandIngest(docs).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("band_id")
+      .outputMode("append")
+
   /** Streaming training-shard ingestion — the incremental path of the
     * [[graft.operators.Sampling.writeTrainingShards]] layout: each
     * arriving doc gets its shard MAP-SIDE from the same pure md5 key

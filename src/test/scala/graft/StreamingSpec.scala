@@ -191,6 +191,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup-band ingest matches the batch banding transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta"))
+
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("band_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("band_ckpt").toString
+    val q = Streams.dedupBandIngestSink(
+      mem.toDF().toDF("doc_id", "text"), out, ckpt).start()
+    try {
+      mem.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(1): _*) // later batch appends into the same store
+      q.processAllAvailable()
+
+      val streamed = spark.read
+        .schema("doc_id BIGINT, band_id INT, band_hash BIGINT").parquet(out)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.operators.Dedup
+        .bandDocs(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        "streamed docs must band exactly as the batch store build")
+      assert(streamed.size == docs.size * 16, "16 bands per doc")
+      // identical texts agree on every band — the store must catch them
+      val byDoc = streamed.groupBy(_._1)
+      assert(byDoc(100L).map(t => (t._2, t._3)) == byDoc(102L).map(t => (t._2, t._3)))
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("band_id=")).map(_.getName)
+      assert(parts.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LSH ingest lands rows in the same buckets as a batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
