@@ -122,6 +122,7 @@ object SparkEntry {
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
+    "q_embed_dim_stats" -> (Similarity.embedDimStats _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -779,6 +780,24 @@ object SparkEntry {
         |             CAST(SUM(pc.n_occ) AS DOUBLE), 6) AS dup_ratio
         |FROM pc JOIN dp USING (h)
         |GROUP BY pc.source ORDER BY pc.source""".stripMargin,
+    "q_embed_dim_stats" ->
+      // per-dim x and x² sums route through DECIMAL so the aggregation
+      // order cannot wobble mean/std at the 6th decimal
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |idx AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e),
+        |t AS (SELECT i AS dim, v[i] AS x FROM idx)
+        |SELECT dim, count(*) AS n,
+        |       round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) /
+        |             count(*), 6) AS mean,
+        |       round(sqrt(greatest(
+        |         CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) / count(*) -
+        |         pow(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) /
+        |             count(*), 2),
+        |         0.0)), 6) AS std,
+        |       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+        |       round(CAST(SUM(CASE WHEN abs(x) < 1e-6 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS frac_nearzero
+        |FROM t GROUP BY dim ORDER BY dim""".stripMargin,
     "q_sim_ann_int8" ->
       // replicate the quantized pipeline, not just the answer: stage 1
       // scores round(x/scale)*scale dequantized vectors (bit-identical to

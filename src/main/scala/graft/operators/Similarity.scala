@@ -88,6 +88,45 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-dimension embedding-health card — mean/std/min/max and the
+    * near-zero fraction for each of the 64 dimensions. The QA table for
+    * an embedding store: a dimension whose std collapsed is dead (an
+    * encoder bug or a truncated export), one whose mean drifted breaks
+    * cosine geometry, and at 100 TB you find that out from 64 rows, not
+    * by probing.
+    *
+    * Determinism: per-dim sums of x and x² route through DECIMAL(28,12)
+    * (order-insensitive); mean/std/frac are a handful of IEEE double ops
+    * on those exact sums, rounded to 6. Scale: one corpus scan,
+    * posexplode to (dim, x) pairs (map-side), one 64-group hash
+    * aggregate with map-side partials — shuffle carries 64×partials,
+    * never the corpus.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(28,12)"
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("bigint").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("s"),
+        sum((col("x") * col("x")).cast(dec)).as("ss"),
+        round(min("x"), 6).as("min_x"),
+        round(max("x"), 6).as("max_x"),
+        sum((abs(col("x")) < 1e-6).cast("long")).as("nz"))
+      .select(
+        col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(
+          col("ss").cast("double") / col("n") -
+            pow(col("s").cast("double") / col("n"), 2),
+          lit(0.0))), 6).as("std"),
+        col("min_x"), col("max_x"),
+        round(col("nz").cast("double") / col("n"), 6).as("frac_nearzero"))
+      .orderBy("dim")
+  }
+
   private def withVec(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -343,6 +343,42 @@ class DedupSimilaritySpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("embedDimStats: one row per dimension, sane moments, dead dim detected") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, size}
+    val dims = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).collect()(0).getInt(0)
+    val card = Similarity.embedDimStats(spark, sf).collect()
+    assert(card.length == dims)
+    assert(card.map(_.getAs[Long]("dim")).toSeq == (1L to dims).toSeq)
+    val n = Tables.embeddings(spark, sf).count()
+    card.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("mean") <= r.getAs[Double]("max_x"))
+      assert(r.getAs[Double]("std") >= 0.0)
+      val fz = r.getAs[Double]("frac_nearzero")
+      assert(fz >= 0.0 && fz <= 1.0)
+    }
+    // synthetic: dim 2 is dead (always 0), dim 3 is a constant offset
+    import spark.implicits._
+    val synth = (0 until 40).map(i =>
+        (i.toLong, Seq(i.toFloat / 40f, 0f, 2.5f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dims").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    try {
+      val by = Similarity.embedDimStats(spark, tmp).collect()
+        .map(r => r.getAs[Long]("dim") -> r).toMap
+      assert(by(2L).getAs[Double]("frac_nearzero") == 1.0)
+      assert(by(2L).getAs[Double]("std") == 0.0)
+      assert(by(3L).getAs[Double]("std") == 0.0)
+      assert(by(3L).getAs[Double]("mean") == 2.5)
+      assert(by(1L).getAs[Double]("std") > 0.0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("simAnnInt8: exact-re-ranked int8 retrieval recalls the exact top-10") {
     val exact = Similarity.simTopK(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet
