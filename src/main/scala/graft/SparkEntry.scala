@@ -123,6 +123,7 @@ object SparkEntry {
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_embed_dim_stats" -> (Similarity.embedDimStats _),
+    "q_pii_card"        -> (TextAnalysis.piiCard _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
     "q_multimodal_decode" -> (Multimodal.multimodalDecode _),
@@ -990,6 +991,35 @@ object SparkEntry {
     // Counts are PROGRESSIVE (emails on raw, IPs on post-email, digit runs
     // on post-IP) so each count equals the placeholders actually emitted —
     // same staging as TextAnalysis.redact.
+    "q_pii_card" ->
+      // same progressive counting as q_text_redact: IPs counted after
+      // emails are masked, digit runs after IPs — no double counting
+      """WITH staged AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    len(regexp_extract_all(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |        '\d{6,}')) AS nn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ne + ni + nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_pii,
+        |  CAST(SUM(COALESCE(ne, 0)) AS BIGINT) AS n_emails,
+        |  CAST(SUM(COALESCE(ni, 0)) AS BIGINT) AS n_ips,
+        |  CAST(SUM(COALESCE(nn, 0)) AS BIGINT) AS n_longnums,
+        |  round(CAST(SUM(CASE WHEN ne + ni + nn > 0 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 6) AS frac_docs_with_pii
+        |FROM staged GROUP BY source ORDER BY source""".stripMargin,
     "q_text_redact" ->
       """WITH staged AS (
         |  SELECT doc_id, text,

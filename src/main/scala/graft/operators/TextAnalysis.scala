@@ -533,6 +533,41 @@ object TextAnalysis {
   def textRedact(spark: SparkSession, dir: String): DataFrame =
     redact(Tables.documents(spark, dir))
 
+  /** Per-source PII-prevalence card — the compliance rollup of
+    * [[redact]]'s per-doc counts: how many docs in each source carry any
+    * PII, and the per-type occurrence totals (emails, IPv4s, long digit
+    * runs, counted progressively on the redacted text like the scrub
+    * pass itself so an IP inside a matched email is never double-counted).
+    * This is the table a curation review reads to decide which sources
+    * need scrubbing before tokenization — per-source, not per-doc,
+    * because the decision (drop / scrub / pass) is made per source.
+    * Scale: map-only regex counting over one corpus scan (the same three
+    * codegen'd regexes as [[textRedact]]), then a sources-sized hash agg
+    * with map-side partials. Determinism: exact longs; one rounded ratio.
+    */
+  def piiCard(spark: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(Ipv4Re), lit("<IP>"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(EmailRe)).as("ne"),
+        regexp_count(afterEmail, lit(Ipv4Re)).as("ni"),
+        regexp_count(afterIp, lit(LongNumRe)).as("nn"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // when/otherwise + coalesce: a NULL-text doc counts as zero PII
+        // on BOTH engines instead of Spark null-skipping vs DuckDB 0
+        sum(when((col("ne") + col("ni") + col("nn")) > 0, lit(1L))
+          .otherwise(lit(0L))).as("docs_with_pii"),
+        sum(coalesce(col("ne"), lit(0)).cast("long")).as("n_emails"),
+        sum(coalesce(col("ni"), lit(0)).cast("long")).as("n_ips"),
+        sum(coalesce(col("nn"), lit(0)).cast("long")).as("n_longnums"))
+      .withColumn("frac_docs_with_pii",
+        round(col("docs_with_pii").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: training documents that share at least one
     * 13-word n-gram with the held-out eval slice (doc_id ≡ 0 mod
     * [[EvalSliceMod]] — the stand-in for a benchmark suite). The standard

@@ -246,6 +246,45 @@ class TextMultimodalSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("piiCard: totals reconcile with the per-doc redact counts; injected PII caught") {
+    import org.apache.spark.sql.functions._
+    val card = TextAnalysis.piiCard(spark, sf).collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    // per-source totals must sum to exactly the per-doc scrub counts
+    val perDoc = TextAnalysis.textRedact(spark, sf)
+      .agg(sum("n_emails"), sum("n_ips"), sum("n_longnums"))
+      .collect()(0)
+    assert(card.map(_.getAs[Long]("n_emails")).sum == perDoc.getLong(0))
+    assert(card.map(_.getAs[Long]("n_ips")).sum == perDoc.getLong(1))
+    assert(card.map(_.getAs[Long]("n_longnums")).sum == perDoc.getLong(2))
+    card.foreach { r =>
+      assert(r.getAs[Long]("docs_with_pii") <= r.getAs[Long]("n_docs"))
+      val f = r.getAs[Double]("frac_docs_with_pii")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // synthetic: one source clean, one with a known email+ip doc
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "contact me at alice@example.com or 10.0.0.1 today", "dirty"),
+      (2L, "plain words only in this document", "dirty"),
+      (3L, "nothing sensitive here at all", "clean"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val by = TextAnalysis.piiCard(spark, tmp).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(by("dirty").getAs[Long]("docs_with_pii") == 1L)
+      assert(by("dirty").getAs[Long]("n_emails") == 1L)
+      assert(by("dirty").getAs[Long]("n_ips") == 1L)
+      assert(by("dirty").getAs[Double]("frac_docs_with_pii") == 0.5)
+      assert(by("clean").getAs[Long]("docs_with_pii") == 0L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("boilerplate: counts reconcile with the corpus; a shared header is caught") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.boilerplate(spark, sf).collect()
