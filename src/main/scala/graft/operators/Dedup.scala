@@ -569,22 +569,39 @@ object Dedup {
     * match ties break on match_id; verdict compares the rounded value.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, dir)
     val isBatch = col("doc_id") % lit(IncrementMod) === 0L
+    incrementalVerdicts(docs.where(isBatch),
+      corpusBandStore(spark, dir), docs.where(!isBatch))
+  }
+
+  /** The store-agnostic core of [[dedupIncremental]] — also the probe a
+    * deployment runs against an ON-DISK band store grown by
+    * [[graft.streaming.Streams.dedupBandIngestSink]] (read the sink's
+    * directory, pass it as `bandStore`): the session-artifact wrapper
+    * above and the streamed layout are the same (doc_id, band_id,
+    * band_hash) rows by construction ([[bandDocs]], shared verbatim;
+    * StreamingSpec pins an end-to-end sink→probe round trip).
+    * `corpusDocs` supplies (doc_id, text) for the exact-Jaccard
+    * verification fetch of candidate docs.
+    */
+  private[graft] def incrementalVerdicts(
+      batchDocs: DataFrame, bandStore: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val par = batchDocs.sparkSession.sparkContext.defaultParallelism
     // same two-exchange shape as minhashPairsBuild: the hash repartition
     // above the shingle arrays is the materialization point both
     // consumers (banding, verification join-back) reuse via AQE
-    val batchSh = docs.where(isBatch)
+    val batchSh = batchDocs
       .repartition(par)
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
       .repartition(par, col("doc_id"))
     val cand = bandRows(batchSh)
-      .join(corpusBandStore(spark, dir)
+      .join(bandStore
           .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
         Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("match_id")).distinct()
-    val candSh = docs
+    val candSh = corpusDocs
       .join(cand.select(col("match_id").as("doc_id")).distinct(), Seq("doc_id"))
       .repartition(par)
       .select(col("doc_id").as("match_id"),
@@ -602,7 +619,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_candidates"),
         max(when(col("rk") === 1, col("match_id"))).as("match_id"),
         max(when(col("rk") === 1, col("jaccard"))).as("jaccard"))
-    docs.where(isBatch).select("doc_id")
+    batchDocs.select("doc_id")
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

@@ -252,8 +252,10 @@ object Streams {
     * arriving document is shingled + minhashed + banded MAP-SIDE with
     * the exact transform the batch store build uses
     * ([[graft.operators.Dedup.bandDocs]] — stateless, no shuffle, no
-    * watermark), so admitted docs append into the same store the next
-    * batch's probe joins against. This closes the incremental-dedup
+    * watermark), so admitted docs append a store the next batch probes by
+    * reading the sink directory and passing it to
+    * [[graft.operators.Dedup.incrementalVerdicts]] (StreamingSpec pins
+    * the full sink→probe round trip). This closes the incremental-dedup
     * loop: probe the store, admit the non-dups, ingest their bands.
     */
   def dedupBandIngest(docs: DataFrame): DataFrame =

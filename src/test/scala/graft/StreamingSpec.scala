@@ -225,6 +225,19 @@ class StreamingSpec extends SparkSpec {
       val parts = new java.io.File(out).listFiles()
         .filter(_.getName.startsWith("band_id=")).map(_.getName)
       assert(parts.nonEmpty)
+
+      // end-to-end: the sink's directory IS a probe-ready band store — a
+      // new batch holding a copy of doc 100's text must be flagged
+      val store = spark.read
+        .schema("doc_id BIGINT, band_id INT, band_hash BIGINT").parquet(out)
+      val arriving = Seq((999L, docs.head._2), (998L, "fresh unseen words only"))
+        .toDF("doc_id", "text")
+      val verdicts = graft.operators.Dedup
+        .incrementalVerdicts(arriving, store, docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(verdicts(999L).getAs[Boolean]("is_dup"))
+      assert(verdicts(999L).getAs[Double]("jaccard") == 1.0)
+      assert(!verdicts(998L).getAs[Boolean]("is_dup"))
     } finally q.stop()
   }
 
