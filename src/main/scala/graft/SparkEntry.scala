@@ -123,6 +123,8 @@ object SparkEntry {
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_embed_dim_stats" -> (Similarity.embedDimStats _),
+    "q_embed_outliers"  -> (Similarity.embedOutliers _),
+    "q_dup_inflation"   -> (Dedup.dupInflation _),
     "q_pii_card"        -> (TextAnalysis.piiCard _),
     // extensions: multimodal binary columns (§2.1 S4)
     "q_multimodal_meta"   -> (Multimodal.multimodalMeta _),
@@ -441,6 +443,17 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dup_inflation" ->
+      // all-integer card: counts and sums of exact longs, nothing rounds
+      """WITH c AS (
+        |  SELECT count(*) AS cluster_size,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents GROUP BY text)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        |       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_surplus_docs,
+        |       CAST(SUM((cluster_size - 1) * toks) AS BIGINT) AS surplus_tokens
+        |FROM c GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_words,
@@ -842,6 +855,29 @@ object SparkEntry {
         |       min(preview) AS preview
         |FROM pc GROUP BY h HAVING count(*) >= 2
         |ORDER BY n_docs DESC, h LIMIT 20""".stripMargin,
+    "q_embed_outliers" ->
+      // centroid = DECIMAL-exact per-(label,dim) sum cast to DOUBLE, then
+      // one IEEE division — identical in both engines; distance terms
+      // route through DECIMAL so the 64-term sum is order-insensitive
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, label, unnest(v) AS x,
+        |         unnest(range(1, len(v) + 1)) AS i
+        |  FROM e),
+        |cent AS (
+        |  SELECT label, i,
+        |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        |  FROM t GROUP BY label, i),
+        |d AS (
+        |  SELECT t.vec_id, t.label,
+        |         round(sqrt(CAST(SUM(CAST((t.x - c.m) * (t.x - c.m)
+        |                                  AS DECIMAL(28,12))) AS DOUBLE)), 6)
+        |           AS dist
+        |  FROM t JOIN cent c ON t.label = c.label AND t.i = c.i
+        |  GROUP BY t.vec_id, t.label)
+        |SELECT vec_id, label, dist FROM d
+        |ORDER BY dist DESC, vec_id ASC LIMIT 20""".stripMargin,
     "q_quantize_embed" ->
       // per-vector element sums route through DECIMAL so SUM order over
       // the unnested elements cannot wobble the 6th decimal

@@ -37,6 +37,35 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Duplication-inflation accounting: the cluster-size histogram of exact
+    * duplicates, with the doc and TOKEN surplus each size class carries —
+    * the "what does dedup buy us" card. [[dedupExact]] lists the clusters;
+    * this card answers the budget question a curation run starts from: if
+    * 4% of tokens are surplus copies, exact dedup saves 4% of every
+    * downstream pass (and of training compute). Cluster size 1 rows are the
+    * unduplicated baseline; surplus = (size−1)·tokens_per_doc because every
+    * member of an exact cluster is the SAME text.
+    * Determinism: all columns are exact integer counts/sums — nothing to
+    * round, the hash cannot wobble.
+    * Scale: one groupBy(text) shuffle (at 100 TB: group by xxhash64(text),
+    * as [[dedupExact]] notes — 8-byte shuffle keys) to cluster-sized rows,
+    * then a histogram aggregate over DISTINCT cluster sizes (card-sized:
+    * ≤ a few dozen groups) with map-side partials.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_size"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_surplus_docs"),
+        sum((col("cluster_size") - 1) * col("toks")).as("surplus_tokens"))
+      .orderBy("cluster_size")
+
   // Shingle/gram hashing and MinHash signatures come from the native
   // Catalyst expressions graft.plans.{NGramHashes, MinHashSignature}
   // (`ngram_hashes`, `minhash_sig`), registered by GraftSession — tight

@@ -127,6 +127,51 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Embedding-outlier audit: the 20 vectors farthest (L2) from their own
+    * label's centroid — the mislabel/contamination shortlist an embedding
+    * QA pass reviews by hand ([[embedDimStats]] finds broken DIMENSIONS;
+    * this finds broken ROWS). A vector far from its class center is either
+    * mislabeled, an encoder glitch, or genuine tail data — all three are
+    * exactly what you want eyes on before training on the corpus.
+    *
+    * Determinism: centroid dims are one IEEE double division of a
+    * DECIMAL-exact per-(label, dim) sum by an exact count (identical in
+    * both engines); the per-vector squared-distance terms route through
+    * DECIMAL(28,12) so the 64-term sum is order-insensitive; output is
+    * round(dist, 6) with a vec_id tiebreak at the top-20 boundary.
+    *
+    * Scale: two corpus scans by construction (a mean must exist before
+    * distances to it). Pass 1 posexplodes to (label, pos) partials —
+    * map-side combine, card-sized output (labels × 64). Pass 2 joins the
+    * BROADCAST centroid card, computes the distance inside the row (no
+    * explode, no per-element shuffle), and TakeOrdered keeps 20 via
+    * per-partition heaps — the corpus never shuffles in either pass.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(28,12)"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast(dec)).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p("m")).as("c"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("c"), (x, m) => (x - m) * (x - m)),
+          lit(0).cast(dec),
+          (acc, t) => (acc + t.cast(dec)).cast(dec)).cast("double")), 6)
+          .as("dist"))
+      .orderBy(desc("dist"), asc("vec_id"))
+      .limit(20)
+  }
+
   private def withVec(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -418,4 +418,67 @@ class DedupSimilaritySpec extends SparkSpec {
         "max cell is at least the average cell")
     }
   }
+
+  test("dupInflation: histogram reconciles with dedupExact; surplus exact on an injected corpus") {
+    import graft.sources.Tables
+    val hist = Dedup.dupInflation(spark, sf).collect()
+    assert(hist.nonEmpty)
+    // every cluster and every doc is accounted for exactly once
+    assert(hist.map(_.getAs[Long]("n_clusters")).sum ==
+      Dedup.dedupExact(spark, sf).count())
+    assert(hist.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    hist.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_docs") == sz * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_surplus_docs") ==
+        (sz - 1) * r.getAs[Long]("n_clusters"))
+      if (sz == 1) assert(r.getAs[Long]("surplus_tokens") == 0L)
+    }
+    // injected: "a b c" ×3 (2 surplus docs × 3 tokens), "x y" ×1
+    import spark.implicits._
+    val synth = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dupinf").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val by = Dedup.dupInflation(spark, tmp).collect()
+        .map(r => r.getAs[Long]("cluster_size") -> r).toMap
+      assert(by.keySet == Set(1L, 3L))
+      assert(by(3L).getAs[Long]("n_surplus_docs") == 2L)
+      assert(by(3L).getAs[Long]("surplus_tokens") == 6L)
+      assert(by(1L).getAs[Long]("surplus_tokens") == 0L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("embedOutliers: top-20 sorted, non-negative; a planted far vector ranks first") {
+    val out = Similarity.embedOutliers(spark, sf).collect()
+    assert(out.length == 20)
+    val dists = out.map(_.getAs[Double]("dist"))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sameElements(dists.sorted(Ordering[Double].reverse)),
+      "rows arrive farthest-first")
+    // planted corpus: label 0 = tight cluster at e1 plus ONE vector at
+    // 10·e2 (the mislabel); label 1 = two symmetric vectors whose
+    // centroid distance is equal for both members
+    import spark.implicits._
+    val tight = (0 until 9).map(i => (i.toLong, Seq(1f, 0f, 0f), 0))
+    val planted = Seq((9L, Seq(0f, 10f, 0f), 0),
+      (10L, Seq(0f, 0f, 1f), 1), (11L, Seq(0f, 0f, -1f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outl").toString
+    (tight ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    try {
+      val card = Similarity.embedOutliers(spark, tmp).collect()
+      assert(card.head.getAs[Long]("vec_id") == 9L,
+        "the planted mislabel is the #1 outlier")
+      assert(card.head.getAs[Double]("dist") > 9.0)
+      // symmetric pair: equidistant from their centroid, vec_id tiebreak
+      val pair = card.filter(_.getAs[Int]("label") == 1)
+      assert(pair.map(_.getAs[Double]("dist")).distinct.length == 1)
+      assert(pair.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 11L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
