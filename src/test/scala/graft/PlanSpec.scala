@@ -355,6 +355,31 @@ class PlanSpec extends SparkSpec {
         "so the re-rank reads candidate row groups, not the corpus")
   }
 
+  test("embedOutliers: broadcast centroid card, top-20 as TakeOrdered, no corpus shuffle join") {
+    val p = plan(Similarity.embedOutliers(spark, sf))
+    // the labels×64 centroid card joins back by broadcast; a sort-merge
+    // join here would shuffle the corpus on label — 5 reducers at 100 TB
+    assert(p.contains("BroadcastHashJoin"), "centroid card must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle on label")
+    // global top-20 via per-partition heaps, never a full sort
+    assert(p.contains("TakeOrderedAndProject"))
+    // the distance is computed inside the row: the second pass must not
+    // posexplode (only the centroid pass fans to (label, pos) partials)
+    assert("posexplode".r.findAllIn(p).size == 1,
+      "exactly one posexplode (the centroid pass) in the whole plan")
+  }
+
+  test("dupInflation: two hash aggregates, no window, no sort before the histogram") {
+    val p = plan(graft.operators.Dedup.dupInflation(spark, sf))
+    // cluster sizes then histogram — both as hash aggregates with
+    // map-side partials; a Window or global Sort before the final
+    // order-by would be a corpus-sized single-reducer stage
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window"), "histogram must not use a window")
+    assert("TakeOrderedAndProject|Sort ".r.findAllIn(p).size <= 1,
+      "only the final card-sized order-by may sort")
+  }
+
   test("indexHealth reads only the key-only index artifacts — no corpus scan") {
     val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
     assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
