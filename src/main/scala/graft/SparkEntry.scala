@@ -53,6 +53,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Tracking.approxDistinct _),
     "q_quantiles_approx" -> (Tracking.quantilesApprox _),
     "q_series_smooth"   -> (Tracking.seriesSmooth _),
+    "q_metric_trend"    -> (Tracking.metricTrend _),
     "q_sample_balanced" -> (Sampling.sampleDocuments _),
     "q_split_assign"    -> (Sampling.splitAssign _),
     "q_pack_sequences"  -> ((s, d) => Sampling.packSequences(s, d)),
@@ -292,6 +293,39 @@ object SparkEntry {
         |         AS running_total
         |FROM events WHERE user_id = 7
         |ORDER BY event_id""".stripMargin,
+    "q_metric_trend" ->
+      // x-sums are exact integers, y-sums DECIMAL-routed; slope/r² are the
+      // same fixed double-op sequence as the Spark plan on those sums
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         (epoch_us(ts) // 1000000) - 1704067200 AS x, value AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,12)))
+        |              AS DOUBLE) AS sxy
+        |  FROM t GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, n,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN 0.0
+        |        ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400.0
+        |        END, 6) AS slope_per_day,
+        |  round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (CAST(n AS DOUBLE) * syy - sy * sy) = 0 THEN 0.0
+        |        ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+        |             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |             ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |              (CAST(n AS DOUBLE) * syy - sy * sy))
+        |        END, 6) AS r2
+        |FROM a ORDER BY user_id, event_type""".stripMargin,
     "q_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

@@ -171,6 +171,55 @@ object Tracking {
       .orderBy("event_id")
   }
 
+  /** Per-series least-squares trend: slope (per day) and r² of value over
+    * time for every (user_id, event_type) series — the diverging-loss /
+    * plateaued-metric detector a tracking dashboard sorts by. The
+    * reference's client plots one curve at a time; this is the engine-side
+    * rollup that answers "which of my thousand runs is trending wrong"
+    * without fetching a single series.
+    *
+    * Determinism: x is integral seconds since 2024-01-01 (floor division of
+    * exact µs — identical in both engines for positive epochs), so x-sums
+    * are EXACT longs; y-sums (y, y², x·y) route through DECIMAL(28,12) so
+    * aggregation order cannot wobble them. Slope and r² are then a fixed
+    * sequence of IEEE double ops on those exact sums — same inputs, same
+    * ops, same doubles — rounded to 6. Degenerate series (n=1, or zero
+    * x- or y-variance) emit 0 by the guarded CASE mirrored in the oracle.
+    *
+    * Scale: ONE hash aggregate over the fact table with map-side partials
+    * (six sums + a count per series); the closed-form slope needs no
+    * second pass, no window, no per-series sort — the classic
+    * sufficient-statistics rewrite of a regression per group.
+    */
+  def metricTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(28,12)"
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").minus(lit(1704067200L)).as("x"),
+        col("value").as("y"))
+    val agg = base.groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+        sum((col("x").cast("double") * col("y")).cast(dec)).cast("double").as("sxy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double")
+    val dsxx = col("sxx").cast("double")
+    val covn = dn * col("sxy") - dsx * col("sy")
+    val varxn = dn * dsxx - dsx * dsx
+    val varyn = dn * col("syy") - col("sy") * col("sy")
+    agg.select(
+      col("user_id"), col("event_type"), col("n"),
+      round(when(varxn === 0.0, 0.0)
+        .otherwise(covn / varxn * 86400.0), 6).as("slope_per_day"),
+      round(when(varxn * varyn === 0.0, 0.0)
+        .otherwise(covn * covn / (varxn * varyn)), 6).as("r2"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Sketch-based distinct counting — `approx_count_distinct` (HLL++) next
     * to the exact count. At 100 TB the exact distinct is a full shuffle of
     * the key; the HLL sketch is a few KB per group, merged bitwise

@@ -218,6 +218,46 @@ class SamplingAggSpec extends SparkSpec {
     assert(rows.length == labels)
   }
 
+  test("metricTrend: planted linear series recovered exactly; degenerate series guarded to 0") {
+    import spark.implicits._
+    val day = 86400L
+    val base = 1704067200L
+    // user 1 "loss": y = 2 + 3·day — slope_per_day 3, r² 1
+    val linear = (0 until 10).map(d =>
+      (d.toLong, base + d * day, 1L, "loss", 2.0 + 3.0 * d))
+    // user 2 "acc": constant — zero y-variance, slope and r² both 0
+    val const = (0 until 5).map(d =>
+      (100L + d, base + d * day, 2L, "acc", 5.0))
+    // user 3 "lr": single point — zero x-variance
+    val single = Seq((200L, base + day, 3L, "lr", 0.1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    (linear ++ const ++ single).toDF("event_id", "ep", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("ep")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try {
+      val by = Tracking.metricTrend(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r)
+        .toMap
+      assert(by.keySet == Set((1L, "loss"), (2L, "acc"), (3L, "lr")))
+      assert(by((1L, "loss")).getAs[Double]("slope_per_day") == 3.0)
+      assert(by((1L, "loss")).getAs[Double]("r2") == 1.0)
+      assert(by((2L, "acc")).getAs[Double]("slope_per_day") == 0.0)
+      assert(by((2L, "acc")).getAs[Double]("r2") == 0.0)
+      assert(by((3L, "lr")).getAs[Double]("slope_per_day") == 0.0)
+      assert(by((3L, "lr")).getAs[Double]("r2") == 0.0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+    // the real corpus: every series present, r² in [0,1]
+    val card = Tracking.metricTrend(spark, sf).collect()
+    assert(card.length == Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count())
+    card.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
   test("typed Welford aggregator matches var_pop/avg under any split") {
     import spark.implicits._
     val values = Tables.events(spark, sf).select("value").as[Double]
