@@ -306,6 +306,56 @@ object Streams {
       .partitionBy("shard")
       .outputMode("append")
 
+  /** Running trend state per (run, metric): the six sufficient statistics
+    * behind [[graft.operators.Tracking.metricTrend]] plus the derived
+    * slope/r². */
+  case class TrendState(
+      n: Long, sx: Double, sxx: Double,
+      sy: Double, syy: Double, sxy: Double)
+
+  /** Emitted per series per micro-batch: the running trend. */
+  case class SeriesTrend(
+      user_id: Long, event_type: String, n: Long,
+      slope_per_day: Double, r2: Double)
+
+  /** Streaming twin of [[graft.operators.Tracking.metricTrend]]: the batch
+    * card's regression is a SUFFICIENT-STATISTICS aggregate (count + six
+    * sums), and mergeable statistics are exactly what keyed streaming
+    * state holds — each micro-batch ADDS its partial sums, the closed-form
+    * slope/r² are recomputed from the merged state, and the emitted values
+    * converge to the batch card over the same rows (spec-pinned). This is
+    * the live "which run is trending wrong" feed the SSE dashboard bridge
+    * publishes, without ever rescanning history.
+    * Scale: ~48 B of state per live series, partitioned by key; no
+    * timeout — a production deployment adds an event-time timeout like
+    * [[staleDetector]]'s to GC finished runs.
+    */
+  def trendTracker(
+      spark: SparkSession, events: Dataset[Event]): Dataset[SeriesTrend] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[TrendState, SeriesTrend](
+        GroupStateTimeout.NoTimeout()) {
+        case ((userId, eventType), batch, state: GroupState[TrendState]) =>
+          var s = state.getOption.getOrElse(TrendState(0L, 0, 0, 0, 0, 0))
+          batch.foreach { e =>
+            // same x as the batch card: whole seconds since 2024-01-01
+            val x = (e.ts.getTime / 1000L - 1704067200L).toDouble
+            s = TrendState(s.n + 1, s.sx + x, s.sxx + x * x,
+              s.sy + e.value, s.syy + e.value * e.value, s.sxy + x * e.value)
+          }
+          state.update(s)
+          val dn = s.n.toDouble
+          val covn = dn * s.sxy - s.sx * s.sy
+          val varxn = dn * s.sxx - s.sx * s.sx
+          val varyn = dn * s.syy - s.sy * s.sy
+          SeriesTrend(userId, eventType, s.n,
+            if (varxn == 0.0) 0.0 else covn / varxn * 86400.0,
+            if (varxn * varyn == 0.0) 0.0 else covn * covn / (varxn * varyn))
+      }
+  }
+
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is
     * handed to `broadcastFn` (in production: push to clients / a message
     * bus; in tests: capture). 500 ms trigger ≈ the dashboard's debounce

@@ -131,6 +131,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendTracker's running slope converges to the batch metricTrend card") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.trendTracker(spark, mem.toDS())
+      .writeStream.format("memory").queryName("trend")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val t0 = 1704067200L
+      val day = 86400L
+      // y = 2 + 3·d split across two micro-batches: state must MERGE,
+      // not restart — the mid-stream emission sees only days 0-4
+      mem.addData((0 until 5).map(d =>
+        Event(d.toLong, ts(t0 + d * day), 1L, "loss", 2.0 + 3.0 * d)): _*)
+      q.processAllAvailable()
+      mem.addData((5 until 10).map(d =>
+        Event(d.toLong, ts(t0 + d * day), 1L, "loss", 2.0 + 3.0 * d)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n, slope_per_day, r2 FROM trend WHERE user_id = 1").collect()
+      val byN = rows.map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+      assert(byN.keySet == Set(5L, 10L), "one emission per micro-batch")
+      // both emissions already sit on the planted line
+      assert(math.abs(byN(10L)._1 - 3.0) < 1e-9 &&
+        math.abs(byN(10L)._2 - 1.0) < 1e-9)
+      assert(math.abs(byN(5L)._1 - 3.0) < 1e-9)
+      // and the final state equals the batch card over the same rows
+      val tmp = java.nio.file.Files.createTempDirectory("graft_trs").toString
+      (0 until 10).map(d =>
+          (d.toLong, t0 + d * day, 1L, "loss", 2.0 + 3.0 * d))
+        .toDF("event_id", "ep", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_seconds(col("ep")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      try {
+        val card = graft.operators.Tracking.metricTrend(spark, tmp).collect()(0)
+        // batch card rounds to 6; streaming emits raw doubles
+        assert(math.abs(card.getAs[Double]("slope_per_day") - byN(10L)._1) < 1e-6)
+        assert(math.abs(card.getAs[Double]("r2") - byN(10L)._2) < 1e-6)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    } finally q.stop()
+  }
+
   test("windowed aggregates flow to a durable parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
