@@ -48,8 +48,13 @@ object PipelineDemo {
 
     banner("benchmark decontamination (13-gram overlap with eval slice)")
     // the FULL contaminated id set — decontaminate() is the top-20 audit
-    // card; dropping from the card would silently truncate the removal
+    // card; dropping from the card would silently truncate the removal.
+    // localCheckpoint: the 13-gram explode over the corpus is the most
+    // expensive stage here and three consumers read its result (the count
+    // below, the split card, the shard write) — materialize the id-only
+    // outcome once instead of re-running the scan per consumer
     val contaminated = TextAnalysis.contaminatedIds(spark, sfDir)
+      .localCheckpoint(true)
     println(s"contaminated docs dropped: ${contaminated.count()}")
 
     banner("LM split (CCNet: keep head+middle, drop tail)")
@@ -60,11 +65,16 @@ object PipelineDemo {
     banner("mixture re-weighting (md5 verdict, audit card)")
     Sampling.mixSample(spark, sfDir).show(10, truncate = false)
 
-    // compose the kept set — key-only joins; every stage above gates here
+    // compose the kept set — key-only joins; every stage above gates here.
+    // localCheckpoint the composed id set: both downstream consumers (the
+    // split card and the shard write) would otherwise re-run every
+    // verdict/dedup/decontamination scan above per evaluation — the
+    // materialized frame is ids only, so the payload discipline holds
     val keptIds = verdictKept
       .join(dedupReps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(lmTail, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val corpus = sources.Tables.documents(spark, sfDir)
       .where(Sampling.mixKeep)
       .join(keptIds, Seq("doc_id"), "left_semi")

@@ -294,8 +294,10 @@ object SparkEntry {
         |FROM events WHERE user_id = 7
         |ORDER BY event_id""".stripMargin,
     "q_metric_trend" ->
-      // x-sums are exact integers, y-sums DECIMAL-routed; slope/r² are the
-      // same fixed double-op sequence as the Spark plan on those sums
+      // x-sums are exact integers (Σx² via DuckDB's HUGEINT sum, matching
+      // Spark's DECIMAL(38,0) route — a BIGINT sum of ~7e15 terms wraps),
+      // y-sums DECIMAL-routed; slope/r² are the same fixed double-op
+      // sequence as the Spark plan on those sums
       """WITH t AS (
         |  SELECT user_id, event_type,
         |         (epoch_us(ts) // 1000000) - 1704067200 AS x, value AS y
@@ -303,7 +305,7 @@ object SparkEntry {
         |a AS (
         |  SELECT user_id, event_type, count(*) AS n,
         |         CAST(SUM(x) AS BIGINT) AS sx,
-        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
         |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
         |         CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy,
         |         CAST(SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,12)))

@@ -228,13 +228,17 @@ final class DashboardServer(spark: SparkSession, root: String, port: Int = 0) {
       case None => respond(ex, 404, """{"error":"not found"}""")
       case Some(is) =>
         val bytes = try is.readAllBytes() finally is.close()
-        val ct = segments.last.takeRight(5) match {
+        // lowercase like the whitelist check above — THEME.CSS passes the
+        // whitelist case-insensitively and must not fall through to
+        // octet-stream (a stylesheet served as octet-stream is ignored)
+        val ct = segments.last.toLowerCase.takeRight(5) match {
           case s if s.endsWith(".html") => "text/html"
           case s if s.endsWith(".js")   => "application/javascript"
           case s if s.endsWith(".css")  => "text/css"
           case s if s.endsWith(".json") => "application/json"
           case s if s.endsWith(".svg")  => "image/svg+xml"
           case s if s.endsWith(".png")  => "image/png"
+          case s if s.endsWith(".ico")  => "image/x-icon"
           case _ => "application/octet-stream"
         }
         ex.getResponseHeaders.set("Content-Type", ct)

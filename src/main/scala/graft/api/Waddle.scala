@@ -248,9 +248,14 @@ final class WaddleStore(spark: SparkSession, root: String) {
     */
   def deleteRun(runId: String): Unit = {
     import spark.implicits._
-    Seq(WaddleSchema.DeleteRow(runId, System.currentTimeMillis() / 1000.0))
-      .toDF().write.mode("append").parquet(s"$root/deletes")
+    // both-sides bump, same discipline as WaddleSession.flush: the
+    // pre-bump covers a crash mid-append (partial tombstone file visible
+    // under a version nobody cached against), the post-bump re-invalidates
+    // readers that fingerprinted in between
     graft.sources.StoreVersion.bump(spark, root)
+    try Seq(WaddleSchema.DeleteRow(runId, System.currentTimeMillis() / 1000.0))
+      .toDF().write.mode("append").parquet(s"$root/deletes")
+    finally graft.sources.StoreVersion.bump(spark, root)
   }
 
   /** Anti-join the tombstones: deletes are few, so broadcast. No distinct —
@@ -542,7 +547,17 @@ final class WaddleStore(spark: SparkSession, root: String) {
       writeManifest(fs, deletesSnapshot, staged.map(_._1), inputs, stagedFiles)
       crashPoint("manifest")
 
-      // 3. swaps (rename-rename: the old table survives in .compact-old
+      // 3. swaps. PRE-bump the store version before the first visible
+      // mutation (the flush discipline): staging wrote only dot-dirs, but
+      // from the first swap-out onward the store differs from anything a
+      // reader cached against, and a crash anywhere in steps 3-5 must not
+      // leave the marker claiming otherwise — the O(1) fingerprint
+      // replaced the recursive listing that used to catch this for free.
+      // The commit bump below then re-invalidates readers that
+      // fingerprinted mid-swap, and recoverCompaction bumps after a
+      // rollback for the same reason.
+      graft.sources.StoreVersion.bump(spark, root)
+      // (rename-rename: the old table survives in .compact-old
       // until its replacement is in place; both renames CHECKED)
       staged.foreach { case (t, _) =>
         val cur = new org.apache.hadoop.fs.Path(s"$root/$t")
@@ -721,6 +736,10 @@ final class WaddleStore(spark: SparkSession, root: String) {
     // replaced — reads fall back to the directory until the next compact
     WaddleStore.dropMetricsCatalog(spark, root)
     spark.catalog.refreshByPath(s"$root/metrics")
+    // rollback mutated the store (tables restored, staged files dropped):
+    // advance the version so artifacts cached against the half-swapped
+    // state can never validate as fresh after recovery
+    graft.sources.StoreVersion.bump(spark, root)
     ()
   }
 

@@ -107,9 +107,13 @@ object AnnIndex {
       spark: SparkSession, path: String, schema: String): DataFrame = {
     val sessionKey =
       spark.sparkContext.applicationId + "/" + System.identityHashCode(spark)
-    // same lifecycle discipline as SessionCache: a stopped session's
-    // entries are evicted on application end, so a multi-session process
-    // does not accumulate one dead plan per (session, index version)
+    // lifecycle: SparkListener has no per-session stop event, so a
+    // process that churns newSession() instances would otherwise retain
+    // one resolved plan per dead session until application end — bound
+    // the map and clear on overflow instead (a cleared entry costs one
+    // re-listing on its next probe, never a wrong answer; the
+    // application-end hook below is just final cleanup)
+    if (resolved.size > 128) resolved.clear()
     if (resolvedHooked.add(sessionKey)) {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -137,8 +141,11 @@ object AnnIndex {
     ()
   }
   // codebook per (dir, corpus fingerprint): the probe and the index build
-  // MUST score against identical pivots
-  private val centroidCache = new ConcurrentHashMap[String, Seq[Array[Double]]]()
+  // MUST score against identical pivots. Values carry an insertion tick so
+  // eviction can order versions without timestamps.
+  private val centroidCache =
+    new ConcurrentHashMap[String, (Long, Seq[Array[Double]])]()
+  private val centroidTick = new java.util.concurrent.atomic.AtomicLong()
 
   private def indexRoot(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.ann.indexRoot")
@@ -190,14 +197,7 @@ object AnnIndex {
   def centroids(
       spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
     val key = s"$dir|$version"
-    // superseded-version entries for the same corpus dir are dead weight
-    // (k×dim doubles each) on a service that re-ingests: drop them when a
-    // NEW version is about to be built — on miss only, so two concurrent
-    // readers holding different version tokens cannot evict each other's
-    // entry and thrash the (expensive) k-means build on every read
-    if (!centroidCache.containsKey(key))
-      centroidCache.keySet.removeIf(k => k.startsWith(s"$dir|") && k != key)
-    centroidCache.computeIfAbsent(key, _ => {
+    val entry = centroidCache.computeIfAbsent(key, _ => centroidTick.incrementAndGet() -> {
       val sample = kmeansSample(spark, dir)
       var cents: Seq[Array[Double]] = sample
         // dropDuplicates: an appended corpus may repeat ids (same vector)
@@ -222,6 +222,21 @@ object AnnIndex {
       // round for cross-run stability at the cell boundary
       cents.map(_.map(x => math.rint(x * 1e6) / 1e6))
     })
+    // superseded-version entries for the same corpus dir are dead weight
+    // (k×dim doubles each) on a service that re-ingests. Evict AFTER
+    // insertion, retaining the TWO newest entries per dir (current + one
+    // superseded — the disk index's retain-one policy): two readers
+    // holding different live version tokens both stay cached, so neither
+    // can evict the other and thrash the expensive k-means build (the
+    // earlier evict-on-miss form alternate-evicted exactly that way).
+    // remove(k, v) not remove(k): a key re-inserted with a fresh tick
+    // between the snapshot and the removal must survive.
+    val mine = new scala.collection.mutable.ArrayBuffer[
+      (String, (Long, Seq[Array[Double]]))]()
+    centroidCache.forEach((k, v) => if (k.startsWith(s"$dir|")) mine += (k -> v))
+    mine.sortBy(-_._2._1).drop(2)
+      .foreach { case (k, v) => centroidCache.remove(k, v) }
+    entry._2
   }
 
   private def codebookOf(spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
@@ -446,11 +461,12 @@ object AnnIndex {
     */
   def probeBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] = {
     val exact = queryBands(spark, dir, vecId)
-    val flipped =
-      if (LshProbeFlips < 1) Seq.empty
-      else exact.flatMap { case (b, k) =>
-        (0 until LshBandBits).map(j => (b, k ^ (1L << j)))
-      }
+    // every XOR mask over the band's bits with 1..LshProbeFlips bits set —
+    // the documented "≤ flips hyperplane bits" contract for ANY flip
+    // count, not just 1 (bounded: Σ C(bandBits, f) masks per band)
+    val masks = (1L until (1L << LshBandBits))
+      .filter(m => java.lang.Long.bitCount(m) <= LshProbeFlips)
+    val flipped = exact.flatMap { case (b, k) => masks.map(m => (b, k ^ m)) }
     (exact ++ flipped).distinct
   }
 

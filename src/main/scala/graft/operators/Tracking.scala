@@ -180,8 +180,10 @@ object Tracking {
     *
     * Determinism: x is integral seconds since 2024-01-01 (floor division of
     * exact µs — identical in both engines for positive epochs), so x-sums
-    * are EXACT longs; y-sums (y, y², x·y) route through DECIMAL(28,12) so
-    * aggregation order cannot wobble them. Slope and r² are then a fixed
+    * are EXACT integers — Σx as a long, Σx² routed through DECIMAL(38,0)
+    * (DuckDB: HUGEINT) because x² is ~7e15 per row and a thousand-point
+    * series would silently wrap a LONG sum; y-sums (y, y², x·y) route
+    * through DECIMAL(28,12) so aggregation order cannot wobble them. Slope and r² are then a fixed
     * sequence of IEEE double ops on those exact sums — same inputs, same
     * ops, same doubles — rounded to 6. Degenerate series (n=1, or zero
     * x- or y-variance) emit 0 by the guarded CASE mirrored in the oracle.
@@ -201,7 +203,7 @@ object Tracking {
       .agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
         sum(col("y").cast(dec)).cast("double").as("sy"),
         sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
         sum((col("x").cast("double") * col("y")).cast(dec)).cast("double").as("sxy"))

@@ -148,6 +148,36 @@ class CompactionSpec extends SparkSpec {
     assert(store.metrics(r1).collect().toSeq == metricsBefore)
   }
 
+  test("compaction maintains the O(1) version marker across crash and recovery") {
+    // the marker replaced the recursive-listing fallback, so a crash
+    // mid-swap must NOT leave the pre-compaction version in place: a
+    // fingerprint reader would keep validating caches against a store
+    // whose table dirs were actually swapped out (flush() pre-bumps for
+    // exactly this reason; compact's mutation window is just longer)
+    val (root, _, store, _, _) = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ver(): String = graft.sources.StoreVersion
+      .read(fs, new org.apache.hadoop.fs.Path(root))
+      .getOrElse(fail("store must carry a version marker after flush"))
+    val v0 = ver()
+    intercept[RuntimeException] {
+      store.compact { point =>
+        if (point == "swapped-out:metrics") sys.error("injected crash")
+      }
+    }
+    assert(ver() != v0,
+      "a crash mid-swap must not leave the pre-compaction version claiming the store unchanged")
+    val vCrashed = ver()
+    store.recoverCompaction()
+    assert(ver() != vCrashed,
+      "rollback mutates the store and must advance the version")
+    val vRecovered = ver()
+    store.compact()
+    assert(ver() != vRecovered,
+      "a committed compaction must advance the version")
+  }
+
   test("crash before the manifest leaves the store untouched") {
     val (root, _, store, r1, _) = freshStore()
     val metricsBefore = store.metrics(r1).collect().toSeq

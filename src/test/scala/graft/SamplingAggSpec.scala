@@ -258,6 +258,33 @@ class SamplingAggSpec extends SparkSpec {
     }
   }
 
+  test("metricTrend: Σx² beyond Long.MaxValue must not wrap (dense year-scale series)") {
+    import spark.implicits._
+    // 2,000 hourly points ~2.5 years past the 2024-01-01 x-origin: each
+    // x² ≈ 7e15, so Σx² ≈ 1.4e19 > Long.MaxValue — a LongType sum wraps
+    // negative, flipping varxn's sign and poisoning slope/r² silently
+    // (the DECIMAL(38,0) route sums it exactly)
+    val base = 1704067200L
+    val x0 = 80000000L
+    val pts = (0 until 2000).map { i =>
+      val x = x0 + i * 3600L
+      (i.toLong, base + x, 9L, "loss", 2.0 + 3.0 * (x.toDouble / 86400.0))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trend_ovf").toString
+    pts.toDF("event_id", "ep", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("ep")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try {
+      val r = Tracking.metricTrend(spark, tmp).collect()(0)
+      val slope = r.getAs[Double]("slope_per_day")
+      val r2 = r.getAs[Double]("r2")
+      assert(math.abs(slope - 3.0) < 1e-4, s"slope $slope should be ~3/day")
+      assert(r2 > 0.999999 && r2 <= 1.0 + 1e-9, s"r² $r2 should be ~1")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("typed Welford aggregator matches var_pop/avg under any split") {
     import spark.implicits._
     val values = Tables.events(spark, sf).select("value").as[Double]
