@@ -60,6 +60,7 @@ object SparkEntry {
     "q_length_bins"     -> (Sampling.lengthBins _),
     "q_shuffle_shards"  -> (Sampling.shuffleShards _),
     "q_mix_sample"      -> (Sampling.mixSample _),
+    "q_domain_cap"      -> ((s, d) => Sampling.domainCap(s, d)),
     // temporal alignment + multi-level aggregates
     "q_asof_align"      -> (Temporal.asofAlign _),
     "q_sessionize"      -> (Temporal.sessionize _),
@@ -533,6 +534,52 @@ object SparkEntry {
         |       CAST(max(tok) AS BIGINT) AS max_tok
         |FROM toks t JOIN b USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "q_domain_cap" ->
+      // naive row_number form; the engine's histogram-boundary plan must
+      // produce identical cards. Verdict CTEs mirror q_source_quality;
+      // NULL-text docs are verdict-kept with quality −1 (rank last, 0 nw)
+      """WITH toks AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, text, w,
+        |         list_transform(range(1, len(w) - 1),
+        |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(w) AS INTEGER) AS n_words,
+        |         floor((CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.5 +
+        |                least(((CAST(length(text) AS DOUBLE) - (len(w) - 1))
+        |                       / len(w)) / 10.0, 1.0) * 0.3 +
+        |                least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.2)
+        |               * 1e6) / 1e6 AS quality_score,
+        |         CASE WHEN len(grams) > 0
+        |              THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                          / len(grams)) * 1e6) / 1e6
+        |              ELSE 0.0 END AS dup_ratio
+        |  FROM g),
+        |v AS (
+        |  SELECT doc_id, source,
+        |         coalesce(quality_score, -1.0) AS q,
+        |         CAST(coalesce(n_words, 0) AS BIGINT) AS nw
+        |  FROM m
+        |  WHERE concat_ws(',',
+        |          CASE WHEN n_words < 12 THEN 'x' END,
+        |          CASE WHEN quality_score < 0.45 THEN 'x' END,
+        |          CASE WHEN dup_ratio > 0.05 THEN 'x' END) = ''),
+        |r AS (
+        |  SELECT source, doc_id, q, nw,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY q DESC, doc_id) AS rn
+        |  FROM v)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       least(count(*), 15) AS n_kept,
+        |       greatest(count(*) - 15, 0) AS n_dropped,
+        |       CAST(coalesce(SUM(nw) FILTER (rn > 15), 0) AS BIGINT)
+        |         AS tokens_dropped,
+        |       MIN(q) FILTER (rn <= 15) AS q_boundary
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_shuffle_shards" ->
       // shard = first md5 hex digit / 2 — instr + floor are portable;
       // CAST(double AS INT) is not (DuckDB rounds half-away, Spark

@@ -178,6 +178,79 @@ object Sampling {
       .orderBy("lang", "bin")
   }
 
+  /** Per-source document cap — the Gopher/RefinedWeb "domain capping" rule:
+    * no single source may contribute more than `cap` documents to the mix,
+    * and when a source exceeds it the BEST documents win (quality-ranked,
+    * not an arbitrary head), so a giant crawl cannot drown the mixture
+    * however large it grows. Output is the per-source audit card a curation
+    * run records with the decision: kept/dropped doc counts, the token
+    * volume the cap discards, and the quality boundary (min quality that
+    * survived) — the number to tune `cap` against.
+    *
+    * Ranks only verdict-kept docs ([[graft.operators.TextAnalysis.filterVerdicts]]
+    * — capping runs AFTER per-doc filtering in every real pipeline) by
+    * (quality_score desc, doc_id) — fully deterministic; NULL-text docs
+    * (kept by the verdict, no quality signal) rank last via quality −1.
+    *
+    * Scale — the same histogram-boundary discipline as [[balanceStrata]]:
+    * a bare `row_number` over `source` would sort the whole corpus in
+    * |sources| reducers (a handful of reducers own 100 TB — maximal skew).
+    * Instead quality_score is trunc6 (≤ 1e6+2 distinct values), so a
+    * (source × quality) histogram with doc/token tallies is vocabulary-
+    * sized and locates the cap boundary exactly: buckets strictly above it
+    * are kept wholesale, strictly below dropped wholesale (token sums read
+    * straight off the histogram — those docs are never ranked at all), and
+    * only the single boundary-quality sliver re-joins the corpus for an
+    * exact doc_id tie-break rank. The corpus-side work is one map-only
+    * verdict scan + one histogram aggregate; the rank window sees ~1/1e6
+    * of each source.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = TextAnalysis.filterVerdicts(
+        Tables.documents(spark, dir), passthrough = Seq("source"))
+      .where(col("keep"))
+      .select(col("source"), col("doc_id"),
+        coalesce(col("quality_score"), lit(-1.0)).as("q"),
+        coalesce(col("n_words"), lit(0)).cast("long").as("nw"))
+    // histogram-sized from here down (≤ |sources| × 1e6 rows)
+    val hist = v.groupBy("source", "q")
+      .agg(count(lit(1)).as("c"), sum("nw").as("snw"))
+    val wCum = Window.partitionBy("source").orderBy(desc("q"))
+    val histC = hist.withColumn("cum", sum("c").over(wCum))
+    val perSrc = histC.groupBy("source").agg(
+      sum("c").as("n_docs"),
+      // buckets whose every doc ranks past the cap: dropped wholesale,
+      // token volume straight off the histogram
+      sum(when(col("cum") - col("c") >= cap, col("snw")).otherwise(0L))
+        .as("tok_below"),
+      // min quality over buckets contributing at least one kept doc ==
+      // the oracle's MIN(q) FILTER (rn <= cap)
+      min(when(col("cum") - col("c") < cap, col("q"))).as("q_boundary"))
+    // ≤ one row per source: the bucket the cap splits, and how many of its
+    // docs (lowest doc_id first) still fit
+    val boundary = histC
+      .where(col("cum") > cap && col("cum") - col("c") < cap)
+      .select(col("source").as("__s"), col("q").as("__q"),
+        (lit(cap.toLong) - (col("cum") - col("c"))).as("__take"))
+    val wTie = Window.partitionBy("source").orderBy("doc_id")
+    val tie = v.join(broadcast(boundary),
+        col("source") <=> col("__s") && col("q") === col("__q"))
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") > col("__take"))
+      .groupBy("source").agg(sum("nw").as("tok_tie"))
+    perSrc.join(broadcast(tie), Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        least(col("n_docs"), lit(cap.toLong)).as("n_kept"),
+        greatest(col("n_docs") - cap, lit(0L)).as("n_dropped"),
+        (col("tok_below") + coalesce(col("tok_tie"), lit(0L)))
+          .as("tokens_dropped"),
+        col("q_boundary"))
+      .orderBy("source")
+  }
+
   /** Training shard count for [[shuffleShards]] / [[writeTrainingShards]].
     * 8 keeps the sf-test card readable; production sets executor-count ×
     * files-per-executor (the shard FUNCTION below is nShards-agnostic:

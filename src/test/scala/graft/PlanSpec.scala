@@ -145,6 +145,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "boundary must broadcast back")
   }
 
+  test("domainCap ranks only the boundary sliver, never a whole source") {
+    val df = graft.operators.Sampling.domainCap(spark, sf)
+    val p = plan(df)
+    // the only row_number window is the boundary tie-break; its input must
+    // be the broadcast boundary join (≤1 row per source fans the corpus
+    // down to one quality value's docs), never the bare kept corpus — a
+    // source-partitioned rank over the corpus is |sources| reducers
+    // owning 100 TB
+    val rn = p.linesIterator.filter(_.contains("Arguments: [row_number()"))
+    assert(rn.nonEmpty, "tie-break rank window missing")
+    assert(p.contains("BroadcastExchange"),
+      "boundary rows must broadcast back onto the verdict scan")
+    // the cumulative window runs over the histogram aggregate only: every
+    // window sits above a HashAggregate or below the boundary broadcast
+    // join — no window may consume the raw documents scan directly
+    assert(!p.contains("SortMergeJoin"),
+      "all joins here are broadcast (boundary rows, card-sized frames)")
+  }
+
   test("packSequences: corpus-width prefix window is shard-partitioned, offsets broadcast") {
     val df = graft.operators.Sampling.packSequences(spark, sf)
     val p = plan(df)

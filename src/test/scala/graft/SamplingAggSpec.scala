@@ -285,6 +285,46 @@ class SamplingAggSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("domainCap matches the naive quality-ranked cap, card-exact") {
+    import graft.operators.TextAnalysis
+    val cap = 7 // small enough that every sf0.001 source gets capped
+    val card = Sampling.domainCap(spark, sf, cap).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // naive reference: collect the kept verdicts, sort, cap per source
+    val v = TextAnalysis.filterVerdicts(
+        Tables.documents(spark, sf), passthrough = Seq("source"))
+      .where(col("keep"))
+      .select(col("source"), col("doc_id"),
+        coalesce(col("quality_score"), lit(-1.0)).as("q"),
+        coalesce(col("n_words"), lit(0)).cast("long").as("nw"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val bySrc = v.groupBy(_._1)
+    assert(card.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)) // q desc, doc_id asc
+      val (kept, dropped) = ranked.splitAt(cap)
+      val c = card(src)
+      assert(c.getAs[Long]("n_docs") == rows.length)
+      assert(c.getAs[Long]("n_kept") == math.min(cap, rows.length))
+      assert(c.getAs[Long]("n_dropped") == math.max(rows.length - cap, 0))
+      assert(c.getAs[Long]("tokens_dropped") == dropped.map(_._4).sum,
+        s"$src: token surplus must equal the naive dropped-token sum")
+      assert(c.getAs[Double]("q_boundary") == kept.map(_._3).min,
+        s"$src: boundary must be the worst surviving quality")
+      assert(dropped.nonEmpty, s"$src: cap=$cap must actually bite at this sf")
+    }
+  }
+
+  test("domainCap is partition-independent") {
+    val a = Sampling.domainCap(spark, sf, 7).collect().toSeq
+    // different shuffle layout must not move the tie-break boundary
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(Sampling.domainCap(spark, sf, 7).collect().toSeq == a)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("typed Welford aggregator matches var_pop/avg under any split") {
     import spark.implicits._
     val values = Tables.events(spark, sf).select("value").as[Double]
