@@ -128,6 +128,90 @@ object Layout {
     !committed
   }
 
+  /** Collapse the small-file accretion of a grow-in-place partition layout.
+    *
+    * Every streaming sink that appends into a partitioned directory — the
+    * ANN ingesters ([[graft.streaming.Streams.annIngestSink]] /
+    * `lshIngestSink`), the dedup band store (`dedupBandIngestSink`), the
+    * training-shard tail — writes at least one file per touched partition
+    * per micro-batch: a day of 500 ms triggers is ~170 k files per hot
+    * bucket, and at 100 TB the object-store LISTING (not the data) becomes
+    * every probe's bottleneck — the same failure mode as round 7's 2,003
+    * × 513 B LSH build, but unbounded in time instead of one bad write.
+    * This is the maintenance pass that keeps those layouts probe-shaped.
+    *
+    * Incremental by construction: ONE recursive listing finds the leaf
+    * directories holding more than `maxFilesPerDir` data files; only those
+    * partitions are read (by explicit leaf path — the scan never opens a
+    * healthy directory) and rewritten through DYNAMIC partition overwrite,
+    * repartitioned by the partition columns so each rewritten directory
+    * commits exactly one file. Cost is O(overfull partitions), never
+    * O(index) — a quiet layout is a listing and a no-op.
+    *
+    * Concurrency: run from the layout's OWN maintenance turn (e.g. every
+    * N-th `foreachBatch` of the sink that owns it, where no concurrent
+    * append can race the same partitions — the division of labor the
+    * shard ingester documents). Input files outlive task reads (dynamic
+    * overwrite deletes replaced partitions only at job commit, after all
+    * tasks finish), so the rewrite itself never reads deleted data; a
+    * crash mid-commit can leave a replaced partition half-swapped, which
+    * is acceptable ONLY because these layouts are derived artifacts,
+    * rebuildable from their corpus (the Waddle store, which holds primary
+    * data, gets the manifest + recovery machinery instead).
+    *
+    * Returns the card a maintenance job records: one row per compacted
+    * partition (relative dir, files/bytes before, files after). Resolved
+    * ANN frames for `path` are invalidated so same-JVM probes re-list.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerDir: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isData(n: String): Boolean =
+      !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+    // one recursive walk: leaf dir -> (file count, bytes)
+    val leaves = scala.collection.mutable.Map.empty[String, (Int, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && isData(st.getPath.getName)) {
+        val dir = st.getPath.getParent.toString
+        val (c, b) = leaves.getOrElse(dir, (0, 0L))
+        leaves(dir) = (c + 1, b + st.getLen)
+      }
+    }
+    val rootStr = fs.makeQualified(root).toString
+    val overfull = leaves.filter(_._2._1 > maxFilesPerDir).toSeq.sortBy(_._1)
+    if (overfull.nonEmpty) {
+      // partition columns from the first overfull dir's k=v segments —
+      // uniform across the layout by construction of partitionBy writes
+      val partCols = overfull.head._1.stripPrefix(rootStr).split('/')
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      require(partCols.nonEmpty,
+        s"$path is not a partitioned layout — nothing to prune on")
+      val slice = spark.read
+        .option("basePath", rootStr)
+        .parquet(overfull.map(_._1): _*)
+      slice
+        .repartition(partCols.map(col): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(rootStr)
+      graft.operators.AnnIndex.invalidateResolved(path)
+      spark.catalog.refreshByPath(path)
+    }
+    overfull.map { case (dir, (c, b)) =>
+      val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(st => st.isFile && isData(st.getPath.getName))
+      (dir.stripPrefix(rootStr).stripPrefix("/"), c, b, after)
+    }.toDF("partition", "files_before", "bytes_before", "files_after")
+  }
+
   /** One day's slice — must prune to a single date partition at plan time. */
   def daySlice(
       spark: SparkSession,

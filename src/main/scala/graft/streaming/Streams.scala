@@ -236,6 +236,11 @@ object Streams {
     * [[graft.operators.AnnIndex.invalidateResolved]] after (or
     * periodically between) streamed appends so probes re-list and see the
     * new buckets. Applies equally to [[annIngestSink]].
+    * Small-file accretion (≥1 file per touched bucket per trigger) is the
+    * other side of growing in place: a periodic
+    * [[graft.sources.Layout.compactPartitions]] from the sink's own
+    * maintenance turn collapses overfull buckets back to one file each
+    * (O(overfull partitions), invalidates resolved frames itself).
     */
   def lshIngestSink(
       vectors: DataFrame,

@@ -122,4 +122,53 @@ class LayoutSpec extends SparkSpec {
       assert(slice.count() == expect)
     }
   }
+
+  test("compactPartitions collapses overfull dirs, preserves rows, no-ops when quiet") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lay_cmp").toString
+    // simulate a streamed LSH-style layout: 6 micro-batch appends, each
+    // repartitioned wide so every (band_id, band_key) dir accretes files
+    (0 until 6).foreach { b =>
+      (0 until 40).map(i => (b * 40L + i, i % 2, (i % 4).toLong))
+        .toDF("vec_id", "band_id", "band_key")
+        .repartition(8)
+        .write.mode("append").partitionBy("band_id", "band_key")
+        .parquet(root)
+    }
+    // partition-discovered columns infer as int: normalize types for compare
+    def snap(): Array[(Long, Int, Long)] = spark.read.parquet(root)
+      .select(col("vec_id").cast("long"), col("band_id").cast("int"),
+        col("band_key").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val before = snap()
+    def fileCounts(): Map[String, Int] = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val m = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".parquet"))
+          m(st.getPath.getParent.toString) += 1
+      }
+      m.toMap
+    }
+    assert(fileCounts().values.exists(_ > 4), "setup must accrete small files")
+    val report = Layout.compactPartitions(spark, root).collect()
+    assert(report.nonEmpty)
+    // every previously-overfull dir is now a single file
+    val after = fileCounts()
+    assert(after.values.forall(_ == 1), s"expected 1 file/dir, got $after")
+    report.foreach { r =>
+      assert(r.getAs[Int]("files_before") > 4)
+      assert(r.getAs[Int]("files_after") == 1)
+    }
+    // not one row lost or duplicated, partition values intact
+    assert(snap().sameElements(before))
+    // quiet layout → listing only, empty card, files untouched
+    assert(Layout.compactPartitions(spark, root).isEmpty)
+    assert(fileCounts() == after)
+  }
 }
