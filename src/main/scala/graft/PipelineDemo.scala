@@ -65,6 +65,14 @@ object PipelineDemo {
     banner("mixture re-weighting (md5 verdict, audit card)")
     Sampling.mixSample(spark, sfDir).show(10, truncate = false)
 
+    banner("domain capping (per-source quality-ranked cap, audit card)")
+    // RefinedWeb order: filter -> dedup -> cap. The cap ranks the
+    // verdict-kept corpus (a superset of the composed set below), so
+    // semi-joining its survivors can only shrink a source further —
+    // never re-admit a doc another gate dropped
+    Sampling.domainCap(spark, sfDir).show(10, truncate = false)
+    val capKept = Sampling.domainCapKeep(spark, sfDir)
+
     // compose the kept set — key-only joins; every stage above gates here.
     // localCheckpoint the composed id set: both downstream consumers (the
     // split card and the shard write) would otherwise re-run every
@@ -74,6 +82,7 @@ object PipelineDemo {
       .join(dedupReps, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(lmTail, Seq("doc_id"), "left_anti")
+      .join(capKept, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
     val corpus = sources.Tables.documents(spark, sfDir)
       .where(Sampling.mixKeep)

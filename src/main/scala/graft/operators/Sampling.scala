@@ -205,19 +205,71 @@ object Sampling {
     * verdict scan + one histogram aggregate; the rank window sees ~1/1e6
     * of each source.
     */
-  def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = TextAnalysis.filterVerdicts(
+  // the quality-ranked verdict-kept corpus view the capping family shares
+  private def keptVerdicts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterVerdicts(
         Tables.documents(spark, dir), passthrough = Seq("source"))
       .where(col("keep"))
       .select(col("source"), col("doc_id"),
         coalesce(col("quality_score"), lit(-1.0)).as("q"),
         coalesce(col("n_words"), lit(0)).cast("long").as("nw"))
-    // histogram-sized from here down (≤ |sources| × 1e6 rows)
+
+  // (histogram with per-source descending-quality cumulative counts,
+  //  ≤1 boundary row per source: the quality the cap splits + how many of
+  //  that quality's docs still fit)
+  private def capBoundary(v: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val hist = v.groupBy("source", "q")
       .agg(count(lit(1)).as("c"), sum("nw").as("snw"))
     val wCum = Window.partitionBy("source").orderBy(desc("q"))
     val histC = hist.withColumn("cum", sum("c").over(wCum))
+    val boundary = histC
+      .where(col("cum") > cap && col("cum") - col("c") < cap)
+      .select(col("source").as("__s"), col("q").as("__q"),
+        (lit(cap.toLong) - (col("cum") - col("c"))).as("__take"))
+    (histC, boundary)
+  }
+
+  /** The doc_ids surviving [[domainCap]]'s per-source cap — the GATE the
+    * card reports on, exposed so a pipeline can apply capping as a stage
+    * (filter → dedup → cap, the RefinedWeb order; see PipelineDemo).
+    * Same histogram-boundary plan: docs strictly above the boundary
+    * quality pass with no ranking; only the boundary-quality sliver is
+    * ranked; sources under the cap (no boundary row) pass wholesale.
+    */
+  def domainCapKeep(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = keptVerdicts(spark, dir)
+    val (histC, _) = capBoundary(v, cap)
+    // one CUTOFF row per source, ALWAYS (unlike the card's straddle-only
+    // boundary — when the cap lands exactly on a bucket edge no bucket
+    // straddles it, but the cutoff still exists): the lowest quality
+    // contributing a kept doc, plus how many of that bucket's docs fit
+    // (== the whole bucket when it sits fully inside the cap)
+    val cutoff = histC
+      .where(col("cum") - col("c") < cap)
+      .groupBy(col("source").as("__s"))
+      .agg(min_by(
+        struct(col("q"),
+          least(lit(cap.toLong) - (col("cum") - col("c")), col("c"))
+            .as("take")),
+        col("q")).as("__cut"))
+      .select(col("__s"), col("__cut.q").as("__q"),
+        col("__cut.take").as("__take"))
+    val joined = v.join(broadcast(cutoff), col("source") <=> col("__s"))
+    val above = joined.where(col("q") > col("__q"))
+    val wTie = Window.partitionBy("source").orderBy("doc_id")
+    val tieKept = joined.where(col("q") === col("__q"))
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") <= col("__take"))
+    above.select("doc_id").union(tieKept.select("doc_id"))
+  }
+
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = keptVerdicts(spark, dir)
+    // histogram-sized from here down (≤ |sources| × 1e6 rows)
+    val (histC, boundary) = capBoundary(v, cap)
     val perSrc = histC.groupBy("source").agg(
       sum("c").as("n_docs"),
       // buckets whose every doc ranks past the cap: dropped wholesale,
@@ -227,12 +279,6 @@ object Sampling {
       // min quality over buckets contributing at least one kept doc ==
       // the oracle's MIN(q) FILTER (rn <= cap)
       min(when(col("cum") - col("c") < cap, col("q"))).as("q_boundary"))
-    // ≤ one row per source: the bucket the cap splits, and how many of its
-    // docs (lowest doc_id first) still fit
-    val boundary = histC
-      .where(col("cum") > cap && col("cum") - col("c") < cap)
-      .select(col("source").as("__s"), col("q").as("__q"),
-        (lit(cap.toLong) - (col("cum") - col("c"))).as("__take"))
     val wTie = Window.partitionBy("source").orderBy("doc_id")
     val tie = v.join(broadcast(boundary),
         col("source") <=> col("__s") && col("q") === col("__q"))

@@ -314,6 +314,13 @@ class SamplingAggSpec extends SparkSpec {
         s"$src: boundary must be the worst surviving quality")
       assert(dropped.nonEmpty, s"$src: cap=$cap must actually bite at this sf")
     }
+    // the gate the card reports on: domainCapKeep's ids == the naive kept set
+    val keepIds = Sampling.domainCapKeep(spark, sf, cap)
+      .collect().map(_.getLong(0)).sorted
+    val naiveKeep = bySrc.values.flatMap(
+      _.sortBy(r => (-r._3, r._2)).take(cap).map(_._2)).toArray.sorted
+    assert(keepIds.sameElements(naiveKeep),
+      "keep set must be exactly the per-source quality-ranked cap")
   }
 
   test("domainCap is partition-independent") {
