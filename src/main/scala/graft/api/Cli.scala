@@ -85,8 +85,26 @@ object Cli {
         println(s"compacted $root")
       } finally spark.stop()
 
+    // maintenance pass for grow-in-place partition layouts (streamed ANN
+    // indexes, dedup band stores, shard tails) — NOT the Waddle store
+    // (`compact` above owns that, with its manifest/recovery machinery)
+    case "compact-layout" :: path :: rest =>
+      val maxFiles = rest.headOption.map(_.toInt).getOrElse(4)
+      val spark = graft.GraftSession.create()
+      try {
+        val report = graft.sources.Layout
+          .compactPartitions(spark, path, maxFiles).collect()
+        if (report.isEmpty) println(s"$path: healthy (no dir over $maxFiles files)")
+        else report.foreach { r =>
+          println(s"${r.getAs[String]("partition")}: " +
+            s"${r.getAs[Int]("files_before")} files " +
+            s"(${r.getAs[Long]("bytes_before")} B) -> " +
+            s"${r.getAs[Int]("files_after")}")
+        }
+      } finally spark.stop()
+
     case other =>
-      sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port] | compact [storeRoot]); got: $other")
+      sys.error(s"usage: Cli (init [path] | ls [storeRoot] [limit] | serve [storeRoot] [port] | compact [storeRoot] | compact-layout <path> [maxFiles]); got: $other")
   }
 
   /** `[storeRoot] [n]` / `[n]` / `` with discovery fallback. A single

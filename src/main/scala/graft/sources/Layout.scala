@@ -92,6 +92,57 @@ object Layout {
     * Returns true when the batch was written, false when skipped as a
     * duplicate delivery.
     */
+  // existence probe through the Hadoop FileSystem API: a java.io.File
+  // check is local-FS only — on hdfs:///s3a:// (the 100 TB deployment)
+  // it would always be false and idempotence would be silently disabled.
+  // A crash mid-ledger-write can leave a dir with no readable footer, so
+  // the probe also requires at least one complete parquet part file.
+  private def ledgerCommitted(
+      spark: SparkSession, ledger: String, batchId: Long): Boolean = {
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerReadable = fs.exists(ledgerPath) &&
+      fs.listStatus(ledgerPath).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+    ledgerReadable &&
+      !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+  }
+
+  /** foreachBatch body for the layout-growing streaming sinks (ANN
+    * indexes, dedup band store, shard tail): append `batch` into the
+    * partitioned directory unless `batchId` is already in the ledger.
+    *
+    * WHY foreachBatch and not the streaming parquet sink: that sink owns
+    * its directory through a `_spark_metadata` commit log, and batch
+    * reads of such a directory resolve through the log EXCLUSIVELY —
+    * files written by a batch index build or a compaction rewrite of the
+    * SAME layout become invisible (and compacted-away files dangle, so
+    * reads throw FILE_NOT_EXIST). These layouts are shared with batch
+    * builders and [[compactPartitions]] by design, so the sink must
+    * append plain listable files; idempotence comes from the same
+    * batch-id ledger as [[appendBatchIdempotent]], and each batch is
+    * repartitioned by the partition columns so a trigger writes one file
+    * per touched directory (bounded small shuffle), not one per task.
+    */
+  def appendPartitionedIdempotent(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      ledger: String,
+      partCols: Seq[String]): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val committed = ledgerCommitted(spark, ledger, batchId)
+    if (!committed) {
+      batch.repartition(partCols.map(col): _*)
+        .write.mode("append").partitionBy(partCols: _*).parquet(path)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+    }
+    !committed
+  }
+
   def appendBatchIdempotent(
       batch: DataFrame,
       batchId: Long,
@@ -100,20 +151,7 @@ object Layout {
       buckets: Int = 8): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // existence probe through the Hadoop FileSystem API: a java.io.File
-    // check is local-FS only — on hdfs:///s3a:// (the 100 TB deployment)
-    // it would always be false and idempotence would be silently disabled.
-    // A crash mid-ledger-write can leave a dir with no readable footer, so
-    // the probe also requires at least one complete parquet part file.
-    val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
-    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledgerReadable = fs.exists(ledgerPath) &&
-      fs.listStatus(ledgerPath).exists { st =>
-        val n = st.getPath.getName
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }
-    val committed = ledgerReadable &&
-      !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+    val committed = ledgerCommitted(spark, ledger, batchId)
     if (!committed) {
       batch.withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"), col("user_id"))
@@ -170,6 +208,13 @@ object Layout {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a directory owned by the STREAMING parquet sink resolves reads
+    // through its _spark_metadata log, not the listing — rewriting files
+    // under it would leave every reader chasing deleted paths (the
+    // layout sinks use appendPartitionedIdempotent to avoid the log)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"$path is owned by a streaming-sink _spark_metadata log; " +
+        "compaction would invalidate it")
     def isData(n: String): Boolean =
       !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
     // one recursive walk: leaf dir -> (file count, bytes)
@@ -204,6 +249,11 @@ object Layout {
         .parquet(rootStr)
       graft.operators.AnnIndex.invalidateResolved(path)
       spark.catalog.refreshByPath(path)
+      // refreshByPath recaches DATASETS only; the process-wide
+      // FileStatusCache still holds the replaced dirs' listings, and a
+      // later read of the layout would chase deleted part files
+      org.apache.spark.sql.execution.datasources.FileStatusCache
+        .getOrCreate(spark).invalidateAll()
     }
     overfull.map { case (dir, (c, b)) =>
       val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))

@@ -199,18 +199,33 @@ object Streams {
   def annIngest(vectors: DataFrame, codebook: DataFrame): DataFrame =
     graft.operators.AnnIndex.assign(vectors, codebook)
 
+  /** Shared sink shape for every layout-growing ingester below: idempotent
+    * partitioned parquet append WITHOUT the streaming sink's
+    * `_spark_metadata` log (see
+    * [[graft.sources.Layout.appendPartitionedIdempotent]] — the log would
+    * make batch-built files in the same layout invisible to readers and
+    * break [[graft.sources.Layout.compactPartitions]]).
+    */
+  private def layoutAppendSink(
+      df: DataFrame, path: String, checkpointDir: String,
+      partCols: Seq[String]) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Layout.appendPartitionedIdempotent(
+          batch, batchId, path, s"$checkpointDir/graft_batch_ledger", partCols)
+        ()
+      }
+
   /** Parquet sink for [[annIngest]]: cluster-partitioned append — the
     * partition layout IS the inverted file (SCALING.md "Data layout").
     */
   def annIngestSink(
       vectors: DataFrame, codebook: DataFrame,
       path: String, checkpointDir: String) =
-    annIngest(vectors, codebook).writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("cluster")
-      .outputMode("append")
+    layoutAppendSink(
+      annIngest(vectors, codebook), path, checkpointDir, Seq("cluster"))
 
   /** Streaming LSH index ingestion — the incremental build path of the
     * banded-signature index ([[graft.operators.AnnIndex.ensureLsh]]): each
@@ -245,12 +260,8 @@ object Streams {
   def lshIngestSink(
       vectors: DataFrame,
       path: String, checkpointDir: String) =
-    lshIngest(vectors).writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("band_id", "band_key")
-      .outputMode("append")
+    layoutAppendSink(
+      lshIngest(vectors), path, checkpointDir, Seq("band_id", "band_key"))
 
   /** Streaming dedup-band ingestion — the admit path of
     * [[graft.operators.Dedup.dedupIncremental]]'s band store: each
@@ -275,12 +286,8 @@ object Streams {
   def dedupBandIngestSink(
       docs: DataFrame,
       path: String, checkpointDir: String) =
-    dedupBandIngest(docs).writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("band_id")
-      .outputMode("append")
+    layoutAppendSink(
+      dedupBandIngest(docs), path, checkpointDir, Seq("band_id"))
 
   /** Streaming training-shard ingestion — the incremental path of the
     * [[graft.operators.Sampling.writeTrainingShards]] layout: each
@@ -304,12 +311,8 @@ object Streams {
   def shardIngestSink(
       docs: DataFrame, idCol: String,
       path: String, checkpointDir: String) =
-    shardIngest(docs, idCol).writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("shard")
-      .outputMode("append")
+    layoutAppendSink(
+      shardIngest(docs, idCol), path, checkpointDir, Seq("shard"))
 
   /** Running trend state per (run, metric): the six sufficient statistics
     * behind [[graft.operators.Tracking.metricTrend]] plus the derived

@@ -258,6 +258,7 @@ class StreamingSpec extends SparkSpec {
 
       val streamed = spark.read
         .schema("doc_id BIGINT, band_id INT, band_hash BIGINT").parquet(out)
+        .select("doc_id", "band_id", "band_hash")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       val batch = graft.operators.Dedup
         .bandDocs(docs.toDF("doc_id", "text"))
@@ -326,6 +327,17 @@ class StreamingSpec extends SparkSpec {
       val parts = new java.io.File(out).listFiles()
         .filter(_.getName.startsWith("band_id=")).map(_.getName)
       assert(parts.nonEmpty)
+
+      // maintenance round trip: per-trigger appends accreted multiple
+      // files; compacting the layout must not move a single row out of
+      // its bucket (threshold 0 forces every dir to rewrite)
+      graft.sources.Layout.compactPartitions(spark, out, maxFilesPerDir = 0)
+      val compacted = spark.read
+        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(compacted == batch,
+        "compaction must preserve every (vec_id, band) assignment")
     } finally q.stop()
   }
 
