@@ -87,6 +87,28 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS events_layout_idem")
   }
 
+  test("a redelivered partitioned-layout batch is skipped by its ledger") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lay_idem").toString
+    val ledger = s"$root/.ledger"
+    val out = s"$root/layout"
+    val batch = Seq((1L, 0, 3L), (2L, 1, 5L))
+      .toDF("vec_id", "band_id", "band_key")
+    assert(Layout.appendPartitionedIdempotent(
+      batch, 0L, out, ledger, Seq("band_id", "band_key")))
+    assert(spark.read.parquet(out).count() == 2)
+    // the retry: same batch id delivered again must be a no-op
+    assert(!Layout.appendPartitionedIdempotent(
+      batch, 0L, out, ledger, Seq("band_id", "band_key")))
+    assert(spark.read.parquet(out).count() == 2)
+    // a NEW batch id still appends, into the same partition dirs
+    assert(Layout.appendPartitionedIdempotent(
+      batch, 1L, out, ledger, Seq("band_id", "band_key")))
+    assert(spark.read.parquet(out).count() == 4)
+    // the layout never grows a _spark_metadata log (that is the point)
+    assert(!new java.io.File(s"$out/_spark_metadata").exists())
+  }
+
   test("a crash-orphaned empty ledger dir does not poison the retry path") {
     import java.sql.Timestamp
     import spark.implicits._
