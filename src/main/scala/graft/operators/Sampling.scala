@@ -222,7 +222,13 @@ object Sampling {
     val hist = v.groupBy("source", "q")
       .agg(count(lit(1)).as("c"), sum("nw").as("snw"))
     val wCum = Window.partitionBy("source").orderBy(desc("q"))
-    val histC = hist.withColumn("cum", sum("c").over(wCum))
+    // localCheckpoint: the histogram feeds 2-3 consumer branches
+    // (per-source totals, the boundary/cutoff rows) and AQE does NOT
+    // reuse the aggregate exchange across them (executed plan shows 4
+    // FileScans without it) — materialize once at histogram size
+    // (≤ |sources| × 1e6 rows; measured ~25% off the card's wall), so the
+    // corpus is scanned once for the histogram plus once for the tie-break
+    val histC = hist.withColumn("cum", sum("c").over(wCum)).localCheckpoint(true)
     val boundary = histC
       .where(col("cum") > cap && col("cum") - col("c") < cap)
       .select(col("source").as("__s"), col("q").as("__q"),
