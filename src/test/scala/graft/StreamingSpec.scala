@@ -328,6 +328,27 @@ class StreamingSpec extends SparkSpec {
         .filter(_.getName.startsWith("band_id=")).map(_.getName)
       assert(parts.nonEmpty)
 
+      // the SHARED-layout promise (why the sink is foreachBatch, not the
+      // streaming parquet sink whose _spark_metadata log would hide
+      // foreign files): a batch build appending into the SAME directory
+      // must be visible in one read alongside the streamed rows
+      val batchVecs = Seq((20L, Seq(0.5, -0.4, 0.2, 0.7)))
+      graft.operators.AnnIndex
+        .bandify(batchVecs.toDF("vec_id", "v"))
+        .repartition(
+          org.apache.spark.sql.functions.col("band_id"),
+          org.apache.spark.sql.functions.col("band_key"))
+        .write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+      val mixed = spark.read
+        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batchBands = graft.operators.AnnIndex
+        .bandify(batchVecs.toDF("vec_id", "v"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(mixed == batch ++ batchBands,
+        "batch-built rows in the shared layout must be visible with streamed ones")
+
       // maintenance round trip: per-trigger appends accreted multiple
       // files; compacting the layout must not move a single row out of
       // its bucket (threshold 0 forces every dir to rewrite)
@@ -336,7 +357,7 @@ class StreamingSpec extends SparkSpec {
         .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
         .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-      assert(compacted == batch,
+      assert(compacted == batch ++ batchBands,
         "compaction must preserve every (vec_id, band) assignment")
     } finally q.stop()
   }
