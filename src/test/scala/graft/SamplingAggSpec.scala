@@ -323,6 +323,27 @@ class SamplingAggSpec extends SparkSpec {
       "keep set must be exactly the per-source quality-ranked cap")
   }
 
+  test("domainCap card agrees with its keep set; a generous cap drops nothing") {
+    // cross-consistency: the card's n_kept must equal the gate's actual
+    // per-source survivor counts (they share the histogram but diverge
+    // in the tie handling — this pins them together)
+    val card = Sampling.domainCap(spark, sf, 7).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    val keptBySrc = Sampling.domainCapKeep(spark, sf, 7)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card == keptBySrc)
+    // a cap no source reaches: nothing dropped, zero token surplus,
+    // boundary = worst kept quality, and the gate keeps every kept doc
+    val generous = Sampling.domainCap(spark, sf, 1000000).collect()
+    assert(generous.forall(r => r.getAs[Long]("n_dropped") == 0L &&
+      r.getAs[Long]("tokens_dropped") == 0L &&
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs")))
+    val allKept = Sampling.domainCapKeep(spark, sf, 1000000).count()
+    assert(allKept == generous.map(_.getAs[Long]("n_docs")).sum)
+  }
+
   test("domainCap is partition-independent") {
     val a = Sampling.domainCap(spark, sf, 7).collect().toSeq
     // different shuffle layout must not move the tie-break boundary
