@@ -39,6 +39,6 @@ object Demo {
 
     spark.stop()
     println(s"seeded store at $root")
-    Cli.main(Array(root, "10"))
+    Cli.main(Array("ls", root, "10"))
   }
 }
