@@ -236,40 +236,67 @@ object Sampling {
     (histC, boundary)
   }
 
+  /** Generic histogram-boundary top-`cap`-per-group selection: keep each
+    * group's `cap` BEST rows by (`scoreCol` desc, `keyCol` asc) — the
+    * reusable combinator behind [[domainCapKeep]], the score-ranked twin
+    * of [[balanceStrata]]'s hash-ranked cap.
+    *
+    * Contract: `scoreCol` must be NON-NULL and FINITELY QUANTIZED (e.g.
+    * trunc6 doubles, integer grades) so the (group × score) histogram is
+    * bounded — that bound is what lets the cap boundary come from a
+    * histogram instead of a whole-group sort; `keyCol` must be unique
+    * within its group (the deterministic tie-break).
+    *
+    * Scale: one histogram aggregate (checkpointed at histogram size — AQE
+    * does not reuse its exchange across the consumer branches), a ≤
+    * one-row-per-group CUTOFF broadcast back, and an exact rank over ONLY
+    * the rows tying the cutoff score. No window ever partitions a whole
+    * group. The cutoff row exists for every group, whether or not the cap
+    * bites — "no straddling bucket" must not read as "group under cap"
+    * (the bug the keep-set spec caught).
+    */
+  def capGroups(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      keyCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(desc(scoreCol))
+    val histC = hist.withColumn("__cum", sum("__c").over(wCum))
+      .localCheckpoint(true)
+    // one CUTOFF row per group, ALWAYS: the lowest score contributing a
+    // kept row, plus how many of that score's rows still fit (== the
+    // whole bucket when it sits fully inside the cap)
+    val cutoff = histC
+      .where(col("__cum") - col("__c") < cap)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min_by(
+        struct(col(scoreCol).as("s"),
+          least(lit(cap.toLong) - (col("__cum") - col("__c")), col("__c"))
+            .as("take")),
+        col(scoreCol)).as("__cut"))
+      .select(col("__g"), col("__cut.s").as("__q"),
+        col("__cut.take").as("__take"))
+    val joined = df.join(broadcast(cutoff), col(groupCol) <=> col("__g"))
+    val above = joined.where(col(scoreCol) > col("__q"))
+    val wTie = Window.partitionBy(groupCol).orderBy(keyCol)
+    val tieKept = joined.where(col(scoreCol) === col("__q"))
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") <= col("__take"))
+      .drop("__rk")
+    above.unionByName(tieKept).drop("__g", "__q", "__take")
+  }
+
   /** The doc_ids surviving [[domainCap]]'s per-source cap — the GATE the
     * card reports on, exposed so a pipeline can apply capping as a stage
     * (filter → dedup → cap, the RefinedWeb order; see PipelineDemo).
-    * Same histogram-boundary plan: docs strictly above the boundary
-    * quality pass with no ranking; only the boundary-quality sliver is
-    * ranked; sources under the cap (no boundary row) pass wholesale.
+    * [[capGroups]] over the verdict-kept corpus: quality is trunc6 (the
+    * quantization the histogram needs), NULL-text docs rank last via
+    * quality −1.
     */
-  def domainCapKeep(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = keptVerdicts(spark, dir)
-    val (histC, _) = capBoundary(v, cap)
-    // one CUTOFF row per source, ALWAYS (unlike the card's straddle-only
-    // boundary — when the cap lands exactly on a bucket edge no bucket
-    // straddles it, but the cutoff still exists): the lowest quality
-    // contributing a kept doc, plus how many of that bucket's docs fit
-    // (== the whole bucket when it sits fully inside the cap)
-    val cutoff = histC
-      .where(col("cum") - col("c") < cap)
-      .groupBy(col("source").as("__s"))
-      .agg(min_by(
-        struct(col("q"),
-          least(lit(cap.toLong) - (col("cum") - col("c")), col("c"))
-            .as("take")),
-        col("q")).as("__cut"))
-      .select(col("__s"), col("__cut.q").as("__q"),
-        col("__cut.take").as("__take"))
-    val joined = v.join(broadcast(cutoff), col("source") <=> col("__s"))
-    val above = joined.where(col("q") > col("__q"))
-    val wTie = Window.partitionBy("source").orderBy("doc_id")
-    val tieKept = joined.where(col("q") === col("__q"))
-      .withColumn("__rk", row_number().over(wTie))
-      .where(col("__rk") <= col("__take"))
-    above.select("doc_id").union(tieKept.select("doc_id"))
-  }
+  def domainCapKeep(spark: SparkSession, dir: String, cap: Int = 15): DataFrame =
+    capGroups(keptVerdicts(spark, dir), "source", "q", "doc_id", cap)
+      .select("doc_id")
 
   def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window

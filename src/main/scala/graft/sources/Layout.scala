@@ -136,8 +136,11 @@ object Layout {
     import spark.implicits._
     val committed = ledgerCommitted(spark, ledger, batchId)
     if (!committed) {
-      batch.repartition(partCols.map(col): _*)
-        .write.mode("append").partitionBy(partCols: _*).parquet(path)
+      // unpartitioned layouts append coalesced (one file per batch)
+      // rather than hitting repartition()'s empty-column error
+      val co = if (partCols.isEmpty) batch.coalesce(1)
+        else batch.repartition(partCols.map(col): _*)
+      co.write.mode("append").partitionBy(partCols: _*).parquet(path)
       Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
     }
     !committed

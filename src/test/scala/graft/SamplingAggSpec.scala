@@ -323,6 +323,26 @@ class SamplingAggSpec extends SparkSpec {
       "keep set must be exactly the per-source quality-ranked cap")
   }
 
+  test("capGroups == naive top-cap under ties, bucket edges, and small groups") {
+    import spark.implicits._
+    // group a: tie bucket straddles the cap (three 2.0-scores, cap cuts
+    // mid-bucket); group b: cap lands exactly on a bucket edge (the
+    // no-straddle case); group c: under the cap entirely
+    val rows = Seq(
+      ("a", 3.0, 1L), ("a", 2.0, 2L), ("a", 2.0, 3L), ("a", 2.0, 4L), ("a", 1.0, 5L),
+      ("b", 9.0, 6L), ("b", 8.0, 7L), ("b", 8.0, 8L), ("b", 7.0, 9L),
+      ("c", 5.0, 10L))
+    val df = rows.toDF("g", "s", "k")
+    for (cap <- 1 to 5) {
+      val got = Sampling.capGroups(df, "g", "s", "k", cap)
+        .select("g", "s", "k").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+      val want = rows.groupBy(_._1).values.flatMap(
+        _.sortBy(r => (-r._2, r._3)).take(cap)).toSeq.sorted
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
   test("domainCap card agrees with its keep set; a generous cap drops nothing") {
     // cross-consistency: the card's n_kept must equal the gate's actual
     // per-source survivor counts (they share the histogram but diverge
