@@ -386,15 +386,15 @@ object SparkEntry {
     "q_profile_events" ->
       """WITH s AS (
         |  SELECT count(*) AS n_rows,
-        |         SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_n,
+        |         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_n,
         |         count(DISTINCT event_id) AS event_id_d,
-        |         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_n,
+        |         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_n,
         |         count(DISTINCT user_id) AS user_id_d,
-        |         SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_n,
+        |         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_n,
         |         count(DISTINCT event_type) AS event_type_d,
-        |         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_n,
+        |         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_n,
         |         count(DISTINCT value) AS value_d,
-        |         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_n,
+        |         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_n,
         |         count(DISTINCT props) AS props_d
         |  FROM events)
         |SELECT col_name, n_rows, n_nulls,
