@@ -56,7 +56,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val lapTotals = laps.map(_.values.flatMap(_.toOption).sum).mkString("[", ",", "]")
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    // headline scalars AFTER the 100-entry query map: the ~2 KB tail keeps
+    // the END of this line, and at 100 queries the map alone exceeds 2 KB —
+    // r9's tail cut metric/value/n_errors off the front and the round report
+    // had to infer the error count from a query's absence
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,10 +205,12 @@ object Sampling {
     * verdict scan + one histogram aggregate; the rank window sees ~1/1e6
     * of each source.
     */
-  // the quality-ranked verdict-kept corpus view the capping family shares
+  // the quality-ranked verdict-kept corpus view the capping family shares —
+  // a probe of the session-cached verdict artifact (TextAnalysis
+  // .verdictFrame), so the heavy verdict expressions are evaluated once per
+  // (session, corpus version), not once per capping query/scan
   private def keptVerdicts(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.filterVerdicts(
-        Tables.documents(spark, dir), passthrough = Seq("source"))
+    TextAnalysis.verdictFrame(spark, dir)
       .where(col("keep"))
       .select(col("source"), col("doc_id"),
         coalesce(col("quality_score"), lit(-1.0)).as("q"),

@@ -701,7 +701,7 @@ object TextAnalysis {
     * composing them costs no second pass, no join, no shuffle.
     */
   def corpusFilter(spark: SparkSession, dir: String): DataFrame =
-    filterVerdicts(Tables.documents(spark, dir)).orderBy("doc_id")
+    verdictFrame(spark, dir).drop("source").orderBy("doc_id")
 
   /** Per-source curation report: each source's doc count, keep rate under
     * the [[corpusFilter]] verdict, and average quality / duplicate-gram
@@ -808,7 +808,7 @@ object TextAnalysis {
   }
 
   def sourceQuality(spark: SparkSession, dir: String): DataFrame =
-    filterVerdicts(Tables.documents(spark, dir), passthrough = Seq("source"))
+    verdictFrame(spark, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -858,6 +858,24 @@ object TextAnalysis {
         when(col("dup_ratio") > 0.05, lit("repetitive"))))
       .withColumn("keep", col("reasons") === "")
   }
+
+  /** [[filterVerdicts]] over the whole corpus (with `source` carried) as a
+    * SessionCache artifact. The verdict family — [[corpusFilter]],
+    * [[sourceQuality]], `Sampling.domainCap`/`domainCapKeep` — all rank or
+    * roll up the SAME per-doc verdict row, and the dominant cost is the
+    * trigram/unique-word array evaluation over `text`. Evaluating it once
+    * per (session, corpus version) turns every consumer into a probe of a
+    * frame that carries NO text (id + lang + four numbers + reasons/keep —
+    * orders of magnitude under the corpus, the SessionCache size
+    * discipline), the same train-once/serve-many posture as [[lmScored]]
+    * and the tfidf artifact. The streaming twin
+    * ([[graft.streaming.Streams.docFilterStream]]) keeps calling the
+    * uncached transform — per-batch inputs have no corpus fingerprint.
+    */
+  private[graft] def verdictFrame(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "filter_verdicts", dir) {
+      filterVerdicts(Tables.documents(spark, dir), passthrough = Seq("source"))
+    }
 
   /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram
     * fraction" rule): per document, the fraction of word 3-grams that are

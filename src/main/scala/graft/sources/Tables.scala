@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-generated Parquet testdata (TESTDATA.md).
   *
@@ -55,18 +55,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[graft.GraftSession]]), so the column arrives as Long nanos; we
-    * floor-divide to micros (integer `div` — a double division would lose
-    * precision at 1e18) and rebuild the timestamp, matching DuckDB's own
-    * nanos→micros truncation so oracle hashes agree.
+  /** `events.ts` has shipped in three parquet encodings across testdata
+    * regenerations, so the catalog normalizes ALL of them to session-zoned
+    * `TimestampType` here — every operator downstream sees one type:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *    [[graft.GraftSession]]), so it arrives as Long nanos — floor-divide
+    *    to micros (integer `div`; a double division would lose precision at
+    *    1e18) and rebuild, matching DuckDB's nanos→micros truncation.
+    *  - TIMESTAMP_MICROS `isAdjustedToUTC=0`: Spark 4.1 reads it as
+    *    `TimestampNTZType`, which `unix_micros`/window ranges reject — cast
+    *    to `TimestampType`. The session timezone is pinned UTC
+    *    ([[graft.GraftSession]]), so the cast is value-identical and oracle
+    *    hashes cannot move.
+    *  - TIMESTAMP_MICROS UTC-adjusted: already `TimestampType`; pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

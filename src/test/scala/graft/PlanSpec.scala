@@ -226,8 +226,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.TextAnalysis.sourceQuality(spark, sf))
     assert(!p.contains("Join"),
       "the source column must ride the map-only verdict row, never re-join")
-    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
-      "one corpus scan feeds the rollup")
+    // the rollup probes the session verdict artifact — the corpus is
+    // scanned once at artifact build, never per consumer query
+    assert(!p.contains("documents.parquet"),
+      "rollup must read the cached verdict frame, not re-scan the corpus")
+  }
+
+  test("verdict-family consumers probe the artifact — zero corpus scans each") {
+    Seq(
+      "corpusFilter" -> graft.operators.TextAnalysis.corpusFilter(spark, sf),
+      "domainCap" -> graft.operators.Sampling.domainCap(spark, sf),
+      "domainCapKeep" -> graft.operators.Sampling.domainCapKeep(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("documents.parquet"),
+        s"$name must read the cached verdict frame, not re-scan the corpus")
+    }
   }
 
   test("ngramCounts top-k is two-phase: bucket-local rank before the per-lang rank") {
