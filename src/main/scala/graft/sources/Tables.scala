@@ -37,7 +37,25 @@ object Tables {
       // a GC'd stopped session's address; the app id disambiguates contexts
       (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark),
         dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+      _ => normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Cast every TIMESTAMP_NTZ column to session-zoned `TimestampType` at
+    * the catalog boundary. The testdata generator is not stable about the
+    * `isAdjustedToUTC` parquet flag (events/orders/lineitem all currently
+    * ship `=0`, which Spark 4.1 surfaces as NTZ), and NTZ rejects the
+    * unix-time function family — one regeneration away from breaking any
+    * timestamp-consuming operator (it broke `q_metric_trend` for two
+    * rounds). The session timezone is pinned UTC ([[graft.GraftSession]]),
+    * so the cast preserves every wall-clock field and oracle hashes cannot
+    * move. Map-only, fused into the scan's projection by codegen — no
+    * extra pass.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   /** Register every table as a temp view so `spark.sql` / catalog
     * introspection work over the star schema (SURVEY.md §2.11 — the
@@ -56,19 +74,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   /** `events.ts` has shipped in three parquet encodings across testdata
-    * regenerations, so the catalog normalizes ALL of them to session-zoned
-    * `TimestampType` here — every operator downstream sees one type:
+    * regenerations; every operator downstream must see one type,
+    * session-zoned `TimestampType`:
     *
     *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions set
     *    `spark.sql.legacy.parquet.nanosAsLong=true` (see
     *    [[graft.GraftSession]]), so it arrives as Long nanos — floor-divide
     *    to micros (integer `div`; a double division would lose precision at
     *    1e18) and rebuild, matching DuckDB's nanos→micros truncation.
-    *  - TIMESTAMP_MICROS `isAdjustedToUTC=0`: Spark 4.1 reads it as
-    *    `TimestampNTZType`, which `unix_micros`/window ranges reject — cast
-    *    to `TimestampType`. The session timezone is pinned UTC
-    *    ([[graft.GraftSession]]), so the cast is value-identical and oracle
-    *    hashes cannot move.
+    *  - TIMESTAMP_MICROS `isAdjustedToUTC=0` (NTZ): handled for ALL tables
+    *    by [[normalizeNtz]] in [[apply]].
     *  - TIMESTAMP_MICROS UTC-adjusted: already `TimestampType`; pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -76,8 +91,6 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

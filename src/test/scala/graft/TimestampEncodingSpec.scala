@@ -56,4 +56,18 @@ class TimestampEncodingSpec extends SparkSpec {
         }
       }
   }
+
+  test("catalog normalizes NTZ on EVERY table, not just events") {
+    // orders/lineitem currently ship isAdjustedToUTC=0 too — they only
+    // work because no operator applies unix-time functions to them yet;
+    // the catalog must hand every consumer session-zoned TimestampType
+    Seq(
+      graft.sources.Tables.orders(spark, sf).schema("o_orderdate"),
+      graft.sources.Tables.lineitem(spark, sf).schema("l_shipdate"),
+      graft.sources.Tables.events(spark, sf).schema("ts")
+    ).foreach { f =>
+      assert(f.dataType.typeName == "timestamp",
+        s"${f.name}: ${f.dataType.typeName} leaked through the catalog")
+    }
+  }
 }
