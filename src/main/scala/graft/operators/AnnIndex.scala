@@ -368,10 +368,10 @@ object AnnIndex {
     ensureBuilt(spark, indexRoot(spark),
       s"ivf_${Integer.toHexString(dir.hashCode)}", s"${fp}_$cbHash") { staging =>
       assign(
-        Tables.embeddings(spark, dir)
-          // scan-spread: embeddings.parquet arrives in few splits and the
-          // 16-cosine assignment is the compute — spread it over all cores
-          .repartition(spark.sparkContext.defaultParallelism)
+        // adaptive scan-spread (Tables.spread): single-split local files
+        // leave the 16-cosine assignment single-threaded; a real corpus
+        // arrives pre-split and skips the shuffle entirely
+        Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         codebook(spark, dir, fp))
         .withColumn("cluster", col("cluster").cast("int"))
@@ -418,8 +418,7 @@ object AnnIndex {
     ensureBuilt(spark, indexRoot(spark),
       s"lsh_${Integer.toHexString(dir.hashCode)}", s"${fp}_$geom") { staging =>
       bandify(
-        Tables.embeddings(spark, dir)
-          .repartition(spark.sparkContext.defaultParallelism)
+        Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         // co-locate each (band_id, band_key) bucket into ONE task before the
         // partitioned write: without this every one of the 32 hyperplane

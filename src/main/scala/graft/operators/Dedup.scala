@@ -121,8 +121,7 @@ object Dedup {
     // upper exchange "redundant" and Catalyst would elide it, putting the
     // shingling back above the only exchange — recomputed per consumer.)
     val par = spark.sparkContext.defaultParallelism
-    val sh = Tables.documents(spark, dir)
-      .repartition(par)
+    val sh = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
       .repartition(par, col("doc_id"))
 
@@ -381,8 +380,7 @@ object Dedup {
     */
   private def simhashFps(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, "simhash_fps", dir) {
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), expr("simhash64(text)").as("fp"))
     }
 
@@ -447,8 +445,7 @@ object Dedup {
     // serialize the pair join): spread the single-split text rows, hash in
     // parallel, then materialize the gram arrays once for both join sides.
     val par = spark.sparkContext.defaultParallelism
-    val docs = Tables.documents(spark, dir)
-      .repartition(par)
+    val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))
@@ -565,9 +562,8 @@ object Dedup {
     */
   private def corpusBandStore(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, "inc_band_store", dir) {
-      bandDocs(Tables.documents(spark, dir)
-        .where(col("doc_id") % lit(IncrementMod) =!= 0L)
-        .repartition(spark.sparkContext.defaultParallelism))
+      bandDocs(Tables.spread(Tables.documents(spark, dir)
+        .where(col("doc_id") % lit(IncrementMod) =!= 0L)))
     }
 
   /** (doc_id, text, …) → one (doc_id, band_id, band_hash) row per band:

@@ -189,8 +189,7 @@ object Similarity {
       val v = col("embedding").cast("array<double>")
       val m = array_max(transform(v, x => abs(x))) / lit(127.0)
       val scale = when(m === 0.0, lit(1.0)).otherwise(m)
-      Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      Tables.spread(Tables.embeddings(spark, dir))
         .select(col("vec_id"), scale.as("scale"),
           transform(v, x => round(x / scale).cast("tinyint")).as("qv"))
     }
@@ -396,9 +395,9 @@ object Similarity {
     */
   def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
     val ver = AnnIndex.corpusVersion(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      // scan-spread: few input splits, 16-cosine assignment is the compute
-      .repartition(spark.sparkContext.defaultParallelism)
+    // adaptive scan-spread: few local input splits, 16-cosine assignment
+    // is the compute; a pre-split corpus skips the shuffle
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
     val cells = AnnIndex.assign(emb, AnnIndex.codebook(spark, dir, ver))

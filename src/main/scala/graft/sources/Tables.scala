@@ -39,6 +39,26 @@ object Tables {
         dir, name),
       _ => normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
 
+  /** Scan-spread, made adaptive: repartition ONLY when the input arrives
+    * in fewer partitions than cores. The single-file local testdata gives
+    * Spark one split, so compute-heavy map stages (shingling, simhash,
+    * gram hashing, codebook assignment) would run single-threaded without
+    * a spread — but an unconditional `repartition(N)` is NEVER a no-op: it
+    * round-robin-shuffles every row, which on a real multi-thousand-file
+    * corpus re-moves the whole corpus for parallelism the scan already
+    * has. The partition probe plans the subtree (no execution) and keeps
+    * the spread exactly where it pays.
+    *
+    * CONTRACT: call only on scan-rooted frames (scan + filters/projections)
+    * — under AQE, probing `.rdd` on a subtree containing exchanges would
+    * materialize its query stages, executing real work just to count
+    * partitions.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Cast every TIMESTAMP_NTZ column to session-zoned `TimestampType` at
     * the catalog boundary. The testdata generator is not stable about the
     * `isAdjustedToUTC` parquet flag (events/orders/lineitem all currently
