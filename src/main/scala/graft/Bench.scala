@@ -35,7 +35,10 @@ object Bench {
     val errors = names.flatMap { k =>
       laps.flatMap(_(k).left.toOption).headOption.map(k -> _)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON escape incl. control chars (shared with Verify): a
+    // multiline AnalysisException message in errJson would otherwise split
+    // the headline line and break the driver's json parse of the tail
+    def jstr(s: String) = Verify.q(s)
     // 4-decimal min-map: the headline line must FIT inside the driver's
     // ~2 KB stdout tail in its entirety; 66 × 17-digit doubles would not,
     // and sub-0.1 ms precision is pure noise on this VM anyway

@@ -41,6 +41,12 @@ object Verify {
         } catch { case e: Throwable =>
           failed += name -> String.valueOf(e.getMessage)
           val dir = Paths.get(outDir, name)
+          // clear any stale dump from a previous run into the same outDir:
+          // a plan-analysis throw happens before write() truncates the dir,
+          // and valid old parquet next to _FAILED would read as current
+          if (Files.isDirectory(dir))
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("_FAILED"), String.valueOf(e.getMessage))
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")

@@ -579,13 +579,29 @@ object TextAnalysis {
     * never strings.
     */
   /** General form: flag `train` docs sharing an n-word gram with any
-    * `eval` doc. Both frames need (doc_id, text).
+    * `eval` doc. Both frames need (doc_id, text). Callers own `train`'s
+    * partitioning (this path cannot probe it — `Tables.spread`'s
+    * scan-rooted contract doesn't hold for arbitrary frames): wrap a
+    * single-split scan in `Tables.spread` yourself, as the dir-based
+    * [[decontaminate]] does.
     */
   def decontaminateAgainst(
       train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame =
     contaminationCounts(train, eval, n)
       .orderBy(desc("n_shared_grams"), asc("doc_id"))
       .limit(20)
+
+  /** The standard corpus split's contamination frame — spread train side,
+    * session-cached eval gram set — shared by [[decontaminate]] (top-20
+    * card) and [[contaminatedIds]] (untruncated drop set) so the split,
+    * n, and spread can never diverge between the card and the removal.
+    */
+  private def corpusContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationCountsAgainst(
+      Tables.spread(docs.where(col("doc_id") % EvalSliceMod =!= 0)),
+      evalGramSet(spark, dir), 13)
+  }
 
   /** The FULL contamination frame behind [[decontaminateAgainst]]'s top-20
     * audit card: one row per contaminated train doc, no truncation — this
@@ -630,13 +646,8 @@ object TextAnalysis {
   /** Every contaminated train doc id for the corpus at `dir` (the
     * [[decontaminate]] split, untruncated).
     */
-  private[graft] def contaminatedIds(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    contaminationCountsAgainst(
-      Tables.spread(docs.where(col("doc_id") % EvalSliceMod =!= 0)),
-      evalGramSet(spark, dir), 13)
-      .select("doc_id")
-  }
+  private[graft] def contaminatedIds(spark: SparkSession, dir: String): DataFrame =
+    corpusContamination(spark, dir).select("doc_id")
 
   /** Eval-slice selector for [[decontaminate]]. Mod 10, not the previous 97:
     * ground-truthing the 13-gram overlap showed the mod-97 slice (6 docs)
@@ -648,14 +659,10 @@ object TextAnalysis {
     */
   private[graft] val EvalSliceMod = 10
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    contaminationCountsAgainst(
-      Tables.spread(docs.where(col("doc_id") % EvalSliceMod =!= 0)),
-      evalGramSet(spark, dir), 13)
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    corpusContamination(spark, dir)
       .orderBy(desc("n_shared_grams"), asc("doc_id"))
       .limit(20)
-  }
 
   /** Vocabulary candidates: top-10 word bigrams per language by occurrence
     * count, with document frequency — the corpus-statistics pass a
@@ -894,7 +901,8 @@ object TextAnalysis {
     */
   private[graft] def verdictFrame(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, "filter_verdicts", dir) {
-      filterVerdicts(Tables.documents(spark, dir), passthrough = Seq("source"))
+      filterVerdicts(Tables.spread(Tables.documents(spark, dir)),
+        passthrough = Seq("source"))
     }
 
   /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram

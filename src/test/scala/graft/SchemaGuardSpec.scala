@@ -50,9 +50,12 @@ class SchemaGuardSpec extends SparkSpec {
       val df = if (t == "events") Tables.events(spark, sf)
                else Tables(spark, sf, t)
       val got = df.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq
-      val want = expected(t)
-      if (got == want) None
-      else Some(s"$t:\n  got  $got\n  want $want")
+      expected.get(t) match {
+        case None => Some(s"$t: table exists in Tables.all but has no " +
+          "expected schema here — add it to SchemaGuardSpec and FIXTURES.md")
+        case Some(want) if got == want => None
+        case Some(want) => Some(s"$t:\n  got  $got\n  want $want")
+      }
     }
     assert(drift.isEmpty,
       "testdata schema drifted — see SchemaGuardSpec scaladoc for the " +

@@ -14,9 +14,14 @@ package graft
 class ShuffleAuditSpec extends SparkSpec {
 
   test("answer-sized-shuffle queries move card bytes, sim_topk moves zero") {
-    val audited = ShuffleAudit.measure(spark, sf, Seq(
+    val names = Seq(
       "q_sim_topk", "q_join_agg", "q_rollup_revenue",
-      "q_sim_ann_ivf", "q_dedup_minhash"))
+      "q_sim_ann_ivf", "q_dedup_minhash")
+    val audited = ShuffleAudit.measure(spark, sf, names)
+    // measure drops queries that THROW — name them here instead of dying
+    // on a bare key-not-found below
+    assert(audited.keySet == names.toSet,
+      s"queries failed during audit: ${names.toSet -- audited.keySet}")
 
     // broadcast query vector + per-partition top-k heaps (TakeOrdered):
     // nothing to shuffle at all — the flagship zero-shuffle contract

@@ -42,6 +42,22 @@ class VerifySpec extends SparkSpec {
     assert(summary.contains("injected boom"))
   }
 
+  test("a failure clears the previous run's dump — stale parquet never outlives _FAILED") {
+    val out = tmp("graft_verify3")
+    val good: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "flaky" -> ((s, d) => graft.sources.Tables.region(s, d)))
+    Verify.run(spark, sf, out, good)
+    assert(Files.list(Path.of(out, "flaky")).anyMatch(_.toString.endsWith(".parquet")))
+    // second run into the SAME outDir: the query now throws at plan time,
+    // before any write could truncate the old dump
+    val bad: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "flaky" -> ((_, _) => throw new RuntimeException("regressed")))
+    Verify.run(spark, sf, out, bad)
+    assert(Files.exists(Path.of(out, "flaky", "_FAILED")))
+    assert(!Files.list(Path.of(out, "flaky")).anyMatch(_.toString.endsWith(".parquet")),
+      "stale run-1 parquet survived next to the run-2 _FAILED marker")
+  }
+
   test("every registry key is covered by the accounting (none filtered away)") {
     // name-filter intersects, never drops silently: a filter naming an
     // unknown query yields zero dumps for it, visible as absence from BOTH
