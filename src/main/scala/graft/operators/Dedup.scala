@@ -494,8 +494,10 @@ object Dedup {
     * unbounded grouping keys, band the sketches like [[dedupMinhash]]).
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sketches = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // adaptive spread only: the shingle+minhash eval runs map-side inside
+    // the partial aggregate, so the only exchange a pre-split corpus needs
+    // is the 512 B/group sketch shuffle of the groupBy itself
+    val sketches = Tables.spread(Tables.documents(spark, dir))
       .select(col("source"),
         expr("minhash_sig(ngram_hashes(text, 3, 'word'))").as("sig"))
       .groupBy("source")
