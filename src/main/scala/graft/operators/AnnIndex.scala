@@ -105,22 +105,25 @@ object AnnIndex {
 
   private def resolvedFrame(
       spark: SparkSession, path: String, schema: String): DataFrame = {
-    val sessionKey =
-      spark.sparkContext.applicationId + "/" + System.identityHashCode(spark)
+    val appId = spark.sparkContext.applicationId
+    val sessionKey = appId + "/" + System.identityHashCode(spark)
     // lifecycle: SparkListener has no per-session stop event, so a
     // process that churns newSession() instances would otherwise retain
     // one resolved plan per dead session until application end — bound
     // the map and clear on overflow instead (a cleared entry costs one
     // re-listing on its next probe, never a wrong answer; the
-    // application-end hook below is just final cleanup)
+    // application-end hook below is just final cleanup). ONE listener per
+    // APPLICATION, not per session key: a per-session listener on the
+    // shared bus would itself accumulate without bound under session churn
+    // — the exact leak the map bound exists to prevent.
     if (resolved.size > 128) resolved.clear()
-    if (resolvedHooked.add(sessionKey)) {
+    if (resolvedHooked.add(appId)) {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            resolved.keySet.removeIf(_._1 == sessionKey)
-            resolvedHooked.remove(sessionKey)
+            resolved.keySet.removeIf(_._1.startsWith(appId + "/"))
+            resolvedHooked.remove(appId)
             ()
           }
         })
@@ -320,10 +323,20 @@ object AnnIndex {
 
   /** Build-once protocol shared by both indexes: if `path` lacks a
     * `_SUCCESS` marker, run `write(stagingPath)` and atomically rename the
-    * staging dir into place (concurrent builders race benignly — the
-    * loser's staging dir is discarded), then evict superseded versions
-    * (retain-one). One attempt per path per JVM via [[building]]; the
-    * on-disk marker makes cross-JVM reuse work.
+    * staging dir into place, then evict superseded versions (retain-one).
+    * One attempt per path per JVM via [[building]]; the on-disk marker
+    * makes cross-JVM reuse work.
+    *
+    * Cross-JVM race discipline: a completed index (dir WITH `_SUCCESS`) is
+    * never deleted here — only a crashed partial (dir WITHOUT the marker)
+    * is cleared, and the marker is re-checked immediately before both the
+    * delete and the rename so a builder that lost the race adopts the
+    * winner's index instead of destroying it (the pre-r10 code deleted
+    * `path` unconditionally after one stale existence check — a racing
+    * builder could delete the other's just-completed index). A failed
+    * `write` deletes its own staging dir (try/finally): `.build-*` names
+    * are excluded from [[evictSuperseded]], so an orphaned staging dir
+    * would otherwise leak a full index-sized copy forever.
     */
   private def ensureBuilt(
       spark: SparkSession, root: String, prefix: String, version: String)(
@@ -332,11 +345,21 @@ object AnnIndex {
     building.computeIfAbsent(path, _ => {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS"))) {
-        if (fs.exists(p)) fs.delete(p, true) // crashed partial build
+      val marker = new Path(p, "_SUCCESS")
+      if (!fs.exists(marker)) {
         val staging = new Path(s"$path.build-${UUID.randomUUID().toString.take(8)}")
-        write(staging.toString)
-        if (!fs.rename(staging, p)) fs.delete(staging, true) // lost the race
+        var renamed = false
+        try {
+          write(staging.toString)
+          // adopt-don't-destroy: only clear `path` if it is STILL a
+          // partial (no marker) right before the swap
+          if (!fs.exists(marker)) {
+            if (fs.exists(p)) fs.delete(p, true) // crashed partial build
+            renamed = fs.rename(staging, p)      // false = lost the race
+          }
+        } finally {
+          if (!renamed && fs.exists(staging)) fs.delete(staging, true)
+        }
       }
       evictSuperseded(fs, root, prefix, s"${prefix}_$version")
       // drop resolved frames of superseded versions: a long-lived service
@@ -359,6 +382,18 @@ object AnnIndex {
   def ensureIvf(spark: SparkSession, dir: String): String =
     ensureIvf(spark, dir, corpusVersion(spark, dir))
 
+  /** Collision-free family id for a corpus dir: [[evictSuperseded]] treats
+    * every `prefix_*` sibling as a version of the SAME corpus and deletes
+    * past retain-one, so two dirs sharing a family id would perpetually
+    * evict each other's live index. 32-bit `String.hashCode` collides;
+    * a truncated SHA-256 of the path (48 bits here) does not in any
+    * realistic number of corpora.
+    */
+  private def dirFamily(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   /** As [[ensureIvf]] with the corpus version precomputed by the caller. */
   def ensureIvf(spark: SparkSession, dir: String, fp: String): String = {
     val cb = centroids(spark, dir, fp)
@@ -366,7 +401,7 @@ object AnnIndex {
     cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
     val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
     ensureBuilt(spark, indexRoot(spark),
-      s"ivf_${Integer.toHexString(dir.hashCode)}", s"${fp}_$cbHash") { staging =>
+      s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash") { staging =>
       assign(
         // adaptive scan-spread (Tables.spread): single-split local files
         // leave the 16-cosine assignment single-threaded; a real corpus
@@ -416,7 +451,7 @@ object AnnIndex {
     val geom = Integer.toHexString(
       s"$LshPlanes/$LshSeed/$LshBands/$LshBandBits".hashCode)
     ensureBuilt(spark, indexRoot(spark),
-      s"lsh_${Integer.toHexString(dir.hashCode)}", s"${fp}_$geom") { staging =>
+      s"lsh_${dirFamily(dir)}", s"${fp}_$geom") { staging =>
       bandify(
         Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))

@@ -34,18 +34,26 @@ object Layout {
       dir: String,
       table: String = "events_layout",
       buckets: Int = 8): Unit =
-    Tables.events(spark, dir)
-      .withColumn("event_date", to_date(col("ts")))
-      // one shuffle to co-locate rows with their target bucket, so each
-      // (date, bucket) pair is written by exactly one task instead of
-      // every task appending a sliver to every bucket file
+    layoutWriter(Tables.events(spark, dir), buckets)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** THE layout spec — date partitions, user buckets, in-bucket sort —
+    * shared by the batch writer ([[writeEvents]]) and the streaming append
+    * ([[appendBatchIdempotent]]), so batch-written and stream-appended
+    * data can never drift out of bucket compatibility (the zero-shuffle
+    * property LayoutSpec/PlanSpec pin rests on both paths writing the
+    * identical spec). The repartition co-locates rows with their target
+    * bucket so each (date, bucket) pair is written by exactly one task
+    * instead of every task appending a sliver to every bucket file.
+    */
+  private def layoutWriter(df: DataFrame, buckets: Int) =
+    df.withColumn("event_date", to_date(col("ts")))
       .repartition(col("event_date"), col("user_id"))
       .write
       .partitionBy("event_date")
       .bucketBy(buckets, "user_id")
       .sortBy("event_type", "ts")
-      .mode("overwrite")
-      .saveAsTable(table)
 
   /** Per-entity series aggregate over the layed-out table — the shape that
     * must be zero-shuffle: grouping key == bucket key means every group is
@@ -63,15 +71,15 @@ object Layout {
     * zero-shuffle properties hold over data that arrived live.
     *
     * Idempotence: foreachBatch alone is at-least-once — a batch retried
-    * after a partial append would double rows. A batch-id LEDGER (tiny
-    * parquet log next to the checkpoint) makes retries no-ops: a batch
-    * already recorded is skipped. The residual window is a crash BETWEEN
-    * the append and the ledger write (exactly-once needs a transactional
+    * after a partial append would double rows. A batch-id LEDGER (marker
+    * files next to the checkpoint) makes retries no-ops: a batch already
+    * recorded is skipped. The residual window is a crash BETWEEN the
+    * append and the ledger write (exactly-once needs a transactional
     * table format); the window is one metadata write wide and a retry
     * after it duplicates at most one batch — vs. every retry without it.
     * Scale: one small shuffle per micro-batch (bucket co-location), bounded
     * by trigger size; partitions touched = days present in the batch; the
-    * ledger read is one tiny parquet scan per batch.
+    * ledger probe is ONE fs.exists per batch (see ledgerCommitted).
     */
   def streamIntoLayout(
       events: DataFrame,
@@ -92,22 +100,64 @@ object Layout {
     * Returns true when the batch was written, false when skipped as a
     * duplicate delivery.
     */
-  // existence probe through the Hadoop FileSystem API: a java.io.File
-  // check is local-FS only — on hdfs:///s3a:// (the 100 TB deployment)
-  // it would always be false and idempotence would be silently disabled.
-  // A crash mid-ledger-write can leave a dir with no readable footer, so
-  // the probe also requires at least one complete parquet part file.
+  // The ledger is a directory of zero-byte `_batch-<id>` MARKER files
+  // (underscore prefix: Spark data-source listings ignore `_*`/`.*` names,
+  // so markers can coexist with a legacy parquet ledger in the same dir):
+  // commit = create the marker, probe = one fs.exists by exact name —
+  // O(1) per trigger, no listing, no parquet scan, no Spark job. The
+  // previous one-parquet-row-per-batch ledger re-listed and re-SCANNED
+  // the whole directory every trigger: at a 500 ms cadence that is ~172k
+  // files/day with O(total-batches) probe work — the exact small-file
+  // pathology compactPartitions exists to fix. Everything goes through
+  // the Hadoop FileSystem API: a java.io.File check is local-FS only —
+  // on hdfs:///s3a:// (the 100 TB deployment) it would always be false
+  // and idempotence would be silently disabled.
+  //
+  // Marker-count bound: every 1024th commit prunes markers older than
+  // 1024 batches (one listing per ~9 min at the 500 ms trigger).
+  // Structured Streaming replays only the tail of unacknowledged batches
+  // after recovery — a 1024-deep retention is orders of magnitude past
+  // any replay horizon, so pruning can never re-admit a duplicate.
+  //
+  // Migration: ledgers written by the old parquet scheme are still
+  // honored — if the marker is absent, a once-per-(process, ledger)
+  // probe checks for legacy parquet part files and falls back to the
+  // scan for those ledgers only.
+  private val legacyLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def ledgerCommitted(
       spark: SparkSession, ledger: String, batchId: Long): Boolean = {
     val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledgerReadable = fs.exists(ledgerPath) &&
-      fs.listStatus(ledgerPath).exists { st =>
+    if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$batchId"))) true
+    else {
+      val legacy: Boolean = legacyLedger.computeIfAbsent(ledger, _ =>
+        fs.exists(ledgerPath) && fs.listStatus(ledgerPath).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("part-") && n.endsWith(".parquet")
+        })
+      legacy &&
+        !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+    }
+  }
+
+  private def ledgerCommit(
+      spark: SparkSession, ledger: String, batchId: Long): Unit = {
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ledgerPath)
+    fs.create(new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$batchId"), true)
+      .close()
+    if (batchId > 0 && batchId % 1024 == 0) {
+      fs.listStatus(ledgerPath).foreach { st =>
         val n = st.getPath.getName
-        n.startsWith("part-") && n.endsWith(".parquet")
+        if (n.startsWith("_batch-"))
+          n.stripPrefix("_batch-").toLongOption.foreach { id =>
+            if (id < batchId - 1024) fs.delete(st.getPath, false)
+          }
       }
-    ledgerReadable &&
-      !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+    }
   }
 
   /** foreachBatch body for the layout-growing streaming sinks (ANN
@@ -133,7 +183,6 @@ object Layout {
       ledger: String,
       partCols: Seq[String]): Boolean = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val committed = ledgerCommitted(spark, ledger, batchId)
     if (!committed) {
       // unpartitioned layouts append coalesced (one file per batch)
@@ -141,7 +190,7 @@ object Layout {
       val co = if (partCols.isEmpty) batch.coalesce(1)
         else batch.repartition(partCols.map(col): _*)
       co.write.mode("append").partitionBy(partCols: _*).parquet(path)
-      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+      ledgerCommit(spark, ledger, batchId)
     }
     !committed
   }
@@ -153,18 +202,10 @@ object Layout {
       ledger: String,
       buckets: Int = 8): Boolean = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val committed = ledgerCommitted(spark, ledger, batchId)
     if (!committed) {
-      batch.withColumn("event_date", to_date(col("ts")))
-        .repartition(col("event_date"), col("user_id"))
-        .write
-        .partitionBy("event_date")
-        .bucketBy(buckets, "user_id")
-        .sortBy("event_type", "ts")
-        .mode("append")
-        .saveAsTable(table)
-      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledger)
+      layoutWriter(batch, buckets).mode("append").saveAsTable(table)
+      ledgerCommit(spark, ledger, batchId)
     }
     !committed
   }
@@ -252,11 +293,15 @@ object Layout {
         .parquet(rootStr)
       graft.operators.AnnIndex.invalidateResolved(path)
       spark.catalog.refreshByPath(path)
-      // refreshByPath recaches DATASETS only; the process-wide
+      // refreshByPath recaches DATASETS only; the process-wide shared
       // FileStatusCache still holds the replaced dirs' listings, and a
-      // later read of the layout would chase deleted part files
+      // later read of the layout would chase deleted part files.
+      // `getOrCreate(spark).invalidateAll()` does NOT clear it — it mints
+      // a NEW client and clears that client's zero entries (verified
+      // against the shipped jar); `resetForTesting()` is the only public
+      // entry that drops the shared cache. Cost: other paths re-list once.
       org.apache.spark.sql.execution.datasources.FileStatusCache
-        .getOrCreate(spark).invalidateAll()
+        .resetForTesting()
     }
     overfull.map { case (dir, (c, b)) =>
       val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))

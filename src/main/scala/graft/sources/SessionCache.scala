@@ -44,13 +44,15 @@ object SessionCache {
       (build: => DataFrame): DataFrame = {
     // identity of the session object: localCheckpoint blocks live on the
     // session's executors, so a different/new session must never hit
-    val sessionKey =
-      s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
-    if (hooked.add(sessionKey)) {
+    val appId = spark.sparkContext.applicationId
+    val sessionKey = s"$appId/${System.identityHashCode(spark)}"
+    // ONE listener per application: a per-session listener on the shared
+    // bus would accumulate without bound under newSession() churn
+    if (hooked.add(appId)) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          cache.keySet.removeIf(k => k._1 == sessionKey)
-          hooked.remove(sessionKey)
+          cache.keySet.removeIf(k => k._1.startsWith(appId + "/"))
+          hooked.remove(appId)
           ()
         }
       })

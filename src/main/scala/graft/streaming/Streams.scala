@@ -91,7 +91,13 @@ object Streams {
     * the stored per-run counter.
     * Scale: one int of state per run; assignment is per-group within the
     * executor owning the key — no global coordination, unlike a
-    * monotonically-increasing global id.
+    * monotonically-increasing global id. State LIFETIME is unbounded here
+    * (NoTimeout — a counter must survive arbitrarily long run gaps, so no
+    * watermark can evict it correctly); production bounds the store by
+    * closing counters for FINISHED runs — an event-time timeout of
+    * `staleAfterSec` (the same 300 s staleness rule the read view applies)
+    * after which a revived run restarts from the stored max, mirroring
+    * [[trendTracker]]'s documented timeout discipline.
     */
   def stepAssigner(
       spark: SparkSession,
@@ -153,12 +159,15 @@ object Streams {
   /** Stream-static enrichment: the live metric stream joined to the runs
     * dimension — how a live dashboard labels incoming points without
     * re-querying the store per event. The static side re-resolves per
-    * micro-batch (picking up new runs); Spark broadcasts it when small.
+    * micro-batch (picking up new runs); no broadcast HINT on purpose —
+    * Spark broadcasts under `autoBroadcastJoinThreshold` on its own, and a
+    * forced hint would make every micro-batch re-broadcast a dimension
+    * that outgrew the 8 GB broadcast limit instead of falling back to a
+    * shuffle join (a hinted-too-big dimension fails the QUERY, not one
+    * batch).
     */
   def enrichedStream(events: DataFrame, runsDim: DataFrame): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(runsDim),
-      Seq("user_id"), "left_outer")
+    events.join(runsDim, Seq("user_id"), "left_outer")
 
   /** Stream-stream interval join: each click joined to the same user's
     * signup within the preceding hour — both sides live streams (the

@@ -109,6 +109,29 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/_spark_metadata").exists())
   }
 
+  test("a legacy parquet ledger is still honored; markers bound the ledger size") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lay_legacy").toString
+    val ledger = s"$root/.ledger"
+    val out = s"$root/layout"
+    val batch = Seq((1L, 0, 3L)).toDF("vec_id", "band_id", "band_key")
+    // a ledger written by the pre-marker scheme: one parquet batch_id row
+    Seq(0L).toDF("batch_id").write.parquet(ledger)
+    // batch 0 must be recognized as committed through the legacy fallback
+    assert(!Layout.appendPartitionedIdempotent(
+      batch, 0L, out, ledger, Seq("band_id", "band_key")))
+    // new commits write markers, and old markers are pruned at the 1024
+    // boundary (replay never reaches back past the retention window)
+    assert(Layout.appendPartitionedIdempotent(
+      batch, 1L, out, ledger, Seq("band_id", "band_key")))
+    assert(Layout.appendPartitionedIdempotent(
+      batch, 2048L, out, ledger, Seq("band_id", "band_key")))
+    val markers = new java.io.File(ledger).listFiles()
+      .map(_.getName).filter(_.startsWith("_batch-")).toSet
+    assert(markers.contains("_batch-2048"))
+    assert(!markers.contains("_batch-1"), "marker below the retention window must be pruned")
+  }
+
   test("a crash-orphaned empty ledger dir does not poison the retry path") {
     import java.sql.Timestamp
     import spark.implicits._
