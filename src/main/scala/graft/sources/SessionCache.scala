@@ -43,7 +43,14 @@ object SessionCache {
   def cached(spark: SparkSession, artifact: String, dir: String)
       (build: => DataFrame): DataFrame = {
     // identity of the session object: localCheckpoint blocks live on the
-    // session's executors, so a different/new session must never hit
+    // session's executors, so a different/new session must never hit.
+    // Known trade-off (here, Tables.resolved, AnnIndex.resolved):
+    // identityHashCode is 32-bit and could in principle collide between a
+    // live session and a GC'd one under the same applicationId — accepted
+    // because a collision needs both hash equality AND appId equality,
+    // and the alternative (identity-keyed weak map) adds locking for a
+    // failure mode never observed; revisit if sessions are churned at
+    // scale.
     val appId = spark.sparkContext.applicationId
     val sessionKey = s"$appId/${System.identityHashCode(spark)}"
     // ONE listener per application: a per-session listener on the shared
