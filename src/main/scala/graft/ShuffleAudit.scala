@@ -39,10 +39,14 @@ object ShuffleAudit {
     */
   val DefaultQueries: Seq[String] = Seq(
     "q_join_agg", "q_rollup_revenue", "q_metric_trend",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_exact", "q_dup_inflation", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_incremental",
     "q_sim_topk", "q_sim_ann_ivf", "q_sim_ann_lsh",
+    "q_sim_ann_batch", "q_sim_ann_int8",
     "q_domain_cap", "q_corpus_filter", "q_decontaminate",
-    "q_text_tfidf", "q_pack_sequences", "q_heavy_hitters")
+    "q_text_tfidf", "q_pack_sequences", "q_heavy_hitters",
+    "q_json_extract", "q_embed_outliers", "q_boilerplate",
+    "q_profile_events")
 
   final case class Audit(inputRecords: Long, shuffleBytes: Long, shuffleRecords: Long)
 

@@ -478,14 +478,17 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_exact" ->
+      // md5(text) grouping key mirrors the Spark plan (16-byte shuffle
+      // keys, not document payloads); DuckDB md5 = Spark md5 = lowercase
+      // hex of the same bytes, so the clusters are identical
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dup_inflation" ->
       // all-integer card: counts and sums of exact longs, nothing rounds
       """WITH c AS (
         |  SELECT count(*) AS cluster_size,
-        |         len(string_split(text, ' ')) AS toks
-        |  FROM documents GROUP BY text)
+        |         min(len(string_split(text, ' '))) AS toks
+        |  FROM documents GROUP BY md5(text))
         |SELECT cluster_size, count(*) AS n_clusters,
         |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
         |       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_surplus_docs,
@@ -507,6 +510,20 @@ object SparkEntry {
         |             (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM cells), 6)
         |         AS token_share
         |FROM cells ORDER BY lang, source""".stripMargin,
+    "q_sample_balanced" ->
+      // the naive window form of balanceStrata's histogram-boundary plan:
+      // same md5 key, same (hash, key) tiebreak, identical selection
+      """WITH h AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |f AS (SELECT min(cnt) AS floor_n
+        |      FROM (SELECT count(*) AS cnt FROM h GROUP BY lang)),
+        |r AS (SELECT lang,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, count(*) AS n_docs
+        |FROM r, f WHERE rk <= floor_n
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_split_assign" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

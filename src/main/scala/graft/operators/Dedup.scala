@@ -22,17 +22,23 @@ import graft.sources.{SessionCache, Tables}
   */
 object Dedup {
 
-  /** A4 — exact dedup via full-content grouping.
+  /** A4 — exact dedup via content-hash grouping.
     * Keep the smallest doc_id of each distinct text; n_copies counts the
     * collapsed duplicates.
-    * Scale: at 100 TB group by `xxhash64(text)` (or sha2) instead of the
-    * full text so shuffle rows carry 8-byte keys, then resolve the rare
-    * hash-collision bucket by exact compare; here the text column is small
-    * enough to group directly, which is also what the oracle hashes.
+    * Scale: groups by `md5(text)` — NOT the text itself — so the map-side
+    * partial aggregation reduces each partition to (16-byte key, partial
+    * min, partial count) rows and the exchange never carries document
+    * payloads (measured by ShuffleAudit: the text-keyed form was the one
+    * corpus-payload-linear row in the audit). md5 over a 128-bit space
+    * makes a key collision (two DIFFERENT texts sharing a hash) vanishingly
+    * improbable below ~2^64 documents; a paranoid 100 TB run would carry
+    * sha2-256. md5 is chosen over xxhash64 deliberately: DuckDB has md5(),
+    * so the oracle groups by the same key and the query stays in the
+    * hash-matched set.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy("text")
+      .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
@@ -47,17 +53,20 @@ object Dedup {
     * member of an exact cluster is the SAME text.
     * Determinism: all columns are exact integer counts/sums — nothing to
     * round, the hash cannot wobble.
-    * Scale: one groupBy(text) shuffle (at 100 TB: group by xxhash64(text),
-    * as [[dedupExact]] notes — 8-byte shuffle keys) to cluster-sized rows,
-    * then a histogram aggregate over DISTINCT cluster sizes (card-sized:
-    * ≤ a few dozen groups) with map-side partials.
+    * Scale: one groupBy(md5(text)) shuffle — 16-byte keys with map-side
+    * partials, never document payloads (same key rationale as
+    * [[dedupExact]]; `toks` rides as min() of a per-row long, exact
+    * because every member of an exact cluster is the SAME text) — to
+    * cluster-sized rows, then a histogram aggregate over DISTINCT cluster
+    * sizes (card-sized: ≤ a few dozen groups) with map-side partials.
     */
   def dupInflation(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy("text")
-      .agg(count(lit(1)).as("cluster_size"))
-      .select(col("cluster_size"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
+      .select(md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("toks0"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cluster_size"), min("toks0").as("toks"))
+      .select("cluster_size", "toks")
       .groupBy("cluster_size")
       .agg(
         count(lit(1)).as("n_clusters"),

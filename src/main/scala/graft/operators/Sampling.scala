@@ -57,13 +57,19 @@ object Sampling {
     *      bucket's sliver.
     * Output is identical to the naive form: exactly the floor_n lowest
     * (hash, key) rows per stratum, deterministic and partition-independent.
+    *
+    * Key choice: md5 hex of the key (the [[splitOf]] idiom), NOT xxhash64 —
+    * both are deterministic pure key functions, but md5 exists in DuckDB
+    * with the identical lowercase-hex encoding, so the selection (and the
+    * `q_sample_balanced` card) is oracle-expressible and hash-checked
+    * end-to-end instead of rows-only. Ordering on the fixed-width hex
+    * string equals unsigned byte order of the digest; the first 3 hex
+    * chars give the same 4096-bucket histogram the old bit-shift did.
     */
   def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // 2^52 shift → 4096 buckets; XOR with Long.MinValue maps signed hash
-    // order onto unsigned order so bucket ids sort the same way hashes do
-    val hash = xxhash64(col(keyCol))
-    val bucket = shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), 52)
+    val hash = md5(col(keyCol).cast("string"))
+    val bucket = substring(hash, 1, 3)
     val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
 
     // histogram-sized from here down (≤ |strata| × 4096 rows)
@@ -92,8 +98,10 @@ object Sampling {
       .drop("__h", "__b", "__s", "__bb", "__take", "__rk")
   }
 
-  /** Deterministic sampled corpus view over `documents` (rows-only query —
-    * sampling is not oracle-expressible, invariants are spec-tested).
+  /** Deterministic sampled corpus view over `documents` — oracle-checked:
+    * the md5 selection key makes the exact member set expressible as a
+    * DuckDB window query, so the per-language card is hash-matched, not
+    * rows-only (plus the invariants SamplingAggSpec pins).
     */
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
     balanceStrata(Tables.documents(spark, dir), "lang", "doc_id")

@@ -344,13 +344,12 @@ object Tracking {
     * Scale: no shuffle before the output sort; at 100 TB prefer `from_json`
     * with an explicit schema once known (single parse, typed struct) — kept
     * as get_json_object here because the reference's value schema is open.
+    * Parallelism comes from [[Tables.spread]] — a repartition ONLY when the
+    * scan arrives under-split (the local single-file case); a pre-split
+    * corpus keeps its scan partitioning and the parse stays exchange-free.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      // pinned repartition: the single-file scan would otherwise run the
-      // JSON parse serially in one task (and the filter substitution makes
-      // it parse twice per row)
-      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+    Tables.spread(Tables.events(spark, dir))
       // try_cast: ANSI mode would THROW on a malformed value at scale;
       // null-on-bad is the robust corpus semantics and DuckDB TRY_CAST
       // matches it exactly

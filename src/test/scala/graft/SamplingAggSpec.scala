@@ -32,8 +32,10 @@ class SamplingAggSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val got = Sampling.balanceStrata(docs, "lang", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    // reference: the naive whole-stratum window (fine at test scale)
-    val w = Window.partitionBy("lang").orderBy(xxhash64(col("doc_id")), col("doc_id"))
+    // reference: the naive whole-stratum window (fine at test scale) —
+    // same md5 key function as balanceStrata, different physical plan
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val floor = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
     val want = docs.withColumn("rk", row_number().over(w))
       .where(col("rk") <= floor)
