@@ -92,8 +92,9 @@ object Dedup {
     * Scale: the self-join shuffles (band_id, band_hash, doc_id, sig) only —
     * never text; exact verification joins the shingle arrays back for just
     * the candidate ids. A hot bucket (boilerplate text) is the skew risk —
-    * AQE skew-join splits it, and a production run would also cap bucket
-    * width. No O(n²) stage exists at any cardinality.
+    * AQE skew-join splits the exchange, and [[capBuckets]]
+    * (`spark.graft.dedup.bucketCap`) bounds the pair blowup itself at
+    * O(cap²). No O(n²) stage exists at any cardinality.
     */
   /** All LSH-candidate pairs with their exact Jaccard (no limit) — shared
     * by [[dedupMinhash]] (top-20 view) and [[dedupClusters]] (edge set).
@@ -106,6 +107,43 @@ object Dedup {
     SessionCache.cached(spark, "minhash_pairs", dir) {
       minhashPairsBuild(spark, dir)
     }
+
+  /** Skew guard for every banded candidate generator: cap LSH/blocking
+    * bucket membership at `cap` rows, so a pathological bucket (identical
+    * boilerplate hashing every member into one (band, hash) cell) generates
+    * O(cap²) candidate pairs instead of O(width²). Members are kept by
+    * rank on (xxhash64(id), id) — a pure key function, so the sub-sample
+    * is deterministic, partition-independent, and IDENTICAL across bands
+    * for identical buckets (the same docs survive in every band, keeping
+    * the distinct-pair set cap-sized, not band-multiplied).
+    *
+    * Trade-off, stated plainly: capping is lossy — pairs involving a
+    * dropped member of an over-wide bucket are not generated from that
+    * bucket. For exact-duplicate floods that is the RIGHT loss (the kept
+    * members still link the cluster; [[dedupExact]] handles exact copies
+    * anyway); for genuinely diverse hot buckets it bounds worst-case cost
+    * at the price of recall, which is why it is off (0) by default and a
+    * production run sets `spark.graft.dedup.bucketCap` to ~10× the
+    * expected bucket width.
+    *
+    * Cost: one row_number window partitioned by the bucket key — the hot
+    * bucket sorts O(width log width) in one reducer, which is the O(n)
+    * scan we accept to avoid the O(n²) join blowup downstream.
+    */
+  private[graft] def capBuckets(
+      df: DataFrame, bucketCols: Seq[String], idCol: String, cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      val w = Window.partitionBy(bucketCols.map(col): _*)
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+      df.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= cap)
+        .drop("__rk")
+    }
+
+  /** The configured bucket cap (0 = uncapped, the default). */
+  private[graft] def bucketCap(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.dedup.bucketCap", "0").toInt
 
   /** (doc_id, sh) → one (doc_id, band_id, band_hash) row per LSH band:
     * 16 bands × 4 minhash rows, each band hashed to one 8-byte key.
@@ -120,7 +158,14 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(15)), b =>
           xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band_id", "band_hash")))
 
-  private def minhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashPairsBuild(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(spark, Tables.spread(Tables.documents(spark, dir)))
+
+  /** [[minhashPairsBuild]] over an explicit (doc_id, text) frame — the
+    * seam the adversarial bucket-cap spec drives with a synthetic
+    * boilerplate flood (DedupSimilaritySpec).
+    */
+  private[graft] def minhashPairsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     // two-exchange shape: a round-robin repartition spreads the
     // single-split text rows so shingling runs in parallel; the hash
     // repartition ABOVE the computed arrays is the materialization point
@@ -130,13 +175,15 @@ object Dedup {
     // upper exchange "redundant" and Catalyst would elide it, putting the
     // shingling back above the only exchange — recomputed per consumer.)
     val par = spark.sparkContext.defaultParallelism
-    val sh = Tables.spread(Tables.documents(spark, dir))
+    val sh = docs
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
       .repartition(par, col("doc_id"))
 
     // bands carry ONLY (band, doc_id) — never the shingle arrays: the
-    // candidate join must shuffle 24-byte rows, not kilobyte payloads
-    val banded = bandRows(sh)
+    // candidate join must shuffle 24-byte rows, not kilobyte payloads;
+    // capBuckets bounds a pathological bucket's width when configured
+    val banded = capBuckets(
+      bandRows(sh), Seq("band_id", "band_hash"), "doc_id", bucketCap(spark))
 
     val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
@@ -414,11 +461,13 @@ object Dedup {
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = simhashFps(spark, dir)
-    val banded = fps.select(
-      col("doc_id"), col("fp"),
-      posexplode(array(Seq.tabulate(4)(i =>
-        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("seg_id", "seg")))
+    val banded = capBuckets(
+      fps.select(
+        col("doc_id"), col("fp"),
+        posexplode(array(Seq.tabulate(4)(i =>
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("seg_id", "seg"))),
+      Seq("seg_id", "seg"), "doc_id", bucketCap(spark))
 
     banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       .join(banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
@@ -436,9 +485,11 @@ object Dedup {
     * Blocks on (lang, source) — the natural partition a corpus pipeline
     * already has — and compares char-3-gram sets only within a block;
     * top-20 most similar pairs overall.
-    * Scale: pair count is Σ blockᵢ² not n²; block width is bounded by data
-    * layout (a production run adds a length-band to the key). The gram sets
-    * shuffle once (hash join on the block key).
+    * Scale: pair count is Σ blockᵢ² not n²; block width is bounded by the
+    * (lang, source, length-band) key, and a boilerplate-flooded block is
+    * additionally bounded by [[capBuckets]] when
+    * `spark.graft.dedup.bucketCap` is set. The gram sets shuffle once
+    * (hash join on the block key).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     // char 3-grams hashed to longs natively: set ops compare 8-byte ints,
@@ -464,13 +515,21 @@ object Dedup {
     // the materialized exchange (the "shuffle only keys" rule; the
     // payload-through-the-join form shuffled every gram set 3×)
     val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val a = meta.select(col("lang"), col("source"),
-      (col("n_chars") / 32).cast("int").as("lband"),
-      col("doc_id").as("doc_a"))
-    val b = meta.select(col("lang"), col("source"),
-      explode(array((col("n_chars") / 32).cast("int"),
-        (col("n_chars") / 32).cast("int") - 1)).as("lband"),
-      col("doc_id").as("doc_b"))
+    // capBuckets on each side bounds a boilerplate-flooded block at
+    // ≤ 2·cap² candidate pairs (b probes two bands) when the cap is set
+    val cap = bucketCap(spark)
+    val blockCols = Seq("lang", "source", "lband")
+    val a = capBuckets(
+      meta.select(col("lang"), col("source"),
+        (col("n_chars") / 32).cast("int").as("lband"),
+        col("doc_id").as("doc_a")),
+      blockCols, "doc_a", cap)
+    val b = capBuckets(
+      meta.select(col("lang"), col("source"),
+        explode(array((col("n_chars") / 32).cast("int"),
+          (col("n_chars") / 32).cast("int") - 1)).as("lband"),
+        col("doc_id").as("doc_b")),
+      blockCols, "doc_b", cap)
     val cand = a.join(b, Seq("lang", "source", "lband"))
       .where(col("doc_a") =!= col("doc_b"))
       .select(
@@ -540,10 +599,12 @@ object Dedup {
     // 2 bands × 8 bits: 256 buckets/band keeps bucket width ~n/256, and the
     // candidate join shuffles ONLY (band, id) — the 64-dim vectors join back
     // for the distinct candidate pairs afterwards
-    val banded = vecs.select(col("vec_id"),
-      posexplode(VectorOps.bandKeys(
-        expr("hyperplane_bits(v, 16, 1234)"), nBands = 2, bandBits = 8))
-        .as(Seq("band_id", "band_key")))
+    val banded = capBuckets(
+      vecs.select(col("vec_id"),
+        posexplode(VectorOps.bandKeys(
+          expr("hyperplane_bits(v, 16, 1234)"), nBands = 2, bandBits = 8))
+          .as(Seq("band_id", "band_key"))),
+      Seq("band_id", "band_key"), "vec_id", bucketCap(spark))
 
     val pairs = banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_b")),

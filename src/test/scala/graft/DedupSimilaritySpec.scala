@@ -481,4 +481,45 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
   }
+
+  test("bucketCap bounds a boilerplate flood at O(cap²) candidate pairs") {
+    import spark.implicits._
+    // adversarial corpus: 180 byte-identical boilerplate docs — every LSH
+    // band hashes all of them into ONE bucket, the worst case the cap
+    // exists for — plus two distinct docs that must not collide
+    val boiler = "click here to accept cookies and continue to the site " +
+      "this website uses cookies to improve your experience"
+    val docs = ((1 to 180).map(i => (i.toLong, boiler)) ++ Seq(
+      (900L, "a completely different document about spark physical plans"),
+      (901L, "yet another unrelated text on parquet column pruning")))
+      .toDF("doc_id", "text")
+
+    // uncapped: the flood generates all C(180,2) = 16110 pairs
+    val uncapped = Dedup.minhashPairsOf(spark, docs).count()
+    assert(uncapped >= 16110L, s"flood should be quadratic, got $uncapped")
+
+    spark.conf.set("spark.graft.dedup.bucketCap", "8")
+    try {
+      // identical docs rank identically in every band (the rank key is a
+      // pure function of doc_id), so the SAME 8 survive in all 16 bands:
+      // the flood contributes at most C(8,2) = 28 distinct pairs
+      val capped = Dedup.minhashPairsOf(spark, docs).count()
+      assert(capped <= 28L + 1L, // +1 headroom for a distinct-doc collision
+        s"capped flood must be O(cap²)=28 pairs, got $capped")
+      assert(capped >= 28L, "the 8 survivors' pairs must all be generated")
+    } finally spark.conf.unset("spark.graft.dedup.bucketCap")
+  }
+
+  test("capBuckets is deterministic and partition-independent") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, i % 3L)).toDF("id", "bucket")
+    val a = Dedup.capBuckets(rows, Seq("bucket"), "id", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    val b = Dedup.capBuckets(rows.repartition(13), Seq("bucket"), "id", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    assert(a.sameElements(b), "survivor set must not depend on partitioning")
+    assert(a.groupBy(_._1).forall(_._2.length == 5), "exactly cap per bucket")
+    // cap <= 0 is the identity — the default path adds no window at all
+    assert(Dedup.capBuckets(rows, Seq("bucket"), "id", 0).count() == 100L)
+  }
 }

@@ -46,4 +46,62 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(audited("q_dedup_minhash").shuffleBytes < 64 * 1024,
       s"q_dedup_minhash shuffle ${audited("q_dedup_minhash").shuffleBytes}")
   }
+
+  test("round-11 families: int8 zero-shuffle, probe/card-sized ANN and audits") {
+    val names = Seq(
+      "q_sim_ann_int8", "q_sim_ann_batch", "q_embed_outliers",
+      "q_dedup_incremental")
+    val audited = ShuffleAudit.measure(spark, sf, names)
+    assert(audited.keySet == names.toSet,
+      s"queries failed during audit: ${names.toSet -- audited.keySet}")
+
+    // int8 retrieval: broadcast queries + TakeOrdered over the int8 store,
+    // re-rank via an In()-pushed point fetch — nothing shuffles
+    assert(audited("q_sim_ann_int8").shuffleBytes == 0L,
+      s"q_sim_ann_int8 shuffled ${audited("q_sim_ann_int8").shuffleBytes} " +
+        "bytes — the quantized-retrieval plan must not move corpus data")
+
+    // K probes in one plan: ≤ K·10 candidate rows per partition move
+    // (measured 15 KB at sf0.001; bound ×10 for wobble)
+    assert(audited("q_sim_ann_batch").shuffleBytes < 160 * 1024,
+      s"q_sim_ann_batch shuffle ${audited("q_sim_ann_batch").shuffleBytes}")
+
+    // per-label centroid card broadcasts back; shuffle is the 650-row
+    // distance card — measured CONSTANT 30 KB from sf0.001 to sf0.1
+    assert(audited("q_embed_outliers").shuffleBytes < 128 * 1024,
+      s"q_embed_outliers shuffle ${audited("q_embed_outliers").shuffleBytes}")
+
+    // batch-vs-store band probe: O(daily drop), never O(corpus)
+    assert(audited("q_dedup_incremental").shuffleBytes < 300 * 1024,
+      s"q_dedup_incremental shuffle ${audited("q_dedup_incremental").shuffleBytes}")
+  }
+
+  test("exact dedup shuffles md5-key rows, never document payloads") {
+    val names = Seq("q_dedup_exact", "q_dup_inflation", "q_json_extract")
+    val audited = ShuffleAudit.measure(spark, sf, names)
+    assert(audited.keySet == names.toSet,
+      s"queries failed during audit: ${names.toSet -- audited.keySet}")
+
+    // bytes-per-record is the payload detector: the md5-keyed exchange
+    // moves ~30 B/row (hex key + partial counters) at ANY scale, while the
+    // old groupBy(text) form moved the document itself (~100-200 B/row on
+    // testdata, unbounded on a real corpus). A per-record bound catches a
+    // payload regression independent of the corpus size the spec runs at.
+    def perRecord(n: String): Double = {
+      val a = audited(n)
+      assert(a.shuffleRecords > 0, s"$n audit saw no shuffle records")
+      a.shuffleBytes.toDouble / a.shuffleRecords
+    }
+    assert(perRecord("q_dedup_exact") < 64.0,
+      s"q_dedup_exact moves ${perRecord("q_dedup_exact")} B/record — " +
+        "payload-sized rows in the exchange")
+    assert(perRecord("q_dup_inflation") < 96.0,
+      s"q_dup_inflation moves ${perRecord("q_dup_inflation")} B/record")
+    // json_extract's only exchanges are the LOCAL-ONLY adaptive spread
+    // (3-column pruned projection — the bound fails if pruning regresses
+    // and the full events row rides the spread) and the output sort's
+    // (event_id, user_id, k) rows
+    assert(perRecord("q_json_extract") < 64.0,
+      s"q_json_extract moves ${perRecord("q_json_extract")} B/record")
+  }
 }
