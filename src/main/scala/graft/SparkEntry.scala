@@ -494,6 +494,29 @@ object SparkEntry {
         |       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_surplus_docs,
         |       CAST(SUM((cluster_size - 1) * toks) AS BIGINT) AS surplus_tokens
         |FROM c GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_decontaminate" ->
+      // string 13-grams instead of the engine's xxhash64 gram hashes: the
+      // gram SET is identical (hashing is injective up to 2^-64 collisions
+      // on a few hundred grams/doc), so shared-gram counts match exactly.
+      // Tokenization mirrors ngram_hashes 'word' mode: split on ' ' keeping
+      // empties; docs shorter than 13 tokens emit ONE whole-doc gram
+      // (greatest(len-11, 2) reproduces the m = max(len-n+1, 1) clamp, and
+      // DuckDB list slicing toks[i:i+12] clamps at the end like the
+      // engine's slice(i, min(i+n, len)))
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(toks) - 11, 2)),
+        |           i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+        |  FROM w),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, count(*) AS n_shared_grams
+        |FROM t JOIN e USING (gram)
+        |GROUP BY t.doc_id
+        |ORDER BY n_shared_grams DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_words,

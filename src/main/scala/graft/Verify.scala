@@ -44,9 +44,12 @@ object Verify {
           // clear any stale dump from a previous run into the same outDir:
           // a plan-analysis throw happens before write() truncates the dir,
           // and valid old parquet next to _FAILED would read as current
-          if (Files.isDirectory(dir))
-            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          if (Files.isDirectory(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => { Files.deleteIfExists(p); () })
+            finally walk.close() // Files.walk holds a directory handle
+          }
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("_FAILED"), String.valueOf(e.getMessage))
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")

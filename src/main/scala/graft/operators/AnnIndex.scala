@@ -321,25 +321,50 @@ object AnnIndex {
         .foreach(st => fs.delete(st.getPath, true))
     }
 
+  /** Delete every index dir of a RETIRED naming family. The pre-r11 family
+    * ids derived from `String.hashCode`, so an index root that predates the
+    * SHA-keyed [[dirFamily]] can hold `ivf_<hashCode>_*` / `lsh_<hashCode>_*`
+    * dirs that are never probed again — and [[evictSuperseded]] only scopes
+    * the live prefix, so those full-size copies would persist forever.
+    * Called once per (JVM, family) from [[ensureBuilt]]; decimal-hashCode
+    * and 12-hex-char prefixes cannot collide, so this can never touch a
+    * live family's dirs.
+    */
+  private def evictRetiredFamily(
+      fs: FileSystem, root: String, retiredPrefix: String): Unit =
+    if (fs.exists(new Path(root))) {
+      fs.listStatus(new Path(root))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(s"${retiredPrefix}_") && !n.contains(".build-")
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+
   /** Build-once protocol shared by both indexes: if `path` lacks a
     * `_SUCCESS` marker, run `write(stagingPath)` and atomically rename the
     * staging dir into place, then evict superseded versions (retain-one).
     * One attempt per path per JVM via [[building]]; the on-disk marker
     * makes cross-JVM reuse work.
     *
-    * Cross-JVM race discipline: a completed index (dir WITH `_SUCCESS`) is
-    * never deleted here — only a crashed partial (dir WITHOUT the marker)
-    * is cleared, and the marker is re-checked immediately before both the
-    * delete and the rename so a builder that lost the race adopts the
-    * winner's index instead of destroying it (the pre-r10 code deleted
-    * `path` unconditionally after one stale existence check — a racing
-    * builder could delete the other's just-completed index). A failed
+    * Cross-JVM race discipline: this NARROWS the destroy window, it does
+    * not eliminate it. The marker is re-checked immediately before the
+    * delete and the rename, so a builder that lost the race usually adopts
+    * the winner's index — but between that last exists-check and the
+    * `fs.delete`, a concurrently-completed index can still be deleted (and
+    * readers briefly see no dir). The residual window is one exists-check
+    * wide, acceptable for an idempotent cache whose loser rebuilds the
+    * identical bytes; true cross-JVM safety would need a versioned-dir +
+    * pointer-flip protocol (rename-only, no delete), which this layout
+    * does not implement. (The pre-r10 code deleted `path` unconditionally
+    * after one stale existence check — a much wider window.) A failed
     * `write` deletes its own staging dir (try/finally): `.build-*` names
     * are excluded from [[evictSuperseded]], so an orphaned staging dir
     * would otherwise leak a full index-sized copy forever.
     */
   private def ensureBuilt(
-      spark: SparkSession, root: String, prefix: String, version: String)(
+      spark: SparkSession, root: String, prefix: String, version: String,
+      retiredPrefixes: Seq[String] = Nil)(
       write: String => Unit): String = {
     val path = s"$root/${prefix}_$version"
     building.computeIfAbsent(path, _ => {
@@ -362,6 +387,7 @@ object AnnIndex {
         }
       }
       evictSuperseded(fs, root, prefix, s"${prefix}_$version")
+      retiredPrefixes.foreach(evictRetiredFamily(fs, root, _))
       // drop resolved frames of superseded versions: a long-lived service
       // whose corpus keeps changing must not accumulate one dead plan per
       // index generation (their directories are evicted above anyway)
@@ -401,7 +427,8 @@ object AnnIndex {
     cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
     val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
     ensureBuilt(spark, indexRoot(spark),
-      s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash") { staging =>
+      s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash",
+      retiredPrefixes = Seq(s"ivf_${dir.hashCode}")) { staging =>
       assign(
         // adaptive scan-spread (Tables.spread): single-split local files
         // leave the 16-cosine assignment single-threaded; a real corpus
@@ -451,7 +478,8 @@ object AnnIndex {
     val geom = Integer.toHexString(
       s"$LshPlanes/$LshSeed/$LshBands/$LshBandBits".hashCode)
     ensureBuilt(spark, indexRoot(spark),
-      s"lsh_${dirFamily(dir)}", s"${fp}_$geom") { staging =>
+      s"lsh_${dirFamily(dir)}", s"${fp}_$geom",
+      retiredPrefixes = Seq(s"lsh_${dir.hashCode}")) { staging =>
       bandify(
         Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))

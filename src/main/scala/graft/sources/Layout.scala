@@ -119,10 +119,15 @@ object Layout {
   // after recovery — a 1024-deep retention is orders of magnitude past
   // any replay horizon, so pruning can never re-admit a duplicate.
   //
-  // Migration: ledgers written by the old parquet scheme are still
-  // honored — if the marker is absent, a once-per-(process, ledger)
-  // probe checks for legacy parquet part files and falls back to the
-  // scan for those ledgers only.
+  // Migration: ledgers written by the old parquet scheme are migrated ONCE
+  // — on the first marker miss, a legacy parquet ledger's batch ids within
+  // the 1024-deep replay horizon are backfilled as marker files and a
+  // `_migrated` sentinel retires the parquet probe for every later process
+  // (pre-r11 the legacy fallback re-scanned the parquet ledger on EVERY
+  // marker miss, forever, and the per-process legacy flag went stale if a
+  // ledger dir was deleted and recreated). Ids older than the horizon are
+  // not backfilled on purpose: streaming replays only the unacknowledged
+  // tail, the same argument that lets ledgerCommit prune old markers.
   private val legacyLedger =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -131,14 +136,33 @@ object Layout {
     val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$batchId"))) true
+    else if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath, "_migrated"))) false
     else {
-      val legacy: Boolean = legacyLedger.computeIfAbsent(ledger, _ =>
-        fs.exists(ledgerPath) && fs.listStatus(ledgerPath).exists { st =>
-          val n = st.getPath.getName
-          n.startsWith("part-") && n.endsWith(".parquet")
-        })
-      legacy &&
-        !spark.read.parquet(ledger).where(col("batch_id") === batchId).isEmpty
+      // once per (process, ledger): migrate any legacy parquet ledger,
+      // then answer from markers like every later probe will
+      legacyLedger.computeIfAbsent(ledger, _ => {
+        val isLegacy =
+          fs.exists(ledgerPath) && fs.listStatus(ledgerPath).exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }
+        if (isLegacy) {
+          // one long per batch ever committed — driver-bounded
+          val ids = spark.read.parquet(ledger)
+            .select("batch_id").collect().map(_.getLong(0))
+          val horizon = if (ids.isEmpty) Long.MinValue else ids.max - 1024
+          ids.filter(_ >= horizon).foreach { id =>
+            fs.create(
+              new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$id"), true)
+              .close()
+          }
+        }
+        fs.mkdirs(ledgerPath)
+        fs.create(new org.apache.hadoop.fs.Path(ledgerPath, "_migrated"), true)
+          .close()
+        isLegacy
+      })
+      fs.exists(new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$batchId"))
     }
   }
 
@@ -300,8 +324,19 @@ object Layout {
       // a NEW client and clears that client's zero entries (verified
       // against the shipped jar); `resetForTesting()` is the only public
       // entry that drops the shared cache. Cost: other paths re-list once.
-      org.apache.spark.sql.execution.datasources.FileStatusCache
+      // It is an internal Spark API verified against the PINNED 4.1 jars;
+      // the reflective guard degrades a future Spark bump to a loud
+      // warning (stale-listing reads surface as FILE_NOT_EXIST with a
+      // self-explanatory refresh hint) instead of an AbstractMethodError
+      // on every compaction.
+      try org.apache.spark.sql.execution.datasources.FileStatusCache
         .resetForTesting()
+      catch { case e: LinkageError =>
+        System.err.println("[graft] FileStatusCache.resetForTesting " +
+          s"missing on Spark ${org.apache.spark.SPARK_VERSION}: stale " +
+          "shared listings of compacted dirs may surface as " +
+          s"FILE_NOT_EXIST until re-listed — $e")
+      }
     }
     overfull.map { case (dir, (c, b)) =>
       val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))

@@ -52,9 +52,29 @@ object Tables {
     * CONTRACT: call only on scan-rooted frames (scan + filters/projections)
     * — under AQE, probing `.rdd` on a subtree containing exchanges would
     * materialize its query stages, executing real work just to count
-    * partitions.
+    * partitions. ENFORCED, not just documented: the analyzed plan is
+    * walked for shuffle-introducing operators before the probe, so a
+    * future caller handing in a post-exchange frame fails loudly at plan
+    * time instead of silently executing query stages (the walk is
+    * O(plan nodes), free next to the probe itself).
     */
   def spread(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case n @ (_: org.apache.spark.sql.catalyst.plans.logical.Repartition |
+                _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression |
+                _: org.apache.spark.sql.catalyst.plans.logical.Join |
+                _: org.apache.spark.sql.catalyst.plans.logical.Aggregate |
+                _: org.apache.spark.sql.catalyst.plans.logical.Window |
+                _: org.apache.spark.sql.catalyst.plans.logical.Sort |
+                _: org.apache.spark.sql.catalyst.plans.logical.Distinct |
+                _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate |
+                _: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions) =>
+        throw new IllegalArgumentException(
+          "Tables.spread: input must be scan-rooted (scan + filters/" +
+            s"projections); found ${n.nodeName} — the .rdd partition probe " +
+            "would materialize this subtree's query stages under AQE")
+      case _ => ()
+    }
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

@@ -24,7 +24,7 @@ class AllQueriesSpec extends SparkSpec {
       "q_dedup_source_overlap", "q_sim_ann_lsh", "q_sim_ann_ivf",
       "q_text_langid", "q_text_fingerprint", "q_approx_distinct",
       "q_quantiles_approx", "q_multimodal_decode",
-      "q_multimodal_frames", "q_multimodal_resize", "q_decontaminate",
+      "q_multimodal_frames", "q_multimodal_resize",
       "q_dedup_keep", "q_cluster_profile", "q_sim_ann_batch", "q_ann_recall",
       "q_text_compress", "q_index_health", "q_dedup_incremental")
     assert(rowsOnly == expected,

@@ -68,6 +68,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(Files.exists(Paths.get(path3.stripPrefix("file:"), "_SUCCESS")))
   }
 
+  test("first build sweeps the retired hashCode-named index family") {
+    val corpus = Files.createTempDirectory("ann_retired")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val dir = corpus.toString
+    // plant pre-r11 hashCode-prefixed leftovers (plus a foreign family that
+    // must survive) in the index root before the first build for this dir
+    val root = Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_ann")
+    Files.createDirectories(root)
+    val legacy = root.resolve(s"ivf_${dir.hashCode}_deadbeef_cafe")
+    val foreign = root.resolve("ivf_0123456789ab_otherfamily")
+    Files.createDirectories(legacy)
+    Files.createDirectories(foreign)
+
+    AnnIndex.ensureIvf(spark, dir)
+    assert(!Files.exists(legacy),
+      "hashCode-era index dirs must be swept on the family's first build")
+    assert(Files.exists(foreign),
+      "other families' dirs are not the retired family's to delete")
+    Files.delete(foreign)
+  }
+
   test("ensureLsh is build-once per corpus version and lays out one file per bucket") {
     val corpus = Files.createTempDirectory("ann_corpus_lsh")
     Files.copy(Paths.get(s"$sf/embeddings.parquet"),

@@ -42,4 +42,22 @@ class SpreadSpec extends SparkSpec {
       s"spread added an exchange to pre-split input:\n$plan")
     assert(out.rdd.getNumPartitions == multi.rdd.getNumPartitions)
   }
+
+  test("a post-exchange frame is rejected at plan time") {
+    val docs = Tables.documents(spark, sf)
+    // each of these would let the .rdd probe materialize query stages
+    val offenders = Seq(
+      docs.repartition(4),
+      docs.groupBy("lang").count(),
+      docs.join(docs.select("doc_id"), "doc_id"),
+      docs.orderBy("doc_id"),
+      docs.select("lang").distinct())
+    offenders.foreach { bad =>
+      val e = intercept[IllegalArgumentException](Tables.spread(bad))
+      assert(e.getMessage.contains("scan-rooted"), e.getMessage)
+    }
+    // the allowed shape still passes: scan + filter + projection
+    assert(Tables.spread(
+      docs.where(col("doc_id") > 0).select("doc_id", "lang")) ne null)
+  }
 }

@@ -18,6 +18,12 @@ class VerifySpec extends SparkSpec {
     d.toString
   }
 
+  // Files.list with the handle closed (the raw stream leaks a directory fd)
+  private def hasParquet(dir: Path): Boolean = {
+    val s = Files.list(dir)
+    try s.anyMatch(_.toString.endsWith(".parquet")) finally s.close()
+  }
+
   private def read(p: Path): String = Files.readString(p)
 
   test("run dumps every query and summarizes ok/failed, loudly") {
@@ -47,14 +53,14 @@ class VerifySpec extends SparkSpec {
     val good: Map[String, (SparkSession, String) => DataFrame] = Map(
       "flaky" -> ((s, d) => graft.sources.Tables.region(s, d)))
     Verify.run(spark, sf, out, good)
-    assert(Files.list(Path.of(out, "flaky")).anyMatch(_.toString.endsWith(".parquet")))
+    assert(hasParquet(Path.of(out, "flaky")))
     // second run into the SAME outDir: the query now throws at plan time,
     // before any write could truncate the old dump
     val bad: Map[String, (SparkSession, String) => DataFrame] = Map(
       "flaky" -> ((_, _) => throw new RuntimeException("regressed")))
     Verify.run(spark, sf, out, bad)
     assert(Files.exists(Path.of(out, "flaky", "_FAILED")))
-    assert(!Files.list(Path.of(out, "flaky")).anyMatch(_.toString.endsWith(".parquet")),
+    assert(!hasParquet(Path.of(out, "flaky")),
       "stale run-1 parquet survived next to the run-2 _FAILED marker")
   }
 
