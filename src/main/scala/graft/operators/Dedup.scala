@@ -693,9 +693,15 @@ object Dedup {
       .repartition(par)
       .select(col("doc_id"), expr("ngram_hashes(text, 3, 'word')").as("sh"))
       .repartition(par, col("doc_id"))
+    // capBuckets on the STORE side: a boilerplate flood persisted in the
+    // band store would otherwise hand every colliding batch doc the whole
+    // hot bucket as candidates (O(batch × width)); capped it is O(batch × cap)
     val cand = bandRows(batchSh)
-      .join(bandStore
-          .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
+      .join(capBuckets(
+          bandStore
+            .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
+          Seq("band_id", "band_hash"), "match_id",
+          bucketCap(batchDocs.sparkSession)),
         Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("match_id")).distinct()
     val candSh = corpusDocs

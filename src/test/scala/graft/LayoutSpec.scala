@@ -120,6 +120,16 @@ class LayoutSpec extends SparkSpec {
     // batch 0 must be recognized as committed through the legacy fallback
     assert(!Layout.appendPartitionedIdempotent(
       batch, 0L, out, ledger, Seq("band_id", "band_key")))
+    // migration is ONE-TIME: the legacy ids were backfilled as markers and
+    // the _migrated sentinel retires the parquet probe — deleting the
+    // legacy part files must not change any answer (nothing reads them)
+    assert(new java.io.File(ledger).listFiles().map(_.getName).contains("_migrated"))
+    new java.io.File(ledger).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    assert(!Layout.appendPartitionedIdempotent(
+      batch, 0L, out, ledger, Seq("band_id", "band_key")),
+      "batch 0 must stay committed via its backfilled marker, no parquet read")
     // new commits write markers, and old markers are pruned at the 1024
     // boundary (replay never reaches back past the retention window)
     assert(Layout.appendPartitionedIdempotent(
