@@ -26,7 +26,27 @@ object Bench {
           }
         name -> r
       })
+    // machine-load snapshot around the timed laps: the driver's bench and
+    // the builder's quiet bench have disagreed ~2× across rounds, and
+    // without a load record in the artifact a regression cannot be told
+    // apart from a busy host. loadavg is read from /proc (Linux); steal
+    // time (field 8 of /proc/stat cpu line, jiffies) separates co-tenant
+    // pressure from our own load. Both degrade to -1 off-Linux.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def stealJiffies(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        if (cpu.length > 8) cpu(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
+    val load0 = loadAvg(); val steal0 = stealJiffies()
     val laps = Seq(lap(), lap(), lap())
+    val load1 = loadAvg()
+    val stealDelta =
+      { val s1 = stealJiffies(); if (s1 < 0 || steal0 < 0) -1L else s1 - steal0 }
     val names = laps.head.keys.toSeq
     val mins = names.flatMap { k =>
       val ok = laps.flatMap(_(k).toOption)
@@ -58,7 +78,10 @@ object Bench {
       s"${jstr(k)}:[${cells.mkString(",")}]"
     }.mkString("{", ",", "}")
     val lapTotals = laps.map(_.values.flatMap(_.toOption).sum).mkString("[", ",", "]")
+    // load line BEFORE the headline (2 KB-tail rule: the headline must be
+    // the last line; the load line is ~100 B so both survive the tail)
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
+    println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"cpus":${Runtime.getRuntime.availableProcessors()}}""")
     // headline scalars AFTER the 100-entry query map: the ~2 KB tail keeps
     // the END of this line, and at 100 queries the map alone exceeds 2 KB —
     // r9's tail cut metric/value/n_errors off the front and the round report

@@ -322,22 +322,24 @@ object AnnIndex {
     }
 
   /** Delete every index dir of a RETIRED naming family. The pre-r11 family
-    * ids derived from `String.hashCode`, so an index root that predates the
-    * SHA-keyed [[dirFamily]] can hold `ivf_<hashCode>_*` / `lsh_<hashCode>_*`
-    * dirs that are never probed again — and [[evictSuperseded]] only scopes
-    * the live prefix, so those full-size copies would persist forever.
-    * Called once per (JVM, family) from [[ensureBuilt]]; decimal-hashCode
-    * and 12-hex-char prefixes cannot collide, so this can never touch a
-    * live family's dirs.
+    * ids derived from `Integer.toHexString(dir.hashCode)`, so an index root
+    * that predates the SHA-keyed [[dirFamily]] can hold
+    * `ivf_<hexHashCode>_*` / `lsh_<hexHashCode>_*` dirs that are never
+    * probed again — and [[evictSuperseded]] only scopes the live prefix, so
+    * those full-size copies would persist forever. Called once per (JVM,
+    * family) from [[ensureBuilt]]. No live collision is possible: the hex
+    * id is at most 8 chars while live [[dirFamily]] ids are exactly 12 hex
+    * chars, so the `_` this filter requires after the retired id can never
+    * fall inside a live family id. Unlike [[evictSuperseded]], `.build-*`
+    * staging dirs are NOT spared here — a retired family can have no
+    * in-progress build, so any such dir is an orphaned pre-r11 crash
+    * leftover (index-sized) that would otherwise leak forever.
     */
   private def evictRetiredFamily(
       fs: FileSystem, root: String, retiredPrefix: String): Unit =
     if (fs.exists(new Path(root))) {
       fs.listStatus(new Path(root))
-        .filter { st =>
-          val n = st.getPath.getName
-          n.startsWith(s"${retiredPrefix}_") && !n.contains(".build-")
-        }
+        .filter(_.getPath.getName.startsWith(s"${retiredPrefix}_"))
         .foreach(st => fs.delete(st.getPath, true))
     }
 
@@ -428,7 +430,7 @@ object AnnIndex {
     val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
     ensureBuilt(spark, indexRoot(spark),
       s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash",
-      retiredPrefixes = Seq(s"ivf_${dir.hashCode}")) { staging =>
+      retiredPrefixes = Seq(s"ivf_${Integer.toHexString(dir.hashCode)}")) { staging =>
       assign(
         // adaptive scan-spread (Tables.spread): single-split local files
         // leave the 16-cosine assignment single-threaded; a real corpus
@@ -479,7 +481,7 @@ object AnnIndex {
       s"$LshPlanes/$LshSeed/$LshBands/$LshBandBits".hashCode)
     ensureBuilt(spark, indexRoot(spark),
       s"lsh_${dirFamily(dir)}", s"${fp}_$geom",
-      retiredPrefixes = Seq(s"lsh_${dir.hashCode}")) { staging =>
+      retiredPrefixes = Seq(s"lsh_${Integer.toHexString(dir.hashCode)}")) { staging =>
       bandify(
         Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))

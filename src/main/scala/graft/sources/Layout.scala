@@ -120,14 +120,17 @@ object Layout {
   // any replay horizon, so pruning can never re-admit a duplicate.
   //
   // Migration: ledgers written by the old parquet scheme are migrated ONCE
-  // — on the first marker miss, a legacy parquet ledger's batch ids within
-  // the 1024-deep replay horizon are backfilled as marker files and a
-  // `_migrated` sentinel retires the parquet probe for every later process
-  // (pre-r11 the legacy fallback re-scanned the parquet ledger on EVERY
-  // marker miss, forever, and the per-process legacy flag went stale if a
-  // ledger dir was deleted and recreated). Ids older than the horizon are
-  // not backfilled on purpose: streaming replays only the unacknowledged
-  // tail, the same argument that lets ledgerCommit prune old markers.
+  // — on the first marker miss, EVERY batch id in the legacy parquet
+  // ledger is backfilled as a marker file and a `_migrated` sentinel
+  // retires the parquet probe for every later process (pre-r11 the legacy
+  // fallback re-scanned the parquet ledger on EVERY marker miss, forever,
+  // and the per-process legacy flag went stale if a ledger dir was deleted
+  // and recreated). All ids, not just a recent horizon: the parquet ledger
+  // honored arbitrarily old ids, so a horizon-limited backfill would
+  // silently re-append a replay older than the horizon — a behavior
+  // narrowing the marker scheme never intended. The cost is one zero-byte
+  // marker per ever-committed batch, created once on the driver; from
+  // there ledgerCommit's normal 1024-deep pruning converges retention.
   private val legacyLedger =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -150,8 +153,7 @@ object Layout {
           // one long per batch ever committed — driver-bounded
           val ids = spark.read.parquet(ledger)
             .select("batch_id").collect().map(_.getLong(0))
-          val horizon = if (ids.isEmpty) Long.MinValue else ids.max - 1024
-          ids.filter(_ >= horizon).foreach { id =>
+          ids.foreach { id =>
             fs.create(
               new org.apache.hadoop.fs.Path(ledgerPath, s"_batch-$id"), true)
               .close()

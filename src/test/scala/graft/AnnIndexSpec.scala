@@ -73,20 +73,28 @@ class AnnIndexSpec extends SparkSpec {
     Files.copy(Paths.get(s"$sf/embeddings.parquet"),
       corpus.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val dir = corpus.toString
-    // plant pre-r11 hashCode-prefixed leftovers (plus a foreign family that
-    // must survive) in the index root before the first build for this dir
+    // plant pre-r11 hex-hashCode-prefixed leftovers — the actual legacy
+    // naming was ivf_${Integer.toHexString(dir.hashCode)} — including an
+    // orphaned crashed staging dir (no live build can exist for a retired
+    // family, so .build-* must be swept too), plus a foreign family that
+    // must survive
     val root = Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       "graft_ann")
     Files.createDirectories(root)
-    val legacy = root.resolve(s"ivf_${dir.hashCode}_deadbeef_cafe")
+    val hex = Integer.toHexString(dir.hashCode)
+    val legacy = root.resolve(s"ivf_${hex}_deadbeef_cafe")
+    val legacyStaging = root.resolve(s"ivf_${hex}_deadbeef_cafe.build-1a2b3c4d")
     val foreign = root.resolve("ivf_0123456789ab_otherfamily")
     Files.createDirectories(legacy)
+    Files.createDirectories(legacyStaging)
     Files.createDirectories(foreign)
 
     AnnIndex.ensureIvf(spark, dir)
     assert(!Files.exists(legacy),
       "hashCode-era index dirs must be swept on the family's first build")
+    assert(!Files.exists(legacyStaging),
+      "orphaned hashCode-era staging dirs must be swept too")
     assert(Files.exists(foreign),
       "other families' dirs are not the retired family's to delete")
     Files.delete(foreign)

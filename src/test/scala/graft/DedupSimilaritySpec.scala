@@ -502,11 +502,21 @@ class DedupSimilaritySpec extends SparkSpec {
     try {
       // identical docs rank identically in every band (the rank key is a
       // pure function of doc_id), so the SAME 8 survive in all 16 bands:
-      // the flood contributes at most C(8,2) = 28 distinct pairs
-      val capped = Dedup.minhashPairsOf(spark, docs).count()
-      assert(capped <= 28L + 1L, // +1 headroom for a distinct-doc collision
-        s"capped flood must be O(cap²)=28 pairs, got $capped")
-      assert(capped >= 28L, "the 8 survivors' pairs must all be generated")
+      // the flood contributes EXACTLY C(8,2) = 28 distinct pairs. Count
+      // flood-internal pairs only — if a distinct doc (900/901) ever lands
+      // in a flood bucket it displaces one survivor in that band and adds
+      // intruder pairs, which says nothing about whether capBuckets bounds
+      // the flood, so those pairs are excluded from the exact bound.
+      val pairs = Dedup.minhashPairsOf(spark, docs)
+      val floodPairs =
+        pairs.where("doc_a <= 180 AND doc_b <= 180").count()
+      assert(floodPairs == 28L,
+        s"capped flood must be exactly C(cap,2)=28 pairs, got $floodPairs")
+      // intruders are bounded too: each distinct doc can displace at most
+      // one survivor per band, pairing with the remaining cap-1 residents
+      val total = pairs.count()
+      assert(total <= 28L + 2L * 16L * 7L + 1L, // +1: the (900,901) pair
+        s"total capped pairs out of bound: $total")
     } finally spark.conf.unset("spark.graft.dedup.bucketCap")
   }
 

@@ -115,8 +115,10 @@ class LayoutSpec extends SparkSpec {
     val ledger = s"$root/.ledger"
     val out = s"$root/layout"
     val batch = Seq((1L, 0, 3L)).toDF("vec_id", "band_id", "band_key")
-    // a ledger written by the pre-marker scheme: one parquet batch_id row
-    Seq(0L).toDF("batch_id").write.parquet(ledger)
+    // a ledger written by the pre-marker scheme: parquet batch_id rows,
+    // including one (0) far below 5000-1024 — the parquet ledger honored
+    // arbitrarily old ids, so the backfill must too, not just a horizon
+    Seq(0L, 5000L).toDF("batch_id").write.parquet(ledger)
     // batch 0 must be recognized as committed through the legacy fallback
     assert(!Layout.appendPartitionedIdempotent(
       batch, 0L, out, ledger, Seq("band_id", "band_key")))
