@@ -194,24 +194,34 @@ object Analytics {
   }
 
   /** Data-quality profile of the fact table: per column — null count/rate
-    * and exact distinct cardinality. The trust-but-verify card a pipeline
-    * runs before consuming a new drop of data (schema drift shows as a
+    * and distinct cardinality. The trust-but-verify card a pipeline runs
+    * before consuming a new drop of data (schema drift shows as a
     * cardinality jump, a broken producer as a null-rate spike) — the
     * Deequ/expectations stage, as one query.
-    * Scale: ONE pass; the multi-column exact distinct compiles to Spark's
-    * Expand (×|columns| row fan into one shuffle of distinct values). At
-    * 100 TB swap `countDistinct` for `approx_count_distinct` (the
-    * [[graft.operators.Tracking.approxDistinct]] HLL path — mergeable
-    * KB sketches instead of distinct-value shuffles); exact is kept here
-    * because the oracle can check it.
+    * Scale: ONE pass; the multi-column EXACT distinct compiles to Spark's
+    * Expand (×|columns| row fan into one shuffle of distinct values) —
+    * the suite's fastest-growing shuffle (its partials grow with the
+    * distinct-value count, 173 KB → 942 KB under 10× data at sf0.01→0.1).
+    * `spark.graft.profile.approxDistinct=true` switches every cardinality
+    * to `approx_count_distinct` (HLL++, rsd 0.05): mergeable KB sketches
+    * shuffle instead of distinct values, so the exchange is
+    * sketch-constant no matter the cardinality — the 100 TB setting.
+    * Exact is the default because the oracle can check it; the HLL path's
+    * constant-bytes claim is a measured ShuffleAuditSpec gate, and
+    * SCALING.md records both rows.
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val approx =
+      spark.conf.get("spark.graft.profile.approxDistinct", "false").toBoolean
+    def distinctOf(c: String) =
+      if (approx) approx_count_distinct(col(c), rsd = 0.05)
+      else countDistinct(col(c))
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
     val agg = Tables.events(spark, dir).agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"))): _*)
+        distinctOf(c).as(s"${c}__distinct"))): _*)
     agg.select(
       col("n_rows"),
       expr("stack(" + cols.size + ", " + cols.map(c =>

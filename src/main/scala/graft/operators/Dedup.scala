@@ -584,6 +584,50 @@ object Dedup {
       .limit(20)
   }
 
+  /** Embedding-banding geometry. Band COUNT is fixed (2 — the recall knob:
+    * a pair is a candidate if it collides in either band); band BITS scale
+    * with corpus size so expected bucket width stays ~[[EmbedTargetWidth]]
+    * instead of ~n/256: a fixed 8-bit geometry that is fine at 2 k vectors
+    * is a width-4M bucket (O(width²) pair blowup) at a billion. Clamped to
+    * [8, 20]: below 8 the buckets are too coarse even for tiny corpora;
+    * above 20 (1 M buckets/band) additional hyperplanes cost compute while
+    * the residual width is better handled by [[embedBucketCap]].
+    */
+  private[graft] val EmbedBands = 2
+  private[graft] val EmbedTargetWidth = 32
+  private[graft] def embedBandBits(n: Long): Int = {
+    val bits = math.ceil(
+      math.log(math.max(n, 1L).toDouble / EmbedTargetWidth) / math.log(2.0)).toInt
+    math.max(8, math.min(20, bits))
+  }
+
+  /** The embed path's bucket cap — ON by default (64 = 2× the target
+    * width), unlike the text paths' opt-in [[bucketCap]]: adaptive band
+    * bits keep the AVERAGE width ~[[EmbedTargetWidth]], so only a skewed
+    * cluster (near-identical embeddings — exactly the boilerplate case)
+    * can exceed 64, and there the cap's loss is the right loss (survivors
+    * still link the cluster). DedupSimilaritySpec measures the recall
+    * cost: ≥95% of planted near-dup pairs survive cap=64 on a corpus with
+    * a 500-vector flood cluster. Set to 0 to disable; the global
+    * `spark.graft.dedup.bucketCap` is honored if the embed conf is unset.
+    */
+  private[graft] def embedBucketCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.embedBucketCap").map(_.toInt)
+      .getOrElse {
+        val g = bucketCap(spark); if (g > 0) g else 64
+      }
+
+  /** Corpus row count for band-bit selection, cached per (app, corpus
+    * version): one parquet count job per corpus generation, not per query.
+    * Keyed by [[SessionCache.dirFingerprint]] so appended data re-counts.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embedCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|${SessionCache.dirFingerprint(spark, dir)}",
+      _ => Tables.embeddings(spark, dir).count())
+
   /** Embedding-cosine near-dup: top-20 most similar vector pairs, candidates
     * from hyperplane-LSH band collisions (same 100 TB shape as
     * [[Similarity.simAnnLsh]] — the self-join streams band keys, never the
@@ -596,15 +640,26 @@ object Dedup {
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-    // 2 bands × 8 bits: 256 buckets/band keeps bucket width ~n/256, and the
-    // candidate join shuffles ONLY (band, id) — the 64-dim vectors join back
-    // for the distinct candidate pairs afterwards
+    embedPairsOf(spark, vecs, embedCount(spark, dir))
+      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
+      .limit(20)
+  }
+
+  /** The embed pair generator over an explicit (vec_id, v) frame with a
+    * known corpus size — the seam the recall spec drives with planted
+    * near-dups. Candidate join shuffles ONLY (band, id) rows; the vectors
+    * join back for the distinct candidate pairs afterwards.
+    */
+  private[graft] def embedPairsOf(
+      spark: SparkSession, vecs: DataFrame, n: Long): DataFrame = {
+    val bandBits = embedBandBits(n)
+    val planes = EmbedBands * bandBits
     val banded = capBuckets(
       vecs.select(col("vec_id"),
         posexplode(VectorOps.bandKeys(
-          expr("hyperplane_bits(v, 16, 1234)"), nBands = 2, bandBits = 8))
+          expr(s"hyperplane_bits(v, $planes, 1234)"), EmbedBands, bandBits))
           .as(Seq("band_id", "band_key"))),
-      Seq("band_id", "band_key"), "vec_id", bucketCap(spark))
+      Seq("band_id", "band_key"), "vec_id", embedBucketCap(spark))
 
     val pairs = banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_b")),
@@ -617,8 +672,6 @@ object Dedup {
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(expr("cosine_sim(v_a, v_b)"), 6))
       .select("id_a", "id_b", "sim")
-      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
-      .limit(20)
   }
 
   /** The arriving-batch predicate for [[dedupIncremental]]: every 20th

@@ -532,4 +532,61 @@ class DedupSimilaritySpec extends SparkSpec {
     // cap <= 0 is the identity — the default path adds no window at all
     assert(Dedup.capBuckets(rows, Seq("bucket"), "id", 0).count() == 100L)
   }
+
+  test("embed band bits scale with corpus size, clamped to [8, 20]") {
+    assert(Dedup.embedBandBits(500L) == 8)
+    assert(Dedup.embedBandBits(2000L) == 8)   // the sf0.1 regime — geometry unchanged
+    assert(Dedup.embedBandBits(8192L) == 8)   // 8192/32 = 2^8, the boundary
+    assert(Dedup.embedBandBits(1000000L) == 15)
+    assert(Dedup.embedBandBits(1L << 30) == 20, "clamped at 20 bits")
+    assert(Dedup.embedBandBits(0L) == 8, "degenerate corpus stays at the floor")
+  }
+
+  test("default embed bucket cap (64) keeps ≥95% of planted near-dup pairs while bounding a flood") {
+    import spark.implicits._
+    // synthetic corpus with KNOWN near-dups: 1000 random base vectors, 100
+    // planted perturbations (cosine ≈ 0.998 to their base), and a
+    // 500-vector flood cluster of near-identical embeddings — the skew
+    // case the cap exists for (every flood member lands in ONE bucket per
+    // band, width 500 ≫ cap)
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextGaussian())
+    def perturb(v: Seq[Double], eps: Double) = v.map(_ + eps * rnd.nextGaussian())
+    val base = (1 to 1000).map(i => (i.toLong, vec()))
+    val planted = base.take(100).map { case (i, v) => (2000L + i, perturb(v, 0.05)) }
+    val center = vec()
+    val flood = (1 to 500).map(i => (5000L + i, perturb(center, 0.01)))
+    val all = (base ++ planted ++ flood).toDF("vec_id", "v")
+    val n = 1600L
+
+    def pairsAt(cap: Int): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.embedBucketCap", cap.toString)
+      try Dedup.embedPairsOf(spark, all, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.dedup.embedBucketCap")
+    }
+    val uncapped = pairsAt(0)
+    val capped = pairsAt(64)
+
+    // recall cost of the default cap, measured: planted pairs live in
+    // ~width-6 buckets the cap never touches, so capped recall relative to
+    // the uncapped LSH must stay ≥95%
+    val plantedPairs = (1 to 100).map(i => (i.toLong, 2000L + i)).toSet
+    val foundUncapped = uncapped.intersect(plantedPairs).size
+    val foundCapped = capped.intersect(plantedPairs).size
+    assert(foundUncapped >= 80,
+      s"2×8-bit LSH should surface most planted near-dups, got $foundUncapped/100")
+    assert(foundCapped >= math.ceil(0.95 * foundUncapped).toInt,
+      s"cap=64 recall $foundCapped of uncapped $foundUncapped planted pairs")
+
+    // the flood is bounded at O(cap²): survivors per band ≤ 64 (the union
+    // across 2 bands can differ only where intruders displace), vs
+    // C(500,2) = 124 750 uncapped
+    val floodUncapped = uncapped.count(p => p._1 > 5000L && p._2 > 5000L)
+    val floodCapped = capped.count(p => p._1 > 5000L && p._2 > 5000L)
+    assert(floodUncapped > 100000,
+      s"flood should be quadratic uncapped, got $floodUncapped")
+    assert(floodCapped <= 2 * 64 * 63 / 2,
+      s"capped flood must be O(cap²), got $floodCapped")
+  }
 }

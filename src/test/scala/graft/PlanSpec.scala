@@ -38,6 +38,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"))
   }
 
+  test("antijoinAbsent over the broadcast threshold degrades to a keyed SMJ anti-join") {
+    // at 100 TB the lineitem key set cannot broadcast (the sf0.1 build of
+    // the hash set is already 600 k keys, ×3.4 under 10× data) — the
+    // scaladoc's claim is that past the threshold the SAME declarative plan
+    // degrades to a sort-merge anti-join shuffling only (key) rows, not a
+    // nested loop and not a payload-carrying exchange. Force the
+    // over-threshold regime and pin that shape.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.antijoinAbsent(spark, sf)
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin LeftAnti") ||
+        (p.contains("SortMergeJoin") && p.contains("LeftAnti")),
+        s"over-threshold anti-join must be sort-merge, plan was:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "anti-join must stay keyed — never a nested loop")
+      // the probe side shuffles ONLY the join key: a single-column scan
+      assert(p.contains("struct<l_orderkey:bigint>"),
+        "lineitem scan must be pruned to the key column")
+      // and the answer is identical to the broadcast regime's
+      assert(df.count() ==
+        { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          Relational.antijoinAbsent(spark, sf).count() })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("listSortLimit is top-k (TakeOrderedAndProject), not a global sort") {
     val p = plan(Relational.listSortLimit(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))

@@ -104,4 +104,49 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(perRecord("q_json_extract") < 64.0,
       s"q_json_extract moves ${perRecord("q_json_extract")} B/record")
   }
+
+  test("profile approxDistinct shuffles constant sketch bytes while exact grows with cardinality") {
+    val name = Seq("q_profile_events")
+    def bytesAt(dir: String, approx: Boolean): Long = {
+      spark.conf.set("spark.graft.profile.approxDistinct", approx.toString)
+      try {
+        val audited = ShuffleAudit.measure(spark, dir, name)
+        assert(audited.contains("q_profile_events"), "audit run failed")
+        audited("q_profile_events").shuffleBytes
+      } finally spark.conf.unset("spark.graft.profile.approxDistinct")
+    }
+    val sf10 = "/root/testdata/sf0.01"
+    val exactSmall = bytesAt(sf, approx = false)
+    val exactBig = bytesAt(sf10, approx = false)
+    val hllSmall = bytesAt(sf, approx = true)
+    val hllBig = bytesAt(sf10, approx = true)
+
+    // the exact path's partials carry the distinct VALUES — the audit's
+    // fastest-growing row, the reason the conf exists
+    assert(exactBig > 3 * exactSmall,
+      s"exact distinct should grow with cardinality: $exactSmall → $exactBig")
+    // the HLL path shuffles mergeable sketches: bytes must be (near-)
+    // constant under 10× data — ×3 headroom covers a split-count change,
+    // while value-carrying partials grow like the exact path's >×3
+    assert(hllBig < 3 * math.max(hllSmall, 1L),
+      s"approx path must be sketch-constant: $hllSmall → $hllBig")
+    // and at sf0.01 the sketches already undercut the value partials
+    assert(hllBig < exactBig,
+      s"HLL path ($hllBig B) should move less than exact ($exactBig B) at sf0.01")
+
+    // the sketch answer stays an ANSWER: every cardinality within HLL++
+    // rsd-bounds of exact (rsd 0.05 → assert 15%, 3σ)
+    spark.conf.set("spark.graft.profile.approxDistinct", "true")
+    val approxCards =
+      try SparkEntry.queries("q_profile_events")(spark, sf10)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      finally spark.conf.unset("spark.graft.profile.approxDistinct")
+    val exactCards = SparkEntry.queries("q_profile_events")(spark, sf10)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    exactCards.foreach { case (c, exact) =>
+      val got = approxCards(c)
+      assert(math.abs(got - exact) <= math.max(1L, (0.15 * exact).toLong),
+        s"$c: approx distinct $got vs exact $exact")
+    }
+  }
 }
