@@ -40,7 +40,8 @@ object ShuffleAudit {
   val DefaultQueries: Seq[String] = Seq(
     "q_join_agg", "q_rollup_revenue", "q_metric_trend",
     "q_dedup_exact", "q_dup_inflation", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_incremental",
+    "q_dedup_incremental", "q_dedup_embed", "q_dedup_simhash_pairs",
+    "q_dedup_clusters",
     "q_sim_topk", "q_sim_ann_ivf", "q_sim_ann_lsh",
     "q_sim_ann_batch", "q_sim_ann_int8",
     "q_domain_cap", "q_corpus_filter", "q_decontaminate",
@@ -114,7 +115,14 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.create()
-    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    // `--conf=key=value` args set session confs before the audit — how the
+    // SCALING.md both-ways rows (e.g. profile approxDistinct) are measured
+    val (confs, queryArgs) = args.toSeq.partition(_.startsWith("--conf="))
+    confs.foreach { c =>
+      val kv = c.stripPrefix("--conf=").split("=", 2)
+      spark.conf.set(kv(0), kv(1))
+    }
+    val names = if (queryArgs.nonEmpty) queryArgs else DefaultQueries
     val audits = measure(spark, sfDir, names)
     var totalSh = 0L
     names.foreach { n =>

@@ -105,6 +105,38 @@ class ShuffleAuditSpec extends SparkSpec {
       s"q_json_extract moves ${perRecord("q_json_extract")} B/record")
   }
 
+  test("embed/simhash/cluster dedup shuffle: vectors ride once, keys and labels stay key-sized") {
+    val names = Seq("q_dedup_embed", "q_dedup_simhash_pairs", "q_dedup_clusters")
+    val audited = ShuffleAudit.measure(spark, sf, names)
+    assert(audited.keySet == names.toSet,
+      s"queries failed during audit: ${names.toSet -- audited.keySet}")
+    def perRecord(n: String): Double = {
+      val a = audited(n)
+      assert(a.shuffleRecords > 0, s"$n audit saw no shuffle records")
+      a.shuffleBytes.toDouble / a.shuffleRecords
+    }
+    // embed: ONE keyed materialization exchange carries the 64-dim vector
+    // payload, reused by banding and both candidate join-backs; band and
+    // candidate rows are key-only. Measured ~152 B/record blended at
+    // sf0.001 (520 B vector rows amortized over key rows); if vectors
+    // started riding the band fan or the pair join, the blend jumps past
+    // the vector row size.
+    assert(perRecord("q_dedup_embed") < 320.0,
+      s"q_dedup_embed moves ${perRecord("q_dedup_embed")} B/record — " +
+        "vector payloads must cross the wire exactly once")
+    // simhash pairs: 8-byte fingerprints + doc ids, never text
+    assert(perRecord("q_dedup_simhash_pairs") < 128.0,
+      s"q_dedup_simhash_pairs moves ${perRecord("q_dedup_simhash_pairs")} B/record")
+    assert(audited("q_dedup_simhash_pairs").shuffleBytes < 64 * 1024,
+      s"q_dedup_simhash_pairs shuffle ${audited("q_dedup_simhash_pairs").shuffleBytes}")
+    // clusters: label-propagation rounds move 16 B (id, label) rows over
+    // the session-cached edge set — never documents or signatures
+    assert(perRecord("q_dedup_clusters") < 64.0,
+      s"q_dedup_clusters moves ${perRecord("q_dedup_clusters")} B/record")
+    assert(audited("q_dedup_clusters").shuffleBytes < 256 * 1024,
+      s"q_dedup_clusters shuffle ${audited("q_dedup_clusters").shuffleBytes}")
+  }
+
   test("profile approxDistinct shuffles constant sketch bytes while exact grows with cardinality") {
     val name = Seq("q_profile_events")
     def bytesAt(dir: String, approx: Boolean): Long = {
