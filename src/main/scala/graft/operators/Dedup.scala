@@ -628,6 +628,33 @@ object Dedup {
       s"${spark.sparkContext.applicationId}|$dir|${SessionCache.dirFingerprint(spark, dir)}",
       _ => Tables.embeddings(spark, dir).count())
 
+  /** Widest LSH bucket of the corpus under the adaptive geometry, cached
+    * like [[embedCount]] (key folds in the band bits — a geometry change
+    * re-probes). WHY a probe exists at all: [[capBuckets]]'s rank window
+    * is the right SKEW guard but costs an exchange + per-bucket sort plus
+    * the stage-floor of the SMJ regime it forces on the band self-join —
+    * measured ~0.6 s of pure scheduling floor at sf0.1 where NO bucket
+    * comes near the cap. The probe is one card-sized aggregate (≤
+    * bands × 2^bandBits partial rows shuffle, never vectors) run once per
+    * (app, corpus version); when the widest bucket fits the cap, the cap
+    * is a proven no-op and [[dedupEmbed]] plans the window-free join.
+    */
+  private val bucketWidths =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def maxBucketWidth(
+      spark: SparkSession, dir: String, bandBits: Int): Long =
+    bucketWidths.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|$bandBits|${SessionCache.dirFingerprint(spark, dir)}",
+      _ => {
+        val planes = EmbedBands * bandBits
+        Tables.embeddings(spark, dir)
+          .select(posexplode(VectorOps.bandKeys(
+            expr(s"hyperplane_bits(cast(embedding as array<double>), $planes, 1234)"),
+            EmbedBands, bandBits)).as(Seq("band_id", "band_key")))
+          .groupBy("band_id", "band_key").count()
+          .agg(max("count")).head().getLong(0)
+      })
+
   /** Embedding-cosine near-dup: top-20 most similar vector pairs, candidates
     * from hyperplane-LSH band collisions (same 100 TB shape as
     * [[Similarity.simAnnLsh]] — the self-join streams band keys, never the
@@ -640,18 +667,34 @@ object Dedup {
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-    embedPairsOf(spark, vecs, embedCount(spark, dir))
+    val n = embedCount(spark, dir)
+    // skew-adaptive cap: pay the rank window only when the cached width
+    // probe proves some bucket actually exceeds the cap — a skew-free
+    // corpus plans the window-free broadcast self-join
+    val cap = embedBucketCap(spark)
+    val effectiveCap =
+      if (cap > 0 && maxBucketWidth(spark, dir, embedBandBits(n)) <= cap) 0
+      else cap
+    embedPairsOf(spark, vecs, n, effectiveCap)
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(20)
   }
 
-  /** The embed pair generator over an explicit (vec_id, v) frame with a
-    * known corpus size — the seam the recall spec drives with planted
-    * near-dups. Candidate join shuffles ONLY (band, id) rows; the vectors
-    * join back for the distinct candidate pairs afterwards.
+  /** [[embedPairsOf]] with the cap from the session conf — the seam the
+    * recall spec drives with planted near-dups (no width probe: the spec
+    * decides capped vs uncapped explicitly).
     */
   private[graft] def embedPairsOf(
-      spark: SparkSession, vecs: DataFrame, n: Long): DataFrame = {
+      spark: SparkSession, vecs: DataFrame, n: Long): DataFrame =
+    embedPairsOf(spark, vecs, n, embedBucketCap(spark))
+
+  /** The embed pair generator over an explicit (vec_id, v) frame with a
+    * known corpus size and explicit bucket cap. Candidate join shuffles
+    * ONLY (band, id) rows; the vectors join back for the distinct
+    * candidate pairs afterwards.
+    */
+  private[graft] def embedPairsOf(
+      spark: SparkSession, vecs: DataFrame, n: Long, cap: Int): DataFrame = {
     val bandBits = embedBandBits(n)
     val planes = EmbedBands * bandBits
     val banded = capBuckets(
@@ -659,7 +702,7 @@ object Dedup {
         posexplode(VectorOps.bandKeys(
           expr(s"hyperplane_bits(v, $planes, 1234)"), EmbedBands, bandBits))
           .as(Seq("band_id", "band_key"))),
-      Seq("band_id", "band_key"), "vec_id", embedBucketCap(spark))
+      Seq("band_id", "band_key"), "vec_id", cap)
 
     val pairs = banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_a"))
       .join(banded.select(col("band_id"), col("band_key"), col("vec_id").as("id_b")),

@@ -589,4 +589,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(floodCapped <= 2 * 64 * 63 / 2,
       s"capped flood must be O(cap²), got $floodCapped")
   }
+
+  test("dedupEmbed pays the cap window only when a bucket actually exceeds it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FormattedMode
+    // the driver corpus is skew-free at test scale: the cached width probe
+    // proves every bucket fits the default cap, so the plan must be the
+    // window-free band self-join (no exchange+sort, broadcastable sides)
+    val quiet = graft.operators.Dedup.dedupEmbed(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!quiet.contains("Window"),
+      "skew-free corpus must not pay the rank-window stage chain")
+    // a corpus with an actual flood bucket (100 near-identical vectors >
+    // cap=64) must plan the window — the guard engages exactly when the
+    // probe sees skew
+    val dir = java.nio.file.Files.createTempDirectory("embed_flood").toString
+    val rnd = new scala.util.Random(11)
+    val center = Seq.fill(64)(rnd.nextGaussian())
+    val rows = (1 to 100).map(i =>
+      (i.toLong, center.map(_ + 0.001 * rnd.nextGaussian()).map(_.toFloat))) ++
+      (101 to 140).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val skewed = graft.operators.Dedup.dedupEmbed(spark, dir)
+    assert(skewed.queryExecution.explainString(FormattedMode).contains("Window"),
+      "a flood bucket wider than the cap must engage the rank window")
+    // and the capped query still returns the top near-dup pairs
+    val top = skewed.collect()
+    assert(top.length == 20 && top.forall(_.getAs[Double]("sim") > 0.99),
+      "flood survivors must still surface as near-dup pairs")
+  }
 }

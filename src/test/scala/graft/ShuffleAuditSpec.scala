@@ -115,15 +115,20 @@ class ShuffleAuditSpec extends SparkSpec {
       assert(a.shuffleRecords > 0, s"$n audit saw no shuffle records")
       a.shuffleBytes.toDouble / a.shuffleRecords
     }
-    // embed: ONE keyed materialization exchange carries the 64-dim vector
-    // payload, reused by banding and both candidate join-backs; band and
-    // candidate rows are key-only. Measured ~152 B/record blended at
-    // sf0.001 (520 B vector rows amortized over key rows); if vectors
-    // started riding the band fan or the pair join, the blend jumps past
-    // the vector row size.
-    assert(perRecord("q_dedup_embed") < 320.0,
+    // embed: the keyed materialization exchange carries each 64-dim vector
+    // ONCE (the skew-free plan broadcasts the band self-join, so shuffle
+    // records are mostly the vector rows themselves — measured 215 KB /
+    // 1127 records ≈ 430 B/vec blended at sf0.001, the corpus payload
+    // ~1.5×). Two failure modes, two bounds: vectors riding PER CANDIDATE
+    // PAIR blows B/record past two vector rows (>1 KB); vectors riding the
+    // 2-band fan doubles total bytes while keeping B/record at one row —
+    // the absolute bound catches that.
+    assert(perRecord("q_dedup_embed") < 768.0,
       s"q_dedup_embed moves ${perRecord("q_dedup_embed")} B/record — " +
-        "vector payloads must cross the wire exactly once")
+        "vector payloads must never ride the candidate pairs")
+    assert(audited("q_dedup_embed").shuffleBytes < 384 * 1024,
+      s"q_dedup_embed shuffled ${audited("q_dedup_embed").shuffleBytes} B — " +
+        "more than ~1.5× the corpus payload means vectors rode the band fan")
     // simhash pairs: 8-byte fingerprints + doc ids, never text
     assert(perRecord("q_dedup_simhash_pairs") < 128.0,
       s"q_dedup_simhash_pairs moves ${perRecord("q_dedup_simhash_pairs")} B/record")
