@@ -1,9 +1,30 @@
 package graft
 import scala.collection.immutable.ListMap
 object Bench {
+  // machine-load snapshot around the run: the driver's bench and the
+  // builder's quiet bench have disagreed ~2× across rounds, and without a
+  // load record in the artifact a regression cannot be told apart from a
+  // busy host. loadavg is read from /proc (Linux); steal time (field 8 of
+  // /proc/stat cpu line, jiffies) separates co-tenant pressure from our
+  // own load. Both degrade to -1 off-Linux.
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+  private def stealJiffies(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
+    // pre-bench load snapshot FIRST: loadavg_before must reflect the
+    // machine as the bench found it — read after the warm-up lap it would
+    // mostly measure our own 32-thread warm-up, not co-tenant pressure
+    val load0 = loadAvg(); val steal0 = stealJiffies()
     // warm-up lap: amortize one-time JVM/codegen/classloading cost so the
     // timed laps measure steady-state query execution (the reference's
     // DuckDB baseline is likewise measured warm — BASELINE.md)
@@ -26,23 +47,6 @@ object Bench {
           }
         name -> r
       })
-    // machine-load snapshot around the timed laps: the driver's bench and
-    // the builder's quiet bench have disagreed ~2× across rounds, and
-    // without a load record in the artifact a regression cannot be told
-    // apart from a busy host. loadavg is read from /proc (Linux); steal
-    // time (field 8 of /proc/stat cpu line, jiffies) separates co-tenant
-    // pressure from our own load. Both degrade to -1 off-Linux.
-    def loadAvg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def stealJiffies(): Long =
-      try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-        if (cpu.length > 8) cpu(8).toLong else -1L
-      } catch { case _: Throwable => -1L }
-    val load0 = loadAvg(); val steal0 = stealJiffies()
     val laps = Seq(lap(), lap(), lap())
     val load1 = loadAvg()
     val stealDelta =
