@@ -590,6 +590,24 @@ class DedupSimilaritySpec extends SparkSpec {
       s"capped flood must be O(cap²), got $floodCapped")
   }
 
+  test("embedBucketCap resolution: embed conf wins, global honored, default 64") {
+    assert(graft.operators.Dedup.embedBucketCap(spark) == 64)
+    spark.conf.set("spark.graft.dedup.bucketCap", "8")
+    try {
+      assert(graft.operators.Dedup.embedBucketCap(spark) == 8,
+        "a set global cap must apply to the embed path too")
+      spark.conf.set("spark.graft.dedup.embedBucketCap", "32")
+      assert(graft.operators.Dedup.embedBucketCap(spark) == 32,
+        "the embed-specific conf overrides the global")
+      spark.conf.set("spark.graft.dedup.embedBucketCap", "0")
+      assert(graft.operators.Dedup.embedBucketCap(spark) == 0,
+        "explicit 0 disables the embed cap even with a global set")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.bucketCap")
+      spark.conf.unset("spark.graft.dedup.embedBucketCap")
+    }
+  }
+
   test("dedupEmbed pays the cap window only when a bucket actually exceeds it") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FormattedMode
