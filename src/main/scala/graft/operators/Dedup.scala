@@ -623,10 +623,22 @@ object Dedup {
     */
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // superseded-version entries are dropped on insert (same discipline as
+  // SessionCache): the values are single Longs, but a long-lived service
+  // over a mutating corpus must not accumulate one entry per generation
+  private def cachedLong(
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
+      prefix: String, fp: String)(compute: => Long): Long = {
+    val key = s"$prefix|$fp"
+    cache.keySet.removeIf(k => k.startsWith(s"$prefix|") && k != key)
+    cache.computeIfAbsent(key, _ => compute)
+  }
   private def embedCount(spark: SparkSession, dir: String): Long =
-    corpusCounts.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir|${SessionCache.dirFingerprint(spark, dir)}",
-      _ => Tables.embeddings(spark, dir).count())
+    cachedLong(corpusCounts,
+      s"${spark.sparkContext.applicationId}|$dir",
+      SessionCache.dirFingerprint(spark, dir)) {
+      Tables.embeddings(spark, dir).count()
+    }
 
   /** Widest LSH bucket of the corpus under the adaptive geometry, cached
     * like [[embedCount]] (key folds in the band bits — a geometry change
@@ -643,17 +655,19 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def maxBucketWidth(
       spark: SparkSession, dir: String, bandBits: Int): Long =
-    bucketWidths.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir|$bandBits|${SessionCache.dirFingerprint(spark, dir)}",
-      _ => {
-        val planes = EmbedBands * bandBits
-        Tables.embeddings(spark, dir)
-          .select(posexplode(VectorOps.bandKeys(
-            expr(s"hyperplane_bits(cast(embedding as array<double>), $planes, 1234)"),
-            EmbedBands, bandBits)).as(Seq("band_id", "band_key")))
-          .groupBy("band_id", "band_key").count()
-          .agg(max("count")).head().getLong(0)
-      })
+    // bandBits folds into the VERSION half of the key so a geometry change
+    // (corpus crossing a band-bit boundary) also evicts the stale entry
+    cachedLong(bucketWidths,
+      s"${spark.sparkContext.applicationId}|$dir",
+      s"$bandBits|${SessionCache.dirFingerprint(spark, dir)}") {
+      val planes = EmbedBands * bandBits
+      Tables.embeddings(spark, dir)
+        .select(posexplode(VectorOps.bandKeys(
+          expr(s"hyperplane_bits(cast(embedding as array<double>), $planes, 1234)"),
+          EmbedBands, bandBits)).as(Seq("band_id", "band_key")))
+        .groupBy("band_id", "band_key").count()
+        .agg(max("count")).head().getLong(0)
+    }
 
   /** Embedding-cosine near-dup: top-20 most similar vector pairs, candidates
     * from hyperplane-LSH band collisions (same 100 TB shape as
