@@ -624,17 +624,21 @@ object Dedup {
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   // superseded-version entries are dropped on insert (same discipline as
-  // SessionCache): the values are single Longs, but a long-lived service
-  // over a mutating corpus must not accumulate one entry per generation
+  // SessionCache), and a supersession — the fingerprint saying the dir
+  // MUTATED — also invalidates the catalog's resolved plan, whose pinned
+  // file listing would otherwise feed the recompute the pre-mutation file
+  // set. Values are single Longs, but a long-lived service over a mutating
+  // corpus must not accumulate one entry per generation either.
   private def cachedLong(
       cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
-      prefix: String, fp: String)(compute: => Long): Long = {
+      dir: String, prefix: String, fp: String)(compute: => Long): Long = {
     val key = s"$prefix|$fp"
-    cache.keySet.removeIf(k => k.startsWith(s"$prefix|") && k != key)
+    if (cache.keySet.removeIf(k => k.startsWith(s"$prefix|") && k != key))
+      Tables.invalidate(dir)
     cache.computeIfAbsent(key, _ => compute)
   }
   private def embedCount(spark: SparkSession, dir: String): Long =
-    cachedLong(corpusCounts,
+    cachedLong(corpusCounts, dir,
       s"${spark.sparkContext.applicationId}|$dir",
       SessionCache.dirFingerprint(spark, dir)) {
       Tables.embeddings(spark, dir).count()
@@ -657,7 +661,7 @@ object Dedup {
       spark: SparkSession, dir: String, bandBits: Int): Long =
     // bandBits folds into the VERSION half of the key so a geometry change
     // (corpus crossing a band-bit boundary) also evicts the stale entry
-    cachedLong(bucketWidths,
+    cachedLong(bucketWidths, dir,
       s"${spark.sparkContext.applicationId}|$dir",
       s"$bandBits|${SessionCache.dirFingerprint(spark, dir)}") {
       val planes = EmbedBands * bandBits
@@ -675,12 +679,9 @@ object Dedup {
     * full O(n²) cross product).
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    // cast below the exchange: the double arrays materialize once and the
-    // three consumers (banding + two join-backs) reuse the exchange
-    val vecs = Tables.embeddings(spark, dir)
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .select("vec_id", "v")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    // probes FIRST: a fingerprint change detected here invalidates the
+    // catalog's resolved plan (stale file listing), so the vecs frame
+    // below must be resolved AFTER them to see the post-mutation file set
     val n = embedCount(spark, dir)
     // skew-adaptive cap: pay the rank window only when the cached width
     // probe proves some bucket actually exceeds the cap — a skew-free
@@ -689,6 +690,12 @@ object Dedup {
     val effectiveCap =
       if (cap > 0 && maxBucketWidth(spark, dir, embedBandBits(n)) <= cap) 0
       else cap
+    // cast below the exchange: the double arrays materialize once and the
+    // three consumers (banding + two join-backs) reuse the exchange
+    val vecs = Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     embedPairsOf(spark, vecs, n, effectiveCap)
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(20)

@@ -71,8 +71,12 @@ object SessionCache {
     // for the application's lifetime. Dropping the map reference is the
     // release mechanism — Spark's ContextCleaner unpersists RDD blocks
     // whose references are garbage-collected.
-    cache.keySet.removeIf(k =>
+    val superseded = cache.keySet.removeIf(k =>
       k._1 == sessionKey && k._2.startsWith(prefix) && k != key)
+    // a superseded fingerprint means the DIRECTORY mutated: the catalog's
+    // resolved plan pins the old file listing, so the rebuild below would
+    // otherwise read the pre-mutation file set and rebuild a stale artifact
+    if (superseded) Tables.invalidate(dir)
     cache.computeIfAbsent(key, _ => build.localCheckpoint(eager = true))
   }
 
@@ -83,7 +87,7 @@ object SessionCache {
     */
   def invalidate(dir: String): Unit = {
     cache.keySet.removeIf(k => k._2.contains(s"|$dir|"))
-    ()
+    Tables.invalidate(dir)
   }
 
   /** Listing-fallback counter, exposed for the StoreVersionSpec assertion

@@ -39,6 +39,20 @@ object Tables {
         dir, name),
       _ => normalizeNtz(spark.read.parquet(s"$dir/$name.parquet")))
 
+  /** Drop every resolved plan under `dir` (all sessions). A resolved
+    * DataFrame pins its file-listing snapshot (Spark semantics: external
+    * appends need REFRESH TABLE) — so the staleness detectors call this
+    * when they see a directory's fingerprint change
+    * ([[SessionCache.cached]] superseded-entry eviction,
+    * [[SessionCache.invalidate]], the dedup probe caches): without it an
+    * artifact rebuild triggered by the mutation would re-read the OLD
+    * listing and rebuild an identical stale artifact.
+    */
+  def invalidate(dir: String): Unit = {
+    resolved.keySet.removeIf(_._2 == dir)
+    ()
+  }
+
   /** Scan-spread, made adaptive: repartition ONLY when the input arrives
     * in fewer partitions than cores. The single-file local testdata gives
     * Spark one split, so compute-heavy map stages (shingling, simhash,

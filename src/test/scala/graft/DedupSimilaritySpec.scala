@@ -590,6 +590,39 @@ class DedupSimilaritySpec extends SparkSpec {
       s"capped flood must be O(cap²), got $floodCapped")
   }
 
+  test("a mutated corpus dir re-resolves end-to-end: appended files reach probes and plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FormattedMode
+    // embeddings.parquet as a DIRECTORY so a crawl drop can be appended —
+    // the 100 TB layout. The catalog caches the resolved plan (and with it
+    // the file listing), so without mutation-triggered invalidation the
+    // second query would silently run on the pre-append file set.
+    val dir = java.nio.file.Files.createTempDirectory("embed_mut").toString
+    val rnd = new scala.util.Random(23)
+    (1 to 140).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val before = graft.operators.Dedup.dedupEmbed(spark, dir)
+    assert(!before.queryExecution.explainString(FormattedMode).contains("Window"),
+      "skew-free initial corpus: no cap window")
+    assert(before.count() == 20)
+
+    // append a flood drop (100 near-identical vectors > cap) to the SAME dir
+    val center = Seq.fill(64)(rnd.nextGaussian())
+    (1001 to 1100).map(i =>
+      (i.toLong, center.map(_ + 0.001 * rnd.nextGaussian()).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val after = graft.operators.Dedup.dedupEmbed(spark, dir)
+    assert(after.queryExecution.explainString(FormattedMode).contains("Window"),
+      "the appended flood must reach the width probe and engage the cap — " +
+        "a stale catalog listing would keep the window-free plan")
+    // and the result actually contains the appended docs
+    assert(after.collect().forall(r =>
+      r.getLong(0) > 1000L && r.getAs[Double]("sim") > 0.99),
+      "top near-dup pairs must come from the appended flood")
+  }
+
   test("embedBucketCap resolution: embed conf wins, global honored, default 64") {
     assert(graft.operators.Dedup.embedBucketCap(spark) == 64)
     spark.conf.set("spark.graft.dedup.bucketCap", "8")
