@@ -34,7 +34,7 @@ object Analytics {
       .unionByName(counted(clicks.except(buys), "click_only"))
       .unionByName(counted(buys.except(clicks), "purchase_only"))
       .select("cohort", "n_users")
-      .orderBy("cohort")
+      .transform(Present.cardSort(_, col("cohort")))
   }
 
   /** §2.4/§2.3/§2.6 composite — the reference's dashboard summary: for the
@@ -58,7 +58,7 @@ object Analytics {
         max("event_id").as("last_event_id"),
         max_by(col("value"), col("event_id")).as("last_value"),
         count(lit(1)).as("n_points"))
-      .orderBy("user_id", "event_type")
+      .transform(Present.cardSort(_, col("user_id"), col("event_type")))
   }
 
   /** §2.5 — step-over-step series delta (the "loss improvement per step"
@@ -116,14 +116,17 @@ object Analytics {
     * the shuffle still carries only (group, partial) rows.
     */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(
-      s"""SELECT o_orderstatus, o_orderpriority,
-         |       count(*) AS n_orders,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         |FROM parquet.`$dir/orders.parquet`
-         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-         |""".stripMargin)
+    // cardSort final order (asc = NULLS FIRST, matching the SQL it
+    // replaces): the cube answer is |statuses| x |priorities| rows
+    Present.cardSort(
+      spark.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |       count(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM parquet.`$dir/orders.parquet`
+           |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |""".stripMargin),
+      col("o_orderstatus"), col("o_orderpriority"))
 
   /** §2.3 — FULL OUTER alignment: per-user click and view totals aligned
     * into one row even when a user has only one of the two (the dashboard
@@ -231,7 +234,7 @@ object Analytics {
         col("col_name"), col("n_rows"), col("n_nulls"),
         round(col("n_nulls").cast("double") / col("n_rows"), 6).as("null_rate"),
         col("n_distinct"))
-      .orderBy("col_name")
+      .transform(Present.cardSort(_, col("col_name")))
   }
 
   /** Join-key skew card: the top-20 heaviest `user_id` keys in events with
@@ -264,6 +267,6 @@ object Analytics {
         col("rank"), col("user_id"), col("n_rows"),
         round(col("n_rows") / col("total"), 6).as("share"),
         round(col("n_rows") * col("n_keys") / col("total"), 6).as("skew_vs_mean"))
-      .orderBy("rank")
+      .transform(Present.cardSort(_, col("rank")))
   }
 }

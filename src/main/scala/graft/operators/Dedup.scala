@@ -73,7 +73,7 @@ object Dedup {
         sum(col("cluster_size")).as("n_docs"),
         sum(col("cluster_size") - 1).as("n_surplus_docs"),
         sum((col("cluster_size") - 1) * col("toks")).as("surplus_tokens"))
-      .orderBy("cluster_size")
+      .transform(Present.cardSort(_, col("cluster_size")))
 
   // Shingle/gram hashing and MinHash signatures come from the native
   // Catalyst expressions graft.plans.{NGramHashes, MinHashSignature}
@@ -384,7 +384,7 @@ object Dedup {
         count(lit(1)).as("n_total"),
         sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("n_dropped", col("n_total") - col("n_kept"))
-      .orderBy("lang")
+      .transform(Present.cardSort(_, col("lang")))
   }
 
   /** SimHash-64 document fingerprint: tokens vote per bit with ±1 weighted

@@ -6,8 +6,11 @@ import graft.sources.Tables
 
 /** Core relational operators (SURVEY.md §2.2, §2.3 J1/J2, §2.4, §2.6).
   *
-  * Every query ends in a total-order `orderBy` over a unique key so the
-  * driver's DuckDB hash-compare is deterministic (SURVEY.md §5.4). Money
+  * Every query ends in a total order over a unique key so the driver's
+  * DuckDB hash-compare is deterministic (SURVEY.md §5.4) — a global
+  * `orderBy` where the output grows with the corpus (the range sort is
+  * the scale-correct plan there), [[Present.cardSort]] where the output
+  * is bounded by key cardinality or top-k geometry. Money
   * aggregates go through DECIMAL so the sum is exact and order-insensitive,
   * then cast to DOUBLE at the end (SURVEY.md §7.5 determinism discipline).
   *
@@ -110,7 +113,7 @@ object Relational {
       .where(!col("event_type").startsWith("s"))
       .select("event_type")
       .distinct()
-      .orderBy("event_type")
+      .transform(Present.cardSort(_, col("event_type")))
 
   /** A3 — argmax-per-group: the value at the greatest sequence point.
     * Reference: correlated scalar subquery `step = (SELECT MAX(step) …)`,
@@ -176,7 +179,7 @@ object Relational {
       .agg(
         sum("rev").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("c_mktsegment")
+      .transform(Present.cardSort(_, col("c_mktsegment")))
   }
 
   /** §2.4 note — multi-level aggregate via ROLLUP: revenue at (segment,
@@ -192,15 +195,18 @@ object Relational {
     // makes a post-rollup ORDER BY on those columns resolve ambiguously
     // (Spark's self-join ambiguity check trips); the SQL path resolves
     // cleanly and plans identically. customer auto-broadcasts (< threshold).
-    spark.sql(
-      s"""SELECT c_mktsegment, o_orderstatus,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-         |       count(*) AS n_orders
-         |FROM parquet.`$dir/orders.parquet` JOIN parquet.`$dir/customer.parquet`
-         |  ON o_custkey = c_custkey
-         |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
-         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
-         |""".stripMargin)
+    // Final order via cardSort (asc = NULLS FIRST, same as the SQL form
+    // it replaces): the rollup answer is segments × statuses rows.
+    Present.cardSort(
+      spark.sql(
+        s"""SELECT c_mktsegment, o_orderstatus,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |       count(*) AS n_orders
+           |FROM parquet.`$dir/orders.parquet` JOIN parquet.`$dir/customer.parquet`
+           |  ON o_custkey = c_custkey
+           |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+           |""".stripMargin),
+      col("c_mktsegment"), col("o_orderstatus"))
 
   /** J2 — anti-join: rows in the parent with no child (insert-if-absent probe).
     * Reference: commit existence probe, /root/reference/waddle/_db.py:111-134.

@@ -106,7 +106,7 @@ object Sampling {
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
     balanceStrata(Tables.documents(spark, dir), "lang", "doc_id")
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang")
+      .transform(Present.cardSort(_, col("lang")))
 
   /** Deterministic train/val/test assignment — the split every training
     * pipeline needs, as a pure function of the row key so it is stable
@@ -140,7 +140,7 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"), // exact integer sum, order-free
         countDistinct("lang").as("n_langs"))
-      .orderBy("split")
+      .transform(Present.cardSort(_, col("split")))
   }
 
   /** Length-curriculum binning — assign every document to a per-language
@@ -183,7 +183,7 @@ object Sampling {
         sum(col("tok").cast("long")).as("bin_tokens"),
         min(col("tok").cast("long")).as("min_tok"),
         max(col("tok").cast("long")).as("max_tok"))
-      .orderBy("lang", "bin")
+      .transform(Present.cardSort(_, col("lang"), col("bin")))
   }
 
   /** Per-source document cap — the Gopher/RefinedWeb "domain capping" rule:
@@ -337,7 +337,7 @@ object Sampling {
         (col("tok_below") + coalesce(col("tok_tie"), lit(0L)))
           .as("tokens_dropped"),
         col("q_boundary"))
-      .orderBy("source")
+      .transform(Present.cardSort(_, col("source")))
   }
 
   /** Training shard count for [[shuffleShards]] / [[writeTrainingShards]].
@@ -413,7 +413,7 @@ object Sampling {
       .withColumn("realized_rate",
         round(col("n_kept").cast("double") / col("n_total"), 6))
       .withColumn("target_rate", target)
-      .orderBy("lang", "source")
+      .transform(Present.cardSort(_, col("lang"), col("source")))
   }
 
   /** Shard assignment as a reusable transform — shared verbatim by the
@@ -464,7 +464,7 @@ object Sampling {
       .select(col("shard"), col("n_docs"),
         round(col("n_docs").cast("double") / col("tot"), 6).as("doc_share"),
         col("n_tokens"), col("n_chars"), col("first_doc"), col("last_doc"))
-      .orderBy("shard")
+      .transform(Present.cardSort(_, col("shard")))
   }
 
   /** Materialize the [[shuffleShards]] order as the trainer's on-disk

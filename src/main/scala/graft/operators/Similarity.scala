@@ -43,7 +43,7 @@ object Similarity {
         round(sum(col("norm").cast("decimal(28,12)")).cast("double") /
           count(lit(1)), 6).as("avg_norm"),
         round(max("norm"), 6).as("max_norm"))
-      .orderBy("label")
+      .transform(Present.cardSort(_, col("label")))
   }
 
   /** Scalar-quantization audit — per label: how much reconstruction error
@@ -85,7 +85,7 @@ object Similarity {
         round(sum(col("rel_err").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("avg_rel_err"),
         round(max("rel_err"), 6).as("max_rel_err"))
-      .orderBy("label")
+      .transform(Present.cardSort(_, col("label")))
   }
 
   /** Per-dimension embedding-health card — mean/std/min/max and the
@@ -124,7 +124,7 @@ object Similarity {
           lit(0.0))), 6).as("std"),
         col("min_x"), col("max_x"),
         round(col("nz").cast("double") / col("n"), 6).as("frac_nearzero"))
-      .orderBy("dim")
+      .transform(Present.cardSort(_, col("dim")))
   }
 
   /** Embedding-outlier audit: the 20 vectors farthest (L2) from their own
@@ -272,7 +272,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
-      .orderBy("qid", "rank")
+      .transform(Present.cardSort(_, col("qid"), col("rank")))
   }
 
   /** How many query vectors the batched variants serve (vec_id 0..4). */
@@ -347,7 +347,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
-      .orderBy("qid", "rank")
+      .transform(Present.cardSort(_, col("qid"), col("rank")))
   }
 
   /** ANN self-audit: recall@10 of each approximate tier ([[simAnnIvf]],
@@ -368,7 +368,7 @@ object Similarity {
           round(col("hits") / 10.0, 6).as("recall_at_10"))
     recallOf("ivf", simAnnIvf(spark, dir))
       .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
-      .orderBy("method")
+      .transform(Present.cardSort(_, col("method")))
   }
 
   /** Embedding-domain cluster profile: per IVF cell — population, dominant
@@ -415,7 +415,7 @@ object Similarity {
         round(sum("s").cast("double") / sum("n"), 6).as("avg_sim"))
       .select(col("cluster").cast("int").as("cluster"), col("n_vecs"),
         col("top_label"), col("top_share"), col("avg_sim"))
-      .orderBy("cluster")
+      .transform(Present.cardSort(_, col("cluster")))
   }
 
   /** k-NN label propagation — classify each of the [[BatchQueries]] query
@@ -455,7 +455,7 @@ object Similarity {
       .where(col("r") === 1)
       .select(col("qid"), col("label").as("pred_label"), col("votes"),
         round(col("simsum").cast("double") / col("votes"), 6).as("avg_sim"))
-      .orderBy("qid")
+      .transform(Present.cardSort(_, col("qid")))
   }
 
   /** O4' — LSH-bucketed ANN for the same query (rows-only check; the brute
@@ -539,6 +539,6 @@ object Similarity {
         max("n").as("max_cell"),
         round(sum("n").cast("double") / count(lit(1)), 6).as("avg_cell"),
         round(max("n").cast("double") * count(lit(1)) / sum("n"), 6).as("skew"))
-      .orderBy("index")
+      .transform(Present.cardSort(_, col("index")))
   }
 }

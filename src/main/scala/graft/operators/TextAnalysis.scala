@@ -30,7 +30,7 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(size(words(col("text"))).cast("long")).as("total_words"),
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
-      .orderBy("lang")
+      .transform(Present.cardSort(_, col("lang")))
 
   /** Training-data mixture card: per (lang, source) doc/token/char totals
     * plus each cell's share of corpus tokens — the accounting every
@@ -61,7 +61,7 @@ object TextAnalysis {
         col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"),
         round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
-      .orderBy("lang", "source")
+      .transform(Present.cardSort(_, col("lang"), col("source")))
   }
 
   /** F9 — per-document token counting: whitespace tokens and a BPE-ish
@@ -179,7 +179,7 @@ object TextAnalysis {
       .where(greatest(langs.map(l => col(s"s_$l")): _*) > 0L)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "predicted")
+      .transform(Present.cardSort(_, col("lang"), col("predicted")))
   }
 
   /** Training-sequence chunking: split each document into 100-token chunks
@@ -283,7 +283,7 @@ object TextAnalysis {
     scored
       .select(col("lang"), col("rank"), col("token"),
         round(col("raw_score"), 6).as("tfidf"))
-      .orderBy("lang", "rank")
+      .transform(Present.cardSort(_, col("lang"), col("rank")))
   }
 
   /** Unigram-LM quality score — per-doc average log-probability under the
@@ -379,7 +379,7 @@ object TextAnalysis {
         sum("n_tokens").as("bucket_tokens"),
         min("avg_logp").as("min_score"),
         max("avg_logp").as("max_score"))
-      .orderBy("lang", "bucket")
+      .transform(Present.cardSort(_, col("lang"), col("bucket")))
 
   /** Per-doc head/middle/tail assignment behind [[lmFilter]] — exposed so
     * a pipeline can DROP the tail (CCNet keeps head+middle) instead of
@@ -561,7 +561,7 @@ object TextAnalysis {
         sum(coalesce(col("nn"), lit(0)).cast("long")).as("n_longnums"))
       .withColumn("frac_docs_with_pii",
         round(col("docs_with_pii").cast("double") / col("n_docs"), 6))
-      .orderBy("source")
+      .transform(Present.cardSort(_, col("source")))
   }
 
   /** Benchmark decontamination: training documents that share at least one
@@ -712,7 +712,7 @@ object TextAnalysis {
         Window.partitionBy("lang").orderBy(desc("n_occurrences"), asc("gram"))))
       .where(col("rank") <= 10)
       .select("lang", "rank", "gram", "n_occurrences", "n_docs")
-      .orderBy("lang", "rank")
+      .transform(Present.cardSort(_, col("lang"), col("rank")))
   }
 
   /** The keep/drop decision card that closes the curation loop: every
@@ -797,7 +797,7 @@ object TextAnalysis {
       .agg(sum("term").as("kl"))
       .select(col("source"), col("n_tokens"),
         round(col("kl").cast("double"), 6).as("kl_vs_corpus"))
-      .orderBy("source")
+      .transform(Present.cardSort(_, col("source")))
   }
 
   /** Per-source distinctive-terms card — the top-5 tokens whose
@@ -834,7 +834,7 @@ object TextAnalysis {
         Window.partitionBy("source").orderBy(desc("lift"), asc("token"))))
       .where(col("rank") <= 5)
       .select("source", "rank", "token", "c", "lift")
-      .orderBy("source", "rank")
+      .transform(Present.cardSort(_, col("source"), col("rank")))
   }
 
   def sourceQuality(spark: SparkSession, dir: String): DataFrame =
@@ -848,7 +848,7 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_quality"),
         round(sum(col("dup_ratio").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("avg_dup"))
-      .orderBy("source")
+      .transform(Present.cardSort(_, col("source")))
 
   /** The verdict transform behind [[corpusFilter]], shared verbatim by the
     * streaming ingest filter ([[graft.streaming.Streams.docFilterStream]])
@@ -1007,7 +1007,7 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         round(col("n_dup_shingles").cast("double") /
           col("n_shingles").cast("double"), 6))
-      .orderBy("source")
+      .transform(Present.cardSort(_, col("source")))
   }
 
   /** Top repeated passages — the WHAT behind [[boilerplate]]'s ratio:

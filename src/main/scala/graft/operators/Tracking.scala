@@ -147,7 +147,7 @@ object Tracking {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
-      .orderBy("event_type")
+      .transform(Present.cardSort(_, col("event_type")))
 
   /** §2.5 frame specs — series smoothing + running totals per (run, key):
     * 5-point trailing moving average (the dashboard smoothing overlay the
@@ -235,7 +235,7 @@ object Tracking {
       .agg(
         countDistinct("user_id").as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-      .orderBy("event_type")
+      .transform(Present.cardSort(_, col("event_type")))
 
   /** The documented 100 TB swap for [[quantiles]]: `percentile_approx`
     * (t-digest-style mergeable sketch) — map-side partial sketches merge
@@ -252,7 +252,7 @@ object Tracking {
         expr("percentile_approx(value, 0.5, 10000)").as("p50"),
         expr("percentile_approx(value, 0.9, 10000)").as("p90"),
         expr("percentile_approx(value, 0.99, 10000)").as("p99"))
-      .orderBy("event_type")
+      .transform(Present.cardSort(_, col("event_type")))
 
   /** Value histogram via fixed-width bucketing — one hash aggregate, the
     * distribution-shape query every monitoring dashboard runs.
@@ -263,7 +263,7 @@ object Tracking {
     Tables.events(spark, dir)
       .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
+      .transform(Present.cardSort(_, col("bucket")))
 
   /** F4/F7/F8 — display formatting: id truncation (`id[:8]`,
     * /root/reference/waddle/cli.py:71-72), date rendering

@@ -33,6 +33,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
   }
 
+  test("card finals sort locally — no range exchange, no sampling pass") {
+    // Present.cardSort contract: a bounded answer (group-key domain /
+    // top-k geometry) is totally ordered by a single-partition local
+    // sort. A global orderBy here would plan rangepartitioning, whose
+    // bounds come from a SEPARATE sampling job — two extra scheduler
+    // round-trips of pure floor per card query.
+    for ((name, df) <- Seq(
+        "q_join_agg" -> Relational.joinAgg(spark, sf),
+        "q_rollup_revenue" -> Relational.rollupRevenue(spark, sf),
+        "q_profile_events" -> graft.operators.Analytics.profileEvents(spark, sf),
+        "q_text_stats" -> graft.operators.TextAnalysis.textStats(spark, sf))) {
+      val p = plan(df)
+      assert(!p.toLowerCase.contains("rangepartitioning"),
+        s"$name: card final must not range-exchange:\n${p.take(1500)}")
+      assert(p.contains("Sort "), s"$name: the card must still be totally ordered")
+      assert(p.contains("Coalesce"),
+        s"$name: the local sort must run over ONE partition to be a total order")
+    }
+  }
+
   test("antijoinAbsent is a broadcast anti-join") {
     val p = plan(Relational.antijoinAbsent(spark, sf))
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"))
