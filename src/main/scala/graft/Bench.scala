@@ -66,6 +66,7 @@ object Bench {
     // with the single-connection DuckDB baseline.
     val concErrors = new java.util.concurrent.atomic.AtomicInteger
     val concPool = 8
+    val stealPreConc = stealJiffies()
     val concT0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concPool)
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -76,6 +77,15 @@ object Bench {
     pool.shutdown()
     val concDone = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
     val concWall = (System.nanoTime() - concT0) / 1e9
+    // the lap needs its OWN steal window: load1/stealDelta above qualify
+    // the sequential laps and are captured before this lap starts, so a
+    // co-tenant spike landing inside the ~5 s concurrent window would
+    // otherwise deflate overlap_x with no trace in the artifact
+    val concSteal = {
+      val s1 = stealJiffies()
+      if (s1 < 0 || stealPreConc < 0) -1L else s1 - stealPreConc
+    }
+    val concLoad = loadAvg()
     val names = laps.head.keys.toSeq
     val mins = names.flatMap { k =>
       val ok = laps.flatMap(_(k).toOption)
@@ -111,7 +121,7 @@ object Bench {
     // the last line; the load line is ~100 B so both survive the tail)
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
     println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"cpus":${Runtime.getRuntime.availableProcessors()}}""")
-    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${"%.3f".format(concWall)},"sequential_total":${"%.3f".format(total)},"overlap_x":${"%.2f".format(total / math.max(concWall, 1e-9))},"n_errors":${concErrors.get},"completed":$concDone}""")
+    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${"%.3f".format(concWall)},"sequential_total":${"%.3f".format(total)},"overlap_x":${"%.2f".format(total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
     // headline scalars AFTER the 100-entry query map: the ~2 KB tail keeps
     // the END of this line, and at 100 queries the map alone exceeds 2 KB —
     // r9's tail cut metric/value/n_errors off the front and the round report

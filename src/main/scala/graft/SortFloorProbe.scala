@@ -35,13 +35,22 @@ object SortFloorProbe {
       Thread.sleep(200)
       println(f"$name%-28s jobs=${(jobs.sum - j0) / 5.0}%4.1f stages=${(stages.sum - s0) / 5.0}%4.1f wall=$w%6.3f s/run")
     }
-    time("no-sort")(agg().count())
-    time("orderBy")(agg().orderBy("o_orderstatus", "o_orderpriority").count())
-    time("coalesce1+sortWithin")(
+    // COUNT rows: EliminateSorts removes an un-observed final sort AND
+    // its range exchange under count(), so the "orderBy count" row prices
+    // the SAME plan as "no-sort count" (the sampling job never runs).
+    // What the coalesce row measures in this mode is Coalesce 1 replacing
+    // the aggregate's final single-partition exchange — the bench-lap
+    // saving, one fewer AQE stage.
+    time("count: no-sort")(agg().count())
+    time("count: orderBy(=eliminated)")(
+      agg().orderBy("o_orderstatus", "o_orderpriority").count())
+    time("count: coalesce1")(
       agg().coalesce(1).sortWithinPartitions("o_orderstatus", "o_orderpriority").count())
-    // count() skips sorts under lazy eval? count drops ordering — use collect
-    time("orderBy collect")(agg().orderBy("o_orderstatus", "o_orderpriority").collect())
-    time("coalesce1 collect")(
+    // COLLECT rows: the sort is observed, so these two price the real
+    // A/B — range exchange + bounds-sampling job vs local 1-partition
+    // sort. This is the materialization-path saving (Verify, consumers).
+    time("collect: orderBy")(agg().orderBy("o_orderstatus", "o_orderpriority").collect())
+    time("collect: coalesce1")(
       agg().coalesce(1).sortWithinPartitions("o_orderstatus", "o_orderpriority").collect())
     spark.stop()
   }

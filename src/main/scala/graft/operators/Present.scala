@@ -5,25 +5,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Final presentation ordering for ANSWER-SIZED results.
   *
   * A global `orderBy` plans a range exchange whose partition bounds come
-  * from a SEPARATE sampling job over the child — two extra scheduler
-  * round-trips that are pure floor when the thing being ordered is a
-  * card: an aggregate summary, a top-k join-back, a per-group rollup
-  * (measured on this machine: collect of a 25-row aggregate is 4 jobs /
-  * 0.31 s with `orderBy` vs 2 jobs / 0.22 s via this shape; the sampling
-  * job alone is a full extra pass over the input when it is NOT
-  * answer-sized, which is why the helper must never migrate to corpus
-  * frames). `cardSort` plans the same total order as
-  * `Repartition(1, shuffle=false)` + partition-local sort: one task
-  * sorts the handful of result rows, no sampling pass, no range
-  * exchange, one sorted output file from Verify's parquet dump.
+  * from a SEPARATE sampling job over the child; `cardSort` plans the
+  * same total order as `Repartition(1, shuffle = false)` + a
+  * partition-local sort. What each mode actually saves (both A/B'd by
+  * [[graft.SortFloorProbe]] on this machine):
   *
-  * Contract — callers guarantee the input is ANSWER-sized (bounded by
-  * group-key cardinality / top-k / card geometry, NOT by corpus size):
-  * `coalesce(1)` serializes everything after the last exchange, which is
-  * exactly right for ≤ ~100 k presentation rows and exactly wrong for a
-  * doc-sized frame. Corpus-sized ordered outputs (doc dumps, shard
-  * writes) keep the global range sort — at 100 TB that parallel sort IS
-  * the correct plan, and [[graft.sources.Layout]] owns those paths.
+  *  - MATERIALIZATION (collect, Verify's parquet dump, a real consumer):
+  *    the sampling job + range exchange disappear — a 25-row aggregate
+  *    collect drops from 4 jobs / 0.31 s to 2 jobs / 0.22 s.
+  *  - `count()`-style consumption (the bench laps): Catalyst's
+  *    EliminateSorts already removes an un-observed final sort AND its
+  *    range exchange, so the pre-change laps never paid the sampling
+  *    pass; there the saving is the `Coalesce 1` replacing the
+  *    aggregate's final single-partition exchange (one fewer AQE stage
+  *    materialization per query, measured 3 jobs → 2).
+  *
+  * Contract — callers guarantee BOTH:
+  *  1. the OUTPUT is answer-sized: bounded by group-key domain / top-k /
+  *     card geometry, NOT by corpus size. `coalesce(1)` serializes
+  *     everything after the last exchange, which is exactly right for
+  *     ≤ ~100 k presentation rows and exactly wrong for a doc-sized
+  *     frame. Corpus-sized ordered outputs (doc dumps, shard writes)
+  *     keep the global range sort — at 100 TB that parallel sort IS the
+  *     correct plan, and [[graft.sources.Layout]] owns those paths.
+  *  2. the PARTIAL STATE reaching the final stage is bounded too: an
+  *     aggregate whose buffers carry the data itself (exact
+  *     `percentile`, `collect_list`) merges EVERY group's corpus-sized
+  *     buffer in the one coalesced task — [[Tracking.quantiles]] keeps
+  *     the global orderBy for exactly this reason, while the sketch
+  *     aggregates (percentile_approx, HLL) are safe.
+  *
+  * PlanSpec ("card finals sort locally") pins the plan shape for both
+  * the plain-aggregate and the WindowGroupLimit-dependent call sites.
   */
 object Present {
   def cardSort(df: DataFrame, cols: Column*): DataFrame =

@@ -147,7 +147,13 @@ object Tracking {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
-      .transform(Present.cardSort(_, col("event_type")))
+      // global orderBy, NOT cardSort: exact percentile's partial buffers
+      // carry every value through the hash(event_type) exchange, and a
+      // Coalesce(1) final would merge ALL types' corpus-sized buffers in
+      // one task (the heavy-partial-state exclusion in Present.cardSort's
+      // contract). quantilesApprox, whose sketch buffers are bounded,
+      // takes the cardSort path.
+      .orderBy("event_type")
 
   /** §2.5 frame specs — series smoothing + running totals per (run, key):
     * 5-point trailing moving average (the dashboard smoothing overlay the

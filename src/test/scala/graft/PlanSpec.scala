@@ -43,13 +43,26 @@ class PlanSpec extends SparkSpec {
         "q_join_agg" -> Relational.joinAgg(spark, sf),
         "q_rollup_revenue" -> Relational.rollupRevenue(spark, sf),
         "q_profile_events" -> graft.operators.Analytics.profileEvents(spark, sf),
-        "q_text_stats" -> graft.operators.TextAnalysis.textStats(spark, sf))) {
+        "q_text_stats" -> graft.operators.TextAnalysis.textStats(spark, sf),
+        "q_sim_topk_batch" -> Similarity.simBatchTopK(spark, sf),
+        "q_ngram_counts" -> graft.operators.TextAnalysis.ngramCounts(spark, sf))) {
       val p = plan(df)
       assert(!p.toLowerCase.contains("rangepartitioning"),
         s"$name: card final must not range-exchange:\n${p.take(1500)}")
       assert(p.contains("Sort "), s"$name: the card must still be totally ordered")
       assert(p.contains("Coalesce"),
         s"$name: the local sort must run over ONE partition to be a total order")
+    }
+    // the window-shaped call sites are safe ONLY because WindowGroupLimit
+    // bounds the data before the Coalesce(1); if the rank<=k stops
+    // rewriting (e.g. rank over a non-rewritable expression), a
+    // corpus-sized window would collapse into one task — pin the rewrite
+    for ((name, df) <- Seq(
+        "q_sim_topk_batch" -> Similarity.simBatchTopK(spark, sf),
+        "q_ngram_counts" -> graft.operators.TextAnalysis.ngramCounts(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: per-group top-k must group-limit before the coalesced final")
     }
   }
 
