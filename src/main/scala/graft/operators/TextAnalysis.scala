@@ -42,8 +42,9 @@ object TextAnalysis {
     * both engines.
     * Scale: one map-side-partial hash aggregate over the corpus →
     * mixture-cell-sized frame (≤ langs × sources rows); the corpus total
-    * comes from re-aggregating THAT frame (1 row, broadcast back) — the
-    * minmaxScale pattern, never a whole-corpus window or second scan.
+    * is a window sum over THAT bounded card (single-partition window —
+    * safe for the same reason cardSort is), never a whole-corpus window
+    * or second scan.
     */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(spark, dir)
@@ -52,11 +53,12 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(size(words(col("text"))).cast("long")).as("n_tokens"),
         sum(col("n_chars")).cast("long").as("n_chars"))
-      // card-sized (≤ langs × sources rows); without the barrier the total
-      // below re-plans the whole corpus aggregate — two scans for one card
-      .localCheckpoint(true)
-    val total = cells.agg(sum("n_tokens").as("tot"))
-    cells.crossJoin(broadcast(total))
+    // corpus-token denominator as a window sum over the card itself
+    // (≤ langs × sources rows — single-partition window on a bounded
+    // frame, the cardSort argument): one corpus aggregate, and no
+    // checkpoint / re-aggregation / broadcast job below it
+    cells
+      .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
       .select(
         col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"),
@@ -113,11 +115,13 @@ object TextAnalysis {
     * (true lang × predicted lang × count).
     * Deterministic: rank ties break on bigram, argmax ties break on lang.
     *
-    * Train-once / score-many: the model — one row holding a sorted
-    * (hash, weight) array per language — is a SessionCache artifact, so
-    * repeat invocations skip the training job entirely. Scoring is then
-    * MAP-ONLY: each doc's run-length-encoded bigram array (sorted by
-    * construction) merge-walks each 40-entry profile array via the native
+    * Train-once / score-once: the model — one row holding a sorted
+    * (hash, weight) array per language — is a SessionCache artifact, and
+    * so is the per-doc scored frame (no text on the row), so repeat
+    * invocations skip both the training job and the scoring pass and pay
+    * only the 25-cell confusion aggregate. Scoring itself is MAP-ONLY:
+    * each doc's run-length-encoded bigram array (sorted by construction)
+    * merge-walks each 40-entry profile array via the native
     * `weighted_dot_sorted` kernel, 5 dots per row, argmax on the same row.
     * The only shuffle is the 25-row confusion-matrix aggregate. The
     * equivalent explode + broadcast-join + per-doc groupBy materializes
@@ -156,19 +160,27 @@ object TextAnalysis {
             struct(col("bigram"), col("weight"))))).as(s"p_$l")): _*)
     }
 
-    val scored = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"),
-        expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
-      .crossJoin(broadcast(profileRow)) // 1-row model: zero fan
-      .select(
-        (col("doc_id") +: col("lang") +:
-          langs.map(l => expr(s"weighted_dot_sorted(bgs, p_$l)").as(s"s_$l"))): _*)
-      // argmax over the 5 score columns; struct comparison breaks ties on
-      // the later language code, deterministically
-      .withColumn("predicted",
-        array_max(array(langs.map(l =>
-          struct(col(s"s_$l").as("s"), lit(l).as("l"))): _*))
-          .getField("l"))
+    // the per-doc scored frame (doc_id, true lang, 5 scores, argmax) is
+    // itself a session artifact — the lm_scores discipline: score once per
+    // corpus version, probe many. No text rides it, so it is corpus-row-
+    // count-sized but orders of magnitude under the corpus; the confusion
+    // matrix below is then one 25-cell aggregate over the artifact instead
+    // of re-running the bigram extraction + 5 profile dots per invocation.
+    val scored = SessionCache.cached(spark, "langid_scored", dir) {
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"),
+          expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
+        .crossJoin(broadcast(profileRow)) // 1-row model: zero fan
+        .select(
+          (col("doc_id") +: col("lang") +:
+            langs.map(l => expr(s"weighted_dot_sorted(bgs, p_$l)").as(s"s_$l"))): _*)
+        // argmax over the 5 score columns; struct comparison breaks ties on
+        // the later language code, deterministically
+        .withColumn("predicted",
+          array_max(array(langs.map(l =>
+            struct(col(s"s_$l").as("s"), lit(l).as("l"))): _*))
+            .getField("l"))
+    }
 
     // a doc sharing NO bigram with any profile has no evidence — all five
     // scores are 0 and argmax would emit the tie-break language ('zh', the
@@ -220,7 +232,7 @@ object TextAnalysis {
     * count rides the SAME shuffle as a per-doc marker row, so no second
     * scan ever touches the documents table. Because each doc has exactly
     * one lang, df(token) = Σ_lang dfl — vocabulary-sized arithmetic,
-    * broadcast back.
+    * attached to the session artifact at build time.
     * Scale: distinct-per-doc terms shuffle once (sub-corpus volume);
     * everything after is vocabulary-sized; top-3 via WindowGroupLimit.
     */
@@ -251,36 +263,37 @@ object TextAnalysis {
             expr("cast(array() as array<struct<token:string,c:bigint>>)")))).as("tc"))
       .select(col("lang"), col("tc.token").as("token"), col("tc.c").as("n"))
     // the only shuffle over document-derived rows; vocabulary-scale after.
-    // MATERIALIZED (localCheckpoint): three consumers read this frame (tf
-    // rows, df rollup, n_docs) and column pruning specializes each one's
-    // partial aggregate, so the exchange subtrees are not identical and
-    // ReuseExchange can NOT dedupe them — without the barrier the corpus
-    // explode+shuffle runs three times (measured, plan-verified). The
-    // checkpoint is vocabulary-sized, orders of magnitude under the corpus.
+    // The inner localCheckpoint keeps the corpus explode+shuffle to ONE
+    // pass while the enrichment below reads the (lang, token) table twice
+    // (window + n_docs broadcast) — without the barrier column pruning
+    // specializes each consumer's partial aggregate and ReuseExchange
+    // cannot dedupe the subtrees (measured, plan-verified). The df and
+    // n_docs marginals are attached AT BUILD TIME (the sourceTokenStats
+    // discipline): df as a per-token window sum — the same keyed exchange
+    // the old per-query rollup paid, once — and n_docs as a 1-row
+    // broadcast from the marker rows. Every tf-idf query is then a single
+    // pass over the vocabulary-sized artifact instead of two
+    // re-aggregation + broadcast jobs of its own.
     // SESSION artifact, not just a plan-local checkpoint: the (lang, token)
     // frequency table is corpus-derived, vocabulary-sized, and every tf-idf
     // query over the same corpus version reads the identical frame — the
-    // langid-profile discipline (the checkpoint barrier it replaces is
-    // still there, inside SessionCache.cached)
-    val tfDfl = SessionCache.cached(spark, "tfidf_tf_dfl", dir) {
-      perDoc.groupBy("lang", "token")
+    // langid-profile discipline.
+    val tfDfl = SessionCache.cached(spark, "tfidf_stats", dir) {
+      val base = perDoc.groupBy("lang", "token")
         .agg(sum("n").as("tf"), count(lit(1)).as("dfl"))
+        .localCheckpoint(eager = true)
+      base
+        .withColumn("df", sum("dfl").over(Window.partitionBy("token")))
+        .crossJoin(broadcast(base.where(col("token") === marker)
+          .agg(sum("dfl").as("n_docs"))))
     }
-    val dfreq = tfDfl.where(col("token") =!= marker)
-      .groupBy("token").agg(sum("dfl").as("df"))
-    val nDocs = tfDfl.where(col("token") === marker)
-      .agg(sum("dfl").as("n_docs"))
-
-    val scored = tfDfl
+    tfDfl
       .where(col("token") =!= marker)
-      .join(broadcast(dfreq), Seq("token"))
-      .crossJoin(broadcast(nDocs))
       .withColumn("raw_score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("lang").orderBy(desc("raw_score"), asc("token"))))
       .where(col("rank") <= 3)
-    scored
       .select(col("lang"), col("rank"), col("token"),
         round(col("raw_score"), 6).as("tfidf"))
       .transform(Present.cardSort(_, col("lang"), col("rank")))
@@ -427,9 +440,12 @@ object TextAnalysis {
   def textCompress(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val thr = CompressFlagRatio
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .where(col("text").isNotNull)
+    // adaptive scan-spread: deflate is per-row CPU work and the local
+    // testdata arrives in one split — single-threaded without the spread,
+    // a no-op on a corpus whose scan is already parallel
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull))
       .as[(Long, String)]
       .mapPartitions { batch =>
         val deflater = new java.util.zip.Deflater(
@@ -755,40 +771,44 @@ object TextAnalysis {
     * curation pipeline reads when deciding which sources to prune or
     * re-weight wholesale.
     *
-    * Scale: ONE corpus scan. The (source, token) count table — map-side
-    * RLE via the native `word_counts`, one hash aggregate — is the
-    * session artifact; the corpus vocabulary, per-source totals, and
-    * grand total are all RE-AGGREGATED from it (vocabulary-sized inputs,
-    * never a second scan) and broadcast back. KL never materializes a
-    * cross-source product: each (source, token) row contributes its own
-    * term.
+    * Scale: ONE corpus scan. The (source, token) stats table — map-side
+    * RLE via the native `word_counts`, one hash aggregate, marginals
+    * attached at build time — is the session artifact
+    * ([[sourceTokenStats]]); this query is one pass over it. KL never
+    * materializes a cross-source product: each (source, token) row
+    * contributes its own term.
     * Determinism: each term is rounded then DECIMAL(28,9) — the
     * per-source sum is exact and order-insensitive; p and q are single
     * double divisions of exact longs (KL ≥ 0 up to the 1e-9 term
     * rounding; spec-pinned).
     */
-  /** The (source, token, count) table behind [[sourceDrift]] and
-    * [[topicTerms]] — one corpus scan per (session, corpus version),
-    * map-side RLE via the native `word_counts`, one hash aggregate,
-    * checkpointed at vocabulary×sources size.
+  /** The (source, token, c, ct, n_tokens, nt) stats table behind
+    * [[sourceDrift]] and [[topicTerms]] — one corpus scan per (session,
+    * corpus version), map-side RLE via the native `word_counts`, one hash
+    * aggregate, then the three marginals the consumers need are attached
+    * AT BUILD TIME: per-token corpus count `ct` and per-source total
+    * `n_tokens` as window sums over the count table (the same keyed
+    * exchanges the old per-query re-aggregations paid, now paid once),
+    * and the grand total `nt` as a 1-row broadcast. Checkpointed at
+    * vocabulary×sources size — the same artifact footprint as the bare
+    * count table, three long columns wider; each consumer query is then
+    * a single pass over the artifact instead of three re-aggregation +
+    * broadcast jobs of its own (measured 9→3 / 8→3 AQE jobs).
     */
-  private def sourceTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "source_token_counts", dir) {
-      Tables.spread(Tables.documents(spark, dir))
+  private def sourceTokenStats(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, "source_token_stats", dir) {
+      val st = Tables.spread(Tables.documents(spark, dir))
         .select(col("source"),
           explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
         .select(col("source"), col("tc.token").as("token"), col("tc.c").as("c"))
         .groupBy("source", "token").agg(sum("c").as("c"))
+      st.withColumn("ct", sum("c").over(Window.partitionBy("token")))
+        .withColumn("n_tokens", sum("c").over(Window.partitionBy("source")))
+        .crossJoin(broadcast(st.agg(sum("c").as("nt"))))
     }
 
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val st = sourceTokenCounts(spark, dir)
-    val tok = st.groupBy("token").agg(sum("c").as("ct"))
-    val ns = st.groupBy("source").agg(sum("c").as("n_tokens"))
-    val nt = ns.agg(sum("n_tokens").as("nt"))
-    st.join(broadcast(tok), Seq("token"))
-      .join(broadcast(ns), Seq("source"))
-      .crossJoin(broadcast(nt))
+    sourceTokenStats(spark, dir)
       .withColumn("p", col("c").cast("double") / col("n_tokens").cast("double"))
       .withColumn("q", col("ct").cast("double") / col("nt").cast("double"))
       .withColumn("term",
@@ -809,7 +829,7 @@ object TextAnalysis {
     * evidence a curation run attaches to a prune/re-weight decision.
     *
     * Scale: ZERO additional corpus work — reads the same
-    * `source_token_counts` session artifact as [[sourceDrift]] (one scan
+    * `source_token_stats` session artifact as [[sourceDrift]] (one scan
     * per session, amortized across the family); the per-source ranking
     * runs over the vocabulary-sized count table, and the `rank <= 5`
     * filter over row_number plans as a WindowGroupLimit, so each
@@ -820,13 +840,7 @@ object TextAnalysis {
     * break token-ascending.
     */
   def topicTerms(spark: SparkSession, dir: String): DataFrame = {
-    val st = sourceTokenCounts(spark, dir)
-    val tok = st.groupBy("token").agg(sum("c").as("ct"))
-    val ns = st.groupBy("source").agg(sum("c").as("n_tokens"))
-    val nt = ns.agg(sum("n_tokens").as("nt"))
-    st.join(broadcast(tok), Seq("token"))
-      .join(broadcast(ns), Seq("source"))
-      .crossJoin(broadcast(nt))
+    sourceTokenStats(spark, dir)
       .withColumn("lift", round(
         (col("c").cast("double") / col("n_tokens").cast("double")) /
           (col("ct").cast("double") / col("nt").cast("double")), 6))

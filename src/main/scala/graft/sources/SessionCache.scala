@@ -77,7 +77,22 @@ object SessionCache {
     // resolved plan pins the old file listing, so the rebuild below would
     // otherwise read the pre-mutation file set and rebuild a stale artifact
     if (superseded) Tables.invalidate(dir)
-    cache.computeIfAbsent(key, _ => build.localCheckpoint(eager = true))
+    // get-then-putIfAbsent, NOT computeIfAbsent: artifact builds NEST (the
+    // near-dup label artifact builds the minhash-pair artifact inside its
+    // own build), and ConcurrentHashMap.computeIfAbsent forbids reentrant
+    // mutation — it throws IllegalStateException("Recursive update") when
+    // the nested insert lands in a resizing bin (observed as a rare
+    // whole-suite flake). The trade: two racing threads may both run
+    // `build` and one checkpoint is discarded for the ContextCleaner —
+    // duplicated warm-up work, never a wrong answer; reentrancy is the
+    // common case and must not throw.
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint(eager = true)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write

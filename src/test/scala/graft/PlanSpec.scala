@@ -264,13 +264,14 @@ class PlanSpec extends SparkSpec {
       "expected the checkpointed fingerprint leaf")
   }
 
-  test("corpusMix broadcasts the 1-row total — no window, no second corpus scan") {
+  test("corpusMix: one corpus scan, share total via card window — no broadcast jobs") {
     val p = plan(graft.operators.TextAnalysis.corpusMix(spark, sf))
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      "corpus total must broadcast back to the mixture cells")
-    assert(!p.contains("Window"), "share must come from an aggregate, not a window")
-    // exactly one scan of documents.parquet: the total re-aggregates the
-    // checkpointed mixture-cell frame, it must not rescan the corpus
+    // the denominator is a single-partition window over the bounded
+    // mixture-cell card (≤ langs × sources rows) — no checkpoint, no
+    // re-aggregation, no broadcast subtree below the one corpus aggregate
+    assert(p.contains("Window"), "share total must ride a card window")
+    assert(!p.contains("Join"), "no broadcast join-back for the total")
+    // exactly one scan of documents.parquet
     assert("documents\\.parquet".r.findAllIn(p).size <= 1,
       "corpus total must derive from the cell aggregate, not a second scan")
   }
@@ -361,14 +362,16 @@ class PlanSpec extends SparkSpec {
       "1-row codebook cross join + broadcast centroid join")
   }
 
-  test("shuffleShards: one corpus scan — the share total reads the checkpointed card") {
+  test("shuffleShards: one corpus scan — the share total is a card window") {
     val p = plan(graft.operators.Sampling.shuffleShards(spark, sf))
     assert(!p.contains("documents.parquet") ||
       "documents\\.parquet".r.findAllIn(p).size <= 1,
-      "doc_share's denominator must re-aggregate the 8-row card, not the corpus")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      "the 1-row total must broadcast")
-    assert(!p.contains("Window"), "the card is pure hash aggregation")
+      "doc_share's denominator must derive from the NShards-row card, not the corpus")
+    // the denominator is a single-partition window over the NShards-row
+    // card — no checkpoint, re-aggregation, or broadcast job below the
+    // one corpus aggregate
+    assert(p.contains("Window"), "share total must ride a card window")
+    assert(!p.contains("Join"), "no broadcast join-back for the total")
   }
 
   test("knnLabel retrieval group-limits map-side like simBatchTopK") {
@@ -464,10 +467,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle on label")
     // global top-20 via per-partition heaps, never a full sort
     assert(p.contains("TakeOrderedAndProject"))
-    // the distance is computed inside the row: the second pass must not
-    // posexplode (only the centroid pass fans to (label, pos) partials)
-    assert("posexplode".r.findAllIn(p).size == 1,
-      "exactly one posexplode (the centroid pass) in the whole plan")
+    // the distance is computed inside the row: the per-query plan must
+    // not posexplode at all — the (label, pos) centroid fan lives in the
+    // session-cached centroid build, not in the probe
+    assert(!p.contains("posexplode"),
+      "the centroid pass is a session artifact; the probe must not fan")
+    assert("embeddings\\.parquet".r.findAllIn(p).size <= 1,
+      "one corpus scan — the centroid side reads the cached card")
   }
 
   test("dupInflation: two hash aggregates, no window, no sort before the histogram") {
