@@ -8,7 +8,10 @@ package graft
 object DevExplain {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
-    val name = args.find(_.startsWith("q_")).get
+    val name = args.find(_.startsWith("q_")).getOrElse {
+      System.err.println("usage: runMain graft.DevExplain q_name")
+      sys.exit(2)
+    }
     val spark = GraftSession.create()
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.count() // warm artifacts + AQE-finalize

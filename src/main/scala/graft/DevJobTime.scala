@@ -11,17 +11,23 @@ object DevJobTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(_.startsWith("/"))
       .getOrElse("/root/testdata/sf0.1")
-    val name = args.find(_.startsWith("q_")).get
+    val name = args.find(_.startsWith("q_")).getOrElse {
+      System.err.println("usage: runMain graft.DevJobTime [sfDir] q_name")
+      sys.exit(2)
+    }
     val spark = GraftSession.create()
+    // both buffers are touched from the async listener-bus thread AND the
+    // main thread (clear/iterate) — one lock covers every access
+    val lock = new Object
     val starts = mutable.Map[Int, Long]()
-    val rows = mutable.ArrayBuffer[(Int, Double, String)]()
+    val rows = mutable.ArrayBuffer[(Int, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.synchronized { starts(j.jobId) = j.time; () }
+        lock.synchronized { starts(j.jobId) = j.time; () }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.synchronized {
+        lock.synchronized {
           val d = (j.time - starts.getOrElse(j.jobId, j.time)) / 1e3
-          rows += ((j.jobId, d, ""))
+          rows += ((j.jobId, d))
           ()
         }
     })
@@ -29,13 +35,14 @@ object DevJobTime {
     // warm
     (1 to 2).foreach(_ => fn(spark, sfDir).count())
     Thread.sleep(500)
-    rows.clear()
+    lock.synchronized(rows.clear())
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300)
-    rows.foreach { case (id, d, _) => println(f"[jobtime] job=$id%4d ${d}%6.3f s") }
-    println(f"[jobtime] total wall ${wall}%6.3f s over ${rows.size} jobs")
+    val snap = lock.synchronized(rows.toList)
+    snap.foreach { case (id, d) => println(f"[jobtime] job=$id%4d ${d}%6.3f s") }
+    println(f"[jobtime] total wall ${wall}%6.3f s over ${snap.size} jobs")
     spark.stop()
   }
 }

@@ -8,7 +8,10 @@ package graft
 object DevPlanTime {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
-    val name = args.find(_.startsWith("q_")).get
+    val name = args.find(_.startsWith("q_")).getOrElse {
+      System.err.println("usage: runMain graft.DevPlanTime q_name")
+      sys.exit(2)
+    }
     val spark = GraftSession.create()
     val fn = SparkEntry.queries(name)
     (1 to 2).foreach(_ => fn(spark, sfDir).count())

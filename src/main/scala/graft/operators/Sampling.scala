@@ -68,7 +68,6 @@ object Sampling {
     * chars give the same 4096-bucket histogram the old bit-shift did.
     */
   def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hash = md5(col(keyCol).cast("string"))
     val bucket = substring(hash, 1, 3)
     val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
@@ -447,10 +446,10 @@ object Sampling {
     * in shuffle order (the spot-check handles a resumed trainer logs).
     *
     * Scale: shard assignment and the shuffle key are map-side row-local
-    * functions; ONE hash aggregate produces the 8-row card, which is
-    * localCheckpointed so the corpus-share denominator re-aggregates the
-    * CARD, not the corpus (one scan total — the q_mix_report shape minus
-    * its second scan). The actual data movement lives in
+    * functions; ONE hash aggregate produces the NShards-row card, and the
+    * corpus-share denominator is a window sum over that coalesced card —
+    * no checkpoint, re-aggregation, or broadcast below the one corpus
+    * aggregate (the q_mix_report shape). The actual data movement lives in
     * [[writeTrainingShards]]; this card is its dry-run accounting.
     * Determinism: integer sums exact; doc_share is one double division;
     * first/last doc via min_by/max_by on the full 32-hex-char hash (md5
@@ -472,6 +471,7 @@ object Sampling {
     // so no checkpoint, re-aggregation, or broadcast job exists below the
     // one corpus aggregate
     cells
+      .coalesce(1) // SinglePartition satisfies the window — no exchange
       .withColumn("tot", sum("n_docs").over(Window.partitionBy()))
       .select(col("shard"), col("n_docs"),
         round(col("n_docs").cast("double") / col("tot"), 6).as("doc_share"),

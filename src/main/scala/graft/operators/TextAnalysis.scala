@@ -58,6 +58,7 @@ object TextAnalysis {
     // frame, the cardSort argument): one corpus aggregate, and no
     // checkpoint / re-aggregation / broadcast job below it
     cells
+      .coalesce(1) // SinglePartition satisfies the window — no exchange
       .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
       .select(
         col("lang"), col("source"), col("n_docs"), col("n_tokens"),
@@ -793,7 +794,7 @@ object TextAnalysis {
     * vocabulary×sources size — the same artifact footprint as the bare
     * count table, three long columns wider; each consumer query is then
     * a single pass over the artifact instead of three re-aggregation +
-    * broadcast jobs of its own (measured 9→3 / 8→3 AQE jobs).
+    * broadcast jobs of its own (measured 9→2 / 8→2 AQE jobs).
     */
   private def sourceTokenStats(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, "source_token_stats", dir) {
