@@ -21,6 +21,7 @@ object GraftSession {
         graft.plans.MinHashUnion.inject(ext)
         graft.plans.WeightedDotSorted.inject(ext)
         graft.plans.SimHash64.inject(ext)
+        graft.plans.DecimalFolds.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -67,18 +67,17 @@ object Similarity {
   def quantizeEmbed(spark: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-    // order-insensitive per-vector sum: each double term casts to
-    // DECIMAL(28,12) (the vectorNorms discipline) and the fold re-casts
-    // the accumulator so the decimal type stays fixed across steps
-    def dsum(arr: Column): Column = aggregate(
-      arr, lit(0).cast("decimal(28,12)"),
-      (acc, x) => (acc + x.cast("decimal(28,12)")).cast("decimal(28,12)"))
+    // order-insensitive per-vector sum: each double term rounds to
+    // DECIMAL scale 12 and sums exactly — the native `dsum12` fold
+    // (plans/DecimalFolds) runs the identical arithmetic to the old
+    // aggregate(..., cast(dec)) HOF chain in one primitive loop
+    def dsum(arr: Column): Column = call_function("dsum12", arr)
     val errSq = dsum(zip_with(v, transform(v, x => round(x / scale) * scale),
       (x, q) => pow(x - q, 2)))
     val normSq = dsum(transform(v, x => pow(x, 2)))
     Tables.embeddings(spark, dir)
       .select(col("label"),
-        round(sqrt(errSq.cast("double") / normSq.cast("double")), 6).as("rel_err"))
+        round(sqrt(errSq / normSq), 6).as("rel_err"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -168,13 +167,12 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p("m")).as("c"))
     }
+    // native fused fold (plans/DecimalFolds): Σ dec12((x-m)²) in one
+    // primitive loop, bit-identical to the interpreted
+    // aggregate(zip_with(...)) HOF chain it replaces (oracle re-verified)
     e.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
-        round(sqrt(aggregate(
-          zip_with(col("v"), col("c"), (x, m) => (x - m) * (x - m)),
-          lit(0).cast(dec),
-          (acc, t) => (acc + t.cast(dec)).cast(dec)).cast("double")), 6)
-          .as("dist"))
+        round(sqrt(expr("sq_dist_sum12(v, c)")), 6).as("dist"))
       .orderBy(desc("dist"), asc("vec_id"))
       .limit(20)
   }

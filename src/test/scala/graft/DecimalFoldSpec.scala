@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native decimal folds (plans/DecimalFolds) must be bit-for-bit
+  * equal to the higher-order `aggregate(..., cast(decimal(28,12)))` forms
+  * they replace — the embed-family oracles hash the 6th decimal of these
+  * sums, so "close" is not equal. Compared on deterministic pseudo-random
+  * vectors spanning sign changes, tiny magnitudes (sub-rounding), and
+  * exact-tie .5 rounding boundaries at scale 12.
+  */
+class DecimalFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dec = "decimal(28,12)"
+
+  private def vectors: Seq[(Long, Seq[Double], Seq[Double])] = {
+    val rnd = new scala.util.Random(7L)
+    (0L until 64L).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      def vec = Seq.fill(n)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3))
+      // exact scale-12 ties land on the HALF_UP boundary in both paths
+      val tied = vec.updated(0, 0.0000000000005)
+      (i, tied, vec)
+    }
+  }
+
+  test("dsum12 equals the aggregate(cast(dec)) fold bit-for-bit") {
+    val df = vectors.map { case (i, a, _) => (i, a) }.toDF("id", "v")
+    val rows = df.select(
+        col("id"),
+        call_function("dsum12", col("v")).as("native"),
+        aggregate(col("v"), lit(0).cast(dec),
+          (acc, x) => (acc + x.cast(dec)).cast(dec)).cast("double").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+    assert(rows.length == 64)
+  }
+
+  test("sq_dist_sum12 equals the zip_with+aggregate fold bit-for-bit") {
+    val df = vectors
+      .map { case (i, a, b) => (i, a, a.zip(b).map(_._2).take(a.length).padTo(a.length, 0.1)) }
+      .toDF("id", "v", "c")
+    val rows = df.select(
+        col("id"),
+        call_function("sq_dist_sum12", col("v"), col("c")).as("native"),
+        aggregate(
+          zip_with(col("v"), col("c"), (x, m) => (x - m) * (x - m)),
+          lit(0).cast(dec),
+          (acc, t) => (acc + t.cast(dec)).cast(dec)).cast("double").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
+  test("null element and length mismatch null the result, like the HOF form") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0))
+    ).toDF("id", "v", "c")
+    val rows = df.select(
+        col("id"),
+        call_function("dsum12", col("v")).as("ns"),
+        call_function("sq_dist_sum12", col("v"), col("c")).as("nd"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "null element must null dsum12")
+    assert(rows(0).isNullAt(2), "null element must null sq_dist_sum12")
+    assert(rows(1).isNullAt(2), "length mismatch must null sq_dist_sum12")
+  }
+}
