@@ -60,6 +60,21 @@ class DecimalFoldSpec extends SparkSpec {
     }
   }
 
+  test("the folds keep their stage in whole-stage codegen") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Similarity.embedOutliers(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the *(N) marker must wrap the distance projection — CodegenFallback
+      // would leave the sq_dist_sum12 line unstarred (the ContractSpec
+      // cosine_sim discipline)
+      assert(plan.linesIterator.exists(l =>
+        l.contains("sq_dist_sum12") && l.trim.matches("""[+:-]*\s*\*\(\d+\).*""")),
+        s"distance projection not in a codegen stage:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("null element and length mismatch null the result, like the HOF form") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
