@@ -35,4 +35,34 @@ class SessionCacheSpec extends SparkSpec {
     assert(artifact().count() == 5)
     assert(builds == 3, "invalidate must force the next probe to rebuild")
   }
+
+  test("artifact builds may nest (a build probing another artifact)") {
+    // the real dependency shape: nearDupLabels' build probes the
+    // minhash-pair artifact inside its own build. Under the old
+    // computeIfAbsent-wrapped build this pattern could throw
+    // IllegalStateException("Recursive update") when the inner insert hit
+    // a resizing bin; the get-then-putIfAbsent form must always succeed,
+    // and both levels must cache. Many keys so at least one run crosses
+    // the map's resize threshold.
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sc-nest").toString
+    Seq(1, 2, 3).toDF("x").write.mode("overwrite").parquet(s"$dir/t")
+    var inner = 0
+    var outer = 0
+    (1 to 24).foreach { i =>
+      def leaf() = SessionCache.cached(spark, s"sc_nest_leaf_$i", dir) {
+        inner += 1
+        spark.read.parquet(s"$dir/t")
+      }
+      val composed = SessionCache.cached(spark, s"sc_nest_outer_$i", dir) {
+        outer += 1
+        leaf().select(org.apache.spark.sql.functions.col("x") * 2 as "y")
+      }
+      assert(composed.count() == 3)
+      assert(leaf().count() == 3)
+    }
+    assert(inner == 24 && outer == 24,
+      s"each level must build exactly once per key (inner=$inner outer=$outer)")
+  }
 }
