@@ -543,6 +543,10 @@ object Similarity {
           col("band_key")).as("cell"))
       .agg(count(lit(1)).as("n"))
     ivfCells.unionByName(lshCells)
+      // cell cards are index GEOMETRY (≤ pivots + bands·2^bandBits rows,
+      // corpus-size-independent) — one coalesced partition satisfies the
+      // family rollup's clustering requirement, no third exchange
+      .coalesce(1)
       .groupBy("index")
       .agg(
         count(lit(1)).as("n_cells"),
