@@ -60,6 +60,21 @@ class DecimalFoldSpec extends SparkSpec {
     }
   }
 
+  test("dsum12 is order-insensitive — the property the oracle match rests on") {
+    // DuckDB's SUM over unnested rows has no deterministic order; the
+    // engines agree because each term rounds to scale 12 BEFORE an exact
+    // sum. Permuting the array must therefore never move any bit.
+    val rnd = new scala.util.Random(11L)
+    val base = Seq.fill(80)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 4))
+    val perms = (0 until 8).map(i => new scala.util.Random(i).shuffle(base))
+    val rows = perms.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "v")
+      .select(call_function("dsum12", col("v")).as("s"))
+      .collect().map(r => java.lang.Double.doubleToLongBits(r.getDouble(0)))
+    assert(rows.distinct.length == 1,
+      s"permutations produced ${rows.distinct.length} distinct bit patterns")
+  }
+
   test("the folds keep their stage in whole-stage codegen") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
