@@ -117,16 +117,21 @@ object Bench {
       s"${jstr(k)}:[${cells.mkString(",")}]"
     }.mkString("{", ",", "}")
     val lapTotals = laps.map(_.values.flatMap(_.toOption).sum).mkString("[", ",", "]")
-    // load line BEFORE the headline (2 KB-tail rule: the headline must be
-    // the last line; the load line is ~100 B so both survive the tail)
+    // 2 KB-tail print order (the driver keeps only the raw END of stdout):
+    // the 100-query headline map alone exceeds 2 KB, so ANY line printed
+    // before it is gone — r12 printed load/concurrent before the headline
+    // and both were truncated out of BENCH_r12.json, leaving that round's
+    // only >2% regression unadjudicable. Order now: long laps detail first
+    // (sacrificial), then the headline (its trailing value/n_errors/errors
+    // scalars sit ~300 B from EOF and survive), then the two ~100-250 B
+    // load/concurrent detail lines LAST so they always survive the tail.
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
+    // headline scalars AFTER the 100-entry query map: the tail keeps the
+    // END of this line — r9's tail cut metric/value/n_errors off the front
+    // when they led the line
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"cpus":${Runtime.getRuntime.availableProcessors()}}""")
     println(s"""{"detail":"concurrent","pool":$concPool,"wall":${"%.3f".format(concWall)},"sequential_total":${"%.3f".format(total)},"overlap_x":${"%.2f".format(total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
-    // headline scalars AFTER the 100-entry query map: the ~2 KB tail keeps
-    // the END of this line, and at 100 queries the map alone exceeds 2 KB —
-    // r9's tail cut metric/value/n_errors off the front and the round report
-    // had to infer the error count from a query's absence
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,9 @@ import graft.sources.{SessionCache, Tables}
   *    ([[graft.streaming.Streams.annIngestSink]]) appends. A probe joins
   *    the index against its ≤ nprobe probed cluster ids and Spark's
   *    dynamic partition pruning reduces the scan to those directories;
-  *    the other 14/16ths of the corpus are never opened.
+  *    with k = √n cells ([[pivotCount]]) and nprobe = √k
+  *    ([[probeCount]]) the unopened fraction GROWS with the corpus —
+  *    a probe reads ~n^(3/4) rows, not a fixed 1/16th regime.
   *  - LSH: the banded signature table (vec_id, band_id, band_key),
   *    PARTITIONED BY (band_id, band_key) — the partition layout IS the
   *    hash-bucket index. KEY-ONLY (24 B/row), never the vector payload,
@@ -51,23 +53,56 @@ import graft.sources.{SessionCache, Tables}
   */
 object AnnIndex {
 
-  /** Pivot count (coarse clusters) and probe width. nprobe=4 (25% of the
-    * 16 toy cells) measures recall@10 = 0.5 vs 0.3 at nprobe=2 for the
-    * same ~0.3 s probe — the scan is floor-dominated at this scale, so the
-    * wider probe is free here; production tunes √n pivots and sets nprobe
-    * from the recall card ([[Similarity.annRecall]]), where each extra
-    * probed cell costs 1/√n of a corpus scan, not a fixed floor.
+  /** Pivot-count (coarse-cluster) bounds: the codebook size is derived
+    * from the CORPUS ROW COUNT as √n clamped to [[[MinPivots]],
+    * [[MaxPivots]]] ([[pivotCount]]) — the same corpus-size-adaptive
+    * discipline as the embed-dedup band bits
+    * ([[Dedup]]'s `embedBandBits`). A fixed cell count is a scale
+    * killer: with k frozen at 16, every probe scans n·nprobe/16 rows —
+    * linear in the corpus forever. With k = √n and nprobe = √k
+    * ([[probeCount]]) a probe opens √k cells of n/√n = √n rows each,
+    * i.e. ~n^(3/4) rows — a real asymptotic win that keeps shrinking as
+    * a FRACTION of the corpus as it grows (0.4% of cells probed at the
+    * 65536-pivot cap). The floor 16 reproduces the toy geometry the
+    * recall card was measured under (nprobe=4 of 16 cells: recall@10 =
+    * 0.5 vs 0.3 at nprobe=2 for the same floor-dominated ~0.3 s);
+    * the cap bounds driver/broadcast cost (65536 pivots × 64 dims × 8 B
+    * = 32 MB codebook). Deployments tune nprobe from the recall card
+    * ([[Similarity.annRecall]]), where each extra probed cell costs
+    * ~1/k of a corpus scan, not a fixed floor.
     */
-  val NPivots = 16
+  val MinPivots = 16
+  val MaxPivots = 65536
+
+  /** Codebook size for a corpus of `n` vectors: √n in [MinPivots,
+    * MaxPivots]. */
+  def pivotCount(n: Long): Int = {
+    val k = math.round(math.sqrt(math.max(n, 1L).toDouble))
+    math.max(MinPivots.toLong, math.min(MaxPivots.toLong, k)).toInt
+  }
+
+  /** Minimum probe width; the adaptive width is [[probeCount]]. */
   val NProbe = 4
+
+  /** Probe width for a k-cell codebook: √k, floored at [[NProbe]] — at
+    * the 16-cell floor this is exactly the measured nprobe=4 geometry,
+    * and at k = √n it makes probe cost n/√k ≈ n^(3/4) rows.
+    */
+  def probeCount(k: Int): Int =
+    math.max(NProbe, math.ceil(math.sqrt(math.max(k, 1).toDouble)).toInt)
 
   /** k-means build parameters: Lloyd iterations over a deterministic
     * unbiased sample (see [[kmeansSample]]). 4 iterations is where the
-    * sample's assignment churn flatlines at this dimensionality;
-    * production tunes sample size ∝ k.
+    * sample's assignment churn flatlines at this dimensionality. The
+    * sample size scales ∝ k ([[sampleSize]]: ≥ 32 ids per pivot, floored
+    * at the round-6 constant 4096) so a large codebook never trains on
+    * fewer sample points than pivots; at the 65536-pivot cap that is a
+    * 2 M-row sample — still distributed work (the only driver-sized
+    * object is the k×dim centroid matrix).
     */
   val KmeansIters = 4
   val SampleIds = 4096L
+  def sampleSize(k: Int): Long = math.max(SampleIds, 32L * k)
 
   /** LSH parameters: 16 random hyperplanes (seed 42) banded as 4 bands of
     * 4 bits — 4 band keys per vector, 64 (band_id, band_key) buckets.
@@ -170,27 +205,35 @@ object AnnIndex {
     * `vec_id < SampleIds` — the OLDEST ids; a real corpus is appended
     * source-by-source, so that codebook trained on the first source only
     * and recall degraded for everything after it. One corpus pass
-    * (per-partition top-k heaps, k rows to the driver), materialized with
-    * localCheckpoint so the Lloyd iterations never rescan the corpus.
+    * (per-partition top-k heaps; the top-n reduction lands in one task —
+    * bounded at [[sampleSize]]'s 2 M-row cap, never the driver),
+    * materialized with localCheckpoint so the Lloyd iterations never
+    * rescan the corpus.
     */
-  private[graft] def kmeansSample(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansSample(
+      spark: SparkSession, dir: String, n: Long): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
-      .limit(SampleIds.toInt)
+      .limit(n.toInt)
       .localCheckpoint(true)
 
   /** Sampled k-means centroids (Lloyd), the real IVF codebook build:
-    *  - sample = [[kmeansSample]] — deterministic, unbiased, materialized;
-    *  - seed = the first [[NPivots]] sample vectors in sample (hash) order;
+    *  - k = [[pivotCount]] of the corpus row count (√n clamped) — one
+    *    count job per corpus version, cached with the codebook itself;
+    *  - sample = [[kmeansSample]] at [[sampleSize]](k) rows —
+    *    deterministic, unbiased, materialized;
+    *  - seed = the first k sample vectors in sample (hash) order;
     *  - each iteration assigns the sample map-side against the broadcast
     *    codebook (same argmax as [[assign]]) and recomputes per-dimension
     *    means with DECIMAL-exact sums, so centroids are bit-stable under
     *    any partitioning — a float partial-sum wobble here would flip
     *    borderline cell assignments between the on-disk index and a fresh
     *    probe codebook across JVMs;
-    *  - only k×dim doubles ever reach the driver (the centroids), per
-    *    iteration; empty cells keep their previous centroid.
+    *  - only k×dim doubles ever reach the driver (the centroids — the
+    *    per-dim means are rolled up to ONE row per cluster before the
+    *    collect, so the driver sees k rows, ≤ 32 MB at the pivot cap),
+    *    per iteration; empty cells keep their previous centroid.
     * Cached per corpus version (same fingerprint key as [[ensureIvf]]).
     */
   def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
@@ -201,25 +244,35 @@ object AnnIndex {
       spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
     val key = s"$dir|$version"
     val entry = centroidCache.computeIfAbsent(key, _ => centroidTick.incrementAndGet() -> {
-      val sample = kmeansSample(spark, dir)
+      // corpus-size-adaptive k (√n clamp): the count job runs once per
+      // corpus version — its result is cached here with the codebook
+      val kTarget = pivotCount(Tables.embeddings(spark, dir).count())
+      val sample = kmeansSample(spark, dir, sampleSize(kTarget))
       var cents: Seq[Array[Double]] = sample
         // dropDuplicates: an appended corpus may repeat ids (same vector)
         .dropDuplicates("vec_id")
         .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
-        .limit(NPivots)
+        .limit(kTarget)
         .collect().map(_.getSeq[Double](1).toArray).toSeq
-      val k = cents.size // corpus smaller than NPivots degrades gracefully
+      val k = cents.size // corpus smaller than kTarget degrades gracefully
       for (_ <- 1 to KmeansIters) {
         val means = assign(sample, codebookOf(spark, cents))
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cluster", "pos")
           .agg((sum(col("x").cast("decimal(28,12)")) /
             count(lit(1))).cast("double").as("m"))
+          // roll the per-dim means up to ONE row per cluster before the
+          // collect: the driver materializes k rows (≤ MaxPivots), not
+          // k×dim — at the 65536-pivot cap the row-per-(cluster,pos)
+          // collect would be 4 M driver Rows for 64 dims
+          .groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
           .collect()
-          .groupBy(_.getAs[Long]("cluster"))
-          .map { case (c, rows) =>
-            c.toInt -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m"))
-          }
+          .map { r =>
+            r.getAs[Long]("cluster").toInt ->
+              r.getSeq[org.apache.spark.sql.Row](1)
+                .map(_.getAs[Double]("m")).toArray
+          }.toMap
         cents = (0 until k).map(c => means.getOrElse(c, cents(c).clone()))
       }
       // round for cross-run stability at the cell boundary
@@ -290,9 +343,9 @@ object AnnIndex {
       .drop("pvs")
 
   /** Read schema for the inverted file. `cluster` is declared INT (its
-    * values are pivot ids < 16) so the partition-column type never depends
-    * on discovery inference, and probe keys compare without casts —
-    * a cast around the partition column would defeat pruning.
+    * values are pivot ids < [[MaxPivots]]) so the partition-column type
+    * never depends on discovery inference, and probe keys compare without
+    * casts — a cast around the partition column would defeat pruning.
     */
   private val IvfSchema = "vec_id BIGINT, v ARRAY<DOUBLE>, cluster INT"
 

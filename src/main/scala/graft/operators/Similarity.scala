@@ -283,30 +283,34 @@ object Similarity {
   /** How many query vectors the batched variants serve (vec_id 0..4). */
   val BatchQueries = 5
 
-  /** O4'' — IVF (inverted-file) ANN: probe the query's [[AnnIndex.NProbe]]
-    * nearest clusters of the MATERIALIZED inverted file; exact cosine
+  /** O4'' — IVF (inverted-file) ANN: probe the query's nearest
+    * [[AnnIndex.probeCount]] clusters (√k, floored at
+    * [[AnnIndex.NProbe]]) of the MATERIALIZED inverted file; exact cosine
     * re-rank of the probed cells only.
     *
     * The full-corpus coarse assignment happens once per corpus version in
     * [[AnnIndex.ensureIvf]] (ingest-time work, shared with the streaming
     * ingester's layout) — this probe never recomputes it. Probe cluster
-    * selection is [[AnnIndex.NPivots]] cosines against the broadcast query;
+    * selection is k cosines against the broadcast query (k =
+    * [[AnnIndex.pivotCount]], √n of the corpus — the cached codebook);
     * the index join is a broadcast hash join on the PARTITION column, so
     * dynamic partition pruning reduces the parquet scan to the ≤ nprobe
-    * probed directories (pinned in PlanSpec) — at 100 TB the other
-    * 14/16ths of the corpus are never opened.
+    * probed directories (pinned in PlanSpec) — at 100 TB a probe reads
+    * ~n^(3/4) rows and the unopened fraction grows with the corpus.
     */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     // one corpus-version resolution per probe, shared by pivots + index
     // (each resolution is an O(1) marker read on a managed store but a
     // full metadata listing on an unmanaged one)
     val ver = AnnIndex.corpusVersion(spark, dir)
+    // cached codebook — sizing the probe width off it costs no job
+    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
     val q = withVec(spark, dir).where(col("vec_id") === 0L)
       .select(col("v").as("qv"))
     val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(q))
       .select(col("pivot_id"), expr("cosine_sim(pv, qv)").as("psim"))
       .orderBy(desc("psim"), asc("pivot_id"))
-      .limit(AnnIndex.NProbe)
+      .limit(nprobe)
       .select(col("pivot_id").cast("int").as("cluster"))
 
     AnnIndex.ivf(spark, dir, ver)
@@ -320,8 +324,9 @@ object Similarity {
 
   /** Batched IVF ANN: [[BatchQueries]] queries probed in ONE plan against
     * the materialized inverted file — cluster selection for ALL queries is
-    * a single K×[[AnnIndex.NPivots]] broadcast product (per-query rank via
-    * WindowGroupLimit over ≤ K·16 rows), and the index scan is pruned by
+    * a single K×k broadcast product (k = [[AnnIndex.pivotCount]], √n of
+    * the corpus; per-query rank via WindowGroupLimit over ≤ K·k rows),
+    * and the index scan is pruned by
     * dynamic partition pruning to the UNION of the probed cells, each read
     * once even when several queries probe it. A corpus row in a
     * multi-probed cell fans per probing query AFTER the pruned scan,
@@ -333,6 +338,7 @@ object Similarity {
     */
   def simAnnBatch(spark: SparkSession, dir: String): DataFrame = {
     val ver = AnnIndex.corpusVersion(spark, dir)
+    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
     val qs = withVec(spark, dir).where(col("vec_id") < BatchQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(qs))
@@ -340,7 +346,7 @@ object Similarity {
         expr("cosine_sim(pv, qv)").as("psim"))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(desc("psim"), asc("pivot_id"))))
-      .where(col("pr") <= AnnIndex.NProbe)
+      .where(col("pr") <= nprobe)
       .select(col("qid"), col("pivot_id").cast("int").as("cluster"))
 
     AnnIndex.ivf(spark, dir, ver)

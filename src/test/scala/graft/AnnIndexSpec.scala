@@ -18,8 +18,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.count() == corpusN)
     assert(idx.select("vec_id").distinct().count() == corpusN,
       "each vector appears in exactly one cell")
+    val k = AnnIndex.centroids(spark, sf).size
+    assert(k == AnnIndex.pivotCount(corpusN),
+      "codebook size must follow the corpus-size-adaptive formula")
     val cells = idx.select("cluster").distinct().collect().map(_.getInt(0))
-    assert(cells.forall(c => c >= 0 && c < AnnIndex.NPivots))
+    assert(cells.forall(c => c >= 0 && c < k))
+  }
+
+  test("pivot and probe counts scale with corpus size (√n / √k, clamped)") {
+    // floor regime: tiny corpora keep the measured 16-cell / nprobe=4 toy
+    // geometry the recall card was calibrated on
+    assert(AnnIndex.pivotCount(0L) == AnnIndex.MinPivots)
+    assert(AnnIndex.pivotCount(256L) == AnnIndex.MinPivots)
+    assert(AnnIndex.probeCount(AnnIndex.MinPivots) == AnnIndex.NProbe)
+    // √n regime: k grows with the corpus — the r12 fixed-16 scale killer
+    assert(AnnIndex.pivotCount(10_000L) == 100)
+    assert(AnnIndex.pivotCount(1_000_000L) == 1000)
+    assert(AnnIndex.probeCount(100) == 10)
+    // cap regime: codebook (and its broadcast/driver cost) stays bounded
+    assert(AnnIndex.pivotCount(Long.MaxValue) == AnnIndex.MaxPivots)
+    // monotone: more corpus never means fewer cells
+    val ns = Seq(1L, 500L, 2000L, 50_000L, 10_000_000L, 1L << 40)
+    val ks = ns.map(AnnIndex.pivotCount)
+    assert(ks == ks.sorted)
+    // sample is never smaller than the codebook it seeds
+    ks.foreach(k => assert(AnnIndex.sampleSize(k) >= 32L * k))
+    // probe cost n·probeCount(k)/k at k=√n shrinks as a FRACTION of the
+    // corpus as it grows — the scaling property the fixed codebook lacked
+    val frac = ns.map(n =>
+      AnnIndex.probeCount(AnnIndex.pivotCount(n)).toDouble / AnnIndex.pivotCount(n))
+    assert(frac == frac.sorted.reverse)
   }
 
   test("index cells agree with a fresh argmax assignment") {

@@ -272,7 +272,7 @@ class DedupSimilaritySpec extends SparkSpec {
       "every vector lands in exactly one cell")
     val clusters = prof.map(_.getAs[Int]("cluster"))
     assert(clusters.distinct.length == clusters.length)
-    assert(clusters.forall(c => c >= 0 && c < AnnIndex.NPivots))
+    assert(clusters.forall(c => c >= 0 && c < AnnIndex.centroids(spark, sf).size))
     prof.foreach { r =>
       val share = r.getAs[Double]("top_share")
       assert(share > 0.0 && share <= 1.0)
@@ -405,7 +405,7 @@ class DedupSimilaritySpec extends SparkSpec {
       "IVF inverts every corpus vector exactly once")
     assert(card("lsh").getAs[Long]("n_entries") == n * AnnIndex.LshBands,
       "LSH stores one signature row per (vector, band)")
-    assert(card("ivf").getAs[Long]("n_cells") <= AnnIndex.NPivots)
+    assert(card("ivf").getAs[Long]("n_cells") <= AnnIndex.centroids(spark, sf).size)
     assert(card("lsh").getAs[Long]("n_cells") <=
       AnnIndex.LshBands.toLong * (1L << AnnIndex.LshBandBits))
     card.values.foreach { r =>
