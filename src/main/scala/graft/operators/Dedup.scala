@@ -122,9 +122,11 @@ object Dedup {
     * bucket. For exact-duplicate floods that is the RIGHT loss (the kept
     * members still link the cluster; [[dedupExact]] handles exact copies
     * anyway); for genuinely diverse hot buckets it bounds worst-case cost
-    * at the price of recall, which is why it is off (0) by default and a
-    * production run sets `spark.graft.dedup.bucketCap` to ~10× the
-    * expected bucket width.
+    * at the price of recall. The text paths default to
+    * [[DefaultTextBucketCap]] (measured: ≥95% planted-pair recall while
+    * a 500-doc flood stays O(cap²) — DedupSimilaritySpec); a production
+    * run re-tunes `spark.graft.dedup.bucketCap` to ~10× its expected
+    * bucket width, or 0 to disable.
     *
     * Cost: one row_number window partitioned by the bucket key — the hot
     * bucket sorts O(width log width) in one reducer, which is the O(n)
@@ -141,9 +143,30 @@ object Dedup {
         .drop("__rk")
     }
 
-  /** The configured bucket cap (0 = uncapped, the default). */
+  /** The EXPLICITLY configured global bucket cap (0 = unset/uncapped) —
+    * the raw conf, consumed by [[textBucketCap]] and [[embedBucketCap]],
+    * each of which supplies its own measured default when it is unset.
+    */
   private[graft] def bucketCap(spark: SparkSession): Int =
     spark.conf.get("spark.graft.dedup.bucketCap", "0").toInt
+
+  /** Text-path bucket cap — ON by default, mirroring the embed path's
+    * [[embedBucketCap]] (the r12 state had the embed default measured and
+    * the text paths opt-in, which left the minhash/simhash/ngram pair
+    * generators flood-bounded only when a deployment remembered the
+    * conf). 64 is the same planted-flood-measured default: natural text
+    * buckets are narrow (64-bit minhash band hashes collide only for
+    * near-dups; ngram blocks are (lang, source, 32-char-band) — max
+    * measured width 16 at sf0.1), so the cap touches ONLY flood buckets,
+    * where the kept members still link the cluster. DedupSimilaritySpec
+    * measures ≥95% planted-pair recall at this default against a 500-doc
+    * boilerplate flood on all three generators. Set
+    * `spark.graft.dedup.bucketCap` to re-tune, 0 to disable.
+    */
+  private[graft] val DefaultTextBucketCap = 64
+  private[graft] def textBucketCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.bucketCap").map(_.toInt)
+      .getOrElse(DefaultTextBucketCap)
 
   /** (doc_id, sh) → one (doc_id, band_id, band_hash) row per LSH band:
     * 16 bands × 4 minhash rows, each band hashed to one 8-byte key.
@@ -183,7 +206,7 @@ object Dedup {
     // candidate join must shuffle 24-byte rows, not kilobyte payloads;
     // capBuckets bounds a pathological bucket's width when configured
     val banded = capBuckets(
-      bandRows(sh), Seq("band_id", "band_hash"), "doc_id", bucketCap(spark))
+      bandRows(sh), Seq("band_id", "band_hash"), "doc_id", textBucketCap(spark))
 
     val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
@@ -458,16 +481,51 @@ object Dedup {
     * Scale: identical shape to [[dedupMinhash]] — the segment join shuffles
     * (seg_id, seg, doc_id, fp) rows (~28 B), never text; no O(n²) stage.
     * Larger radii use more/smaller segments.
+    *
+    * Cap trade, measured: unlike minhash band hashes (64-bit — collide
+    * only for near-dups), 16-bit segment values are vocabulary-biased, so
+    * REAL corpora grow wide segment buckets (widest 179 of 5 000 docs at
+    * sf0.1) and the default [[textBucketCap]] engages there, bounding the
+    * O(width²) candidate blowup segment banding otherwise develops with
+    * corpus size. Completeness then holds per surviving bucket
+    * membership: at sf0.1 the default cap keeps 488/525 (93%) of all
+    * radius-≤3 pairs and the top-20 view is unchanged; set the conf to 0
+    * to restore the full pigeonhole guarantee at the quadratic price.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = simhashFps(spark, dir)
-    val banded = capBuckets(
-      fps.select(
-        col("doc_id"), col("fp"),
-        posexplode(array(Seq.tabulate(4)(i =>
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("seg_id", "seg"))),
-      Seq("seg_id", "seg"), "doc_id", bucketCap(spark))
+    // skew probe over the cached 16 B/row fingerprint artifact — one
+    // card-sized aggregate per (app, corpus version); a skew-free corpus
+    // skips the cap window entirely
+    val cap = skewAdaptiveTextCap(spark, dir, "simhash") {
+      simhashSegs(fps).groupBy("seg_id", "seg").count()
+        .agg(max("count")).head().getLong(0)
+    }
+    simhashPairsOf(spark, fps, cap)
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  /** (doc_id, fp) → one row per 16-bit pigeonhole segment — shared by the
+    * pair join and the skew-probe so both see identical buckets. */
+  private def simhashSegs(fps: DataFrame): DataFrame =
+    fps.select(
+      col("doc_id"), col("fp"),
+      posexplode(array(Seq.tabulate(4)(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("seg_id", "seg")))
+
+  /** The unlimited pair core of [[dedupSimhashPairs]] over an explicit
+    * (doc_id, fp) frame — the seam the adversarial bucket-cap spec drives
+    * with a synthetic boilerplate flood (DedupSimilaritySpec; no skew
+    * probe — the spec decides capped vs uncapped via the conf).
+    */
+  private[graft] def simhashPairsOf(spark: SparkSession, fps: DataFrame): DataFrame =
+    simhashPairsOf(spark, fps, textBucketCap(spark))
+
+  private[graft] def simhashPairsOf(
+      spark: SparkSession, fps: DataFrame, cap: Int): DataFrame = {
+    val banded = capBuckets(simhashSegs(fps), Seq("seg_id", "seg"), "doc_id", cap)
 
     banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       .join(banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
@@ -477,8 +535,6 @@ object Dedup {
         expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .where(col("hamming") <= 3) // the radius the banding makes complete
       .distinct()
-      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
-      .limit(20)
   }
 
   /** Character n-gram Jaccard near-dup within blocking buckets.
@@ -487,11 +543,35 @@ object Dedup {
     * top-20 most similar pairs overall.
     * Scale: pair count is Σ blockᵢ² not n²; block width is bounded by the
     * (lang, source, length-band) key, and a boilerplate-flooded block is
-    * additionally bounded by [[capBuckets]] when
-    * `spark.graft.dedup.bucketCap` is set. The gram sets shuffle once
-    * (hash join on the block key).
+    * additionally bounded by [[capBuckets]] at [[textBucketCap]] (on by
+    * default). The gram sets shuffle once (hash join on the block key).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    // skew probe over the 3 meta columns only (no gram hashing) — one
+    // card-sized aggregate per (app, corpus version); slack 2 because the
+    // b side of the block join spans two length bands
+    val cap = skewAdaptiveTextCap(spark, dir, "ngram", slack = 2) {
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 32).cast("int").as("lband"))
+        .count().agg(max("count")).head().getLong(0)
+    }
+    ngramPairsOf(spark, Tables.spread(Tables.documents(spark, dir)), cap)
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  /** The unlimited pair core of [[dedupNgram]] over an explicit
+    * (doc_id, lang, source, n_chars, text) frame — the seam the
+    * adversarial bucket-cap spec drives with a synthetic boilerplate
+    * flood (DedupSimilaritySpec; no skew probe — the spec decides capped
+    * vs uncapped via the conf).
+    */
+  private[graft] def ngramPairsOf(spark: SparkSession, docsIn: DataFrame): DataFrame =
+    ngramPairsOf(spark, docsIn, textBucketCap(spark))
+
+  private[graft] def ngramPairsOf(
+      spark: SparkSession, docsIn: DataFrame, cap: Int): DataFrame = {
     // char 3-grams hashed to longs natively: set ops compare 8-byte ints,
     // not strings, and hashing is one pass per row (plans.NGramHashes)
     val gramArr = expr("ngram_hashes(text, 3, 'char_distinct')")
@@ -505,7 +585,7 @@ object Dedup {
     // serialize the pair join): spread the single-split text rows, hash in
     // parallel, then materialize the gram arrays once for both join sides.
     val par = spark.sparkContext.defaultParallelism
-    val docs = Tables.spread(Tables.documents(spark, dir))
+    val docs = docsIn
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))
@@ -516,8 +596,7 @@ object Dedup {
     // payload-through-the-join form shuffled every gram set 3×)
     val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     // capBuckets on each side bounds a boilerplate-flooded block at
-    // ≤ 2·cap² candidate pairs (b probes two bands) when the cap is set
-    val cap = bucketCap(spark)
+    // ≤ 2·cap² candidate pairs (b probes two bands); on by default
     val blockCols = Seq("lang", "source", "lband")
     val a = capBuckets(
       meta.select(col("lang"), col("source"),
@@ -547,8 +626,6 @@ object Dedup {
       .withColumn("jaccard", round(
         col("c") / (col("sz_a") + col("sz_b") - col("c")), 6))
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
-      .limit(20)
   }
 
   /** Collection-level overlap: estimated Jaccard similarity between SOURCES
@@ -657,12 +734,44 @@ object Dedup {
     */
   private val bucketWidths =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** [[textBucketCap]] with the embed path's skew probe applied to a text
+    * generator: pay the rank window only when `widest` — a card-sized
+    * probe cached once per (app, corpus version, generator family) —
+    * proves some bucket actually exceeds the cap; a skew-free corpus
+    * plans the window-free join. `slack` scales the comparison for
+    * generators whose join-side bucket is wider than the probed unit
+    * (ngram's b side spans two length bands → slack 2). The minhash path
+    * is the exception by design: its cap window runs INSIDE the
+    * once-per-session SessionCache artifact build, where probing widths
+    * first would cost an extra full shingle pass — more than the window
+    * it would sometimes skip.
+    */
+  private def skewAdaptiveTextCap(
+      spark: SparkSession, dir: String, family: String, slack: Int = 1)(
+      widest: => Long): Int = {
+    val cap = textBucketCap(spark)
+    if (cap <= 0) 0
+    else {
+      val w = cachedLong(bucketWidths, dir,
+        s"${spark.sparkContext.applicationId}|$dir|$family",
+        SessionCache.dirFingerprint(spark, dir))(widest)
+      if (w * slack <= cap) 0 else cap
+    }
+  }
+
   private def maxBucketWidth(
       spark: SparkSession, dir: String, bandBits: Int): Long =
     // bandBits folds into the VERSION half of the key so a geometry change
-    // (corpus crossing a band-bit boundary) also evicts the stale entry
+    // (corpus crossing a band-bit boundary) also evicts the stale entry.
+    // The prefix carries an explicit `|embed` family marker: cachedLong
+    // evicts every same-prefix sibling on each call, and a bare
+    // `app|dir` prefix is a string-prefix of the text families'
+    // `app|dir|simhash` etc., so without the marker every embed probe
+    // evicted the text probes and pushed them back into the per-query
+    // path (caught by the r13 shuffle audit re-measure).
     cachedLong(bucketWidths, dir,
-      s"${spark.sparkContext.applicationId}|$dir",
+      s"${spark.sparkContext.applicationId}|$dir|embed",
       s"$bandBits|${SessionCache.dirFingerprint(spark, dir)}") {
       val planes = EmbedBands * bandBits
       Tables.embeddings(spark, dir)
@@ -785,8 +894,14 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBatch = col("doc_id") % lit(IncrementMod) === 0L
-    incrementalVerdicts(docs.where(isBatch),
-      corpusBandStore(spark, dir), docs.where(!isBatch))
+    val store = corpusBandStore(spark, dir)
+    // skew probe over the cached 24 B/row band-store artifact — a
+    // flood-free store skips the cap window on the store side
+    val cap = skewAdaptiveTextCap(spark, dir, "inc_store") {
+      store.groupBy("band_id", "band_hash").count()
+        .agg(max("count")).head().getLong(0)
+    }
+    incrementalVerdicts(docs.where(isBatch), store, docs.where(!isBatch), cap)
   }
 
   /** The store-agnostic core of [[dedupIncremental]] — also the probe a
@@ -801,7 +916,13 @@ object Dedup {
     */
   private[graft] def incrementalVerdicts(
       batchDocs: DataFrame, bandStore: DataFrame,
-      corpusDocs: DataFrame): DataFrame = {
+      corpusDocs: DataFrame): DataFrame =
+    incrementalVerdicts(batchDocs, bandStore, corpusDocs,
+      textBucketCap(batchDocs.sparkSession))
+
+  private[graft] def incrementalVerdicts(
+      batchDocs: DataFrame, bandStore: DataFrame,
+      corpusDocs: DataFrame, cap: Int): DataFrame = {
     val par = batchDocs.sparkSession.sparkContext.defaultParallelism
     // same two-exchange shape as minhashPairsBuild: the hash repartition
     // above the shingle arrays is the materialization point both
@@ -817,8 +938,7 @@ object Dedup {
       .join(capBuckets(
           bandStore
             .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
-          Seq("band_id", "band_hash"), "match_id",
-          bucketCap(batchDocs.sparkSession)),
+          Seq("band_id", "band_hash"), "match_id", cap),
         Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("match_id")).distinct()
     val candSh = corpusDocs

@@ -494,8 +494,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (901L, "yet another unrelated text on parquet column pruning")))
       .toDF("doc_id", "text")
 
-    // uncapped: the flood generates all C(180,2) = 16110 pairs
-    val uncapped = Dedup.minhashPairsOf(spark, docs).count()
+    // uncapped (cap explicitly disabled — the text cap defaults ON now):
+    // the flood generates all C(180,2) = 16110 pairs
+    spark.conf.set("spark.graft.dedup.bucketCap", "0")
+    val uncapped =
+      try Dedup.minhashPairsOf(spark, docs).count()
+      finally spark.conf.unset("spark.graft.dedup.bucketCap")
     assert(uncapped >= 16110L, s"flood should be quadratic, got $uncapped")
 
     spark.conf.set("spark.graft.dedup.bucketCap", "8")
@@ -588,6 +592,74 @@ class DedupSimilaritySpec extends SparkSpec {
       s"flood should be quadratic uncapped, got $floodUncapped")
     assert(floodCapped <= 2 * 64 * 63 / 2,
       s"capped flood must be O(cap²), got $floodCapped")
+  }
+
+  test("default text bucket cap (64) keeps ≥95% of planted near-dup pairs on all three text generators while bounding a flood") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // synthetic corpus with KNOWN near-dups — the text twin of the embed
+    // cap measurement: 400 random base docs (80–400 words, so ngram
+    // length-bands spread), 60 planted near-dups (base + ONE appended
+    // word: word-3-gram Jaccard ≈ 0.98, char-3-gram Jaccard ≈ 1, expected
+    // simhash Hamming ≈ 1–2), and a 300-doc flood of IDENTICAL boilerplate
+    // — the skew case the cap exists for (every flood member collides in
+    // every minhash band / simhash segment / ngram block, width 300 ≫ cap)
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)(rnd.nextInt(100000).toString).mkString(" ")
+    val base = (1 to 400).map(i =>
+      (i.toLong, s"l${i % 3}", s"s${i % 4}", words(80 + rnd.nextInt(320))))
+    val planted = base.take(60).map { case (i, l, s, t) =>
+      (2000L + i, l, s, t + " " + rnd.nextInt(100000).toString)
+    }
+    val boiler = words(200)
+    val flood = (1 to 300).map(i => (5000L + i, "l0", "s0", boiler))
+    val all = (base ++ planted ++ flood)
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+      .localCheckpoint(true)
+    val plantedPairs = (1 to 60).map(i => (i.toLong, 2000L + i)).toSet
+    val isFlood = (p: (Long, Long)) => p._1 > 5000L && p._2 > 5000L
+
+    def pairsOf(gen: => org.apache.spark.sql.DataFrame, cap: Int): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.bucketCap", cap.toString)
+      try gen.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.dedup.bucketCap")
+    }
+
+    val gens: Seq[(String, Int, () => org.apache.spark.sql.DataFrame)] = Seq(
+      // minhash: identical flood docs band identically; capBuckets keeps
+      // the SAME 64 survivors in every band (rank is a pure id function)
+      ("minhash", 64 * 63 / 2, () => Dedup.minhashPairsOf(spark, all)),
+      ("simhash", 64 * 63 / 2, () => Dedup.simhashPairsOf(spark,
+        all.select(col("doc_id"), expr("simhash64(text)").as("fp")))),
+      // ngram caps each join side independently and b probes two length
+      // bands, so the flood bound is cap² unordered pairs, not C(cap,2)
+      ("ngram", 64 * 64, () => Dedup.ngramPairsOf(spark, all)))
+
+    for ((name, floodBound, gen) <- gens) {
+      val uncapped = pairsOf(gen(), 0)
+      val capped = pairsOf(gen(), Dedup.DefaultTextBucketCap)
+      val foundUncapped = uncapped.intersect(plantedPairs).size
+      val foundCapped = capped.intersect(plantedPairs).size
+      // each generator must surface most planted pairs uncapped (simhash
+      // is probabilistic: one appended word flips ~1–2 of 64 bits, so a
+      // tail of planted pairs can land past the radius-3 pigeonhole)
+      val floor = if (name == "simhash") 39 else 54
+      assert(foundUncapped >= floor,
+        s"$name: expected most planted near-dups uncapped, got $foundUncapped/60")
+      // the cap's measured recall cost: planted pairs live in narrow
+      // buckets the cap never touches
+      assert(foundCapped >= math.ceil(0.95 * foundUncapped).toInt,
+        s"$name: cap=64 recall $foundCapped of uncapped $foundUncapped planted pairs")
+      // the flood is quadratic uncapped, O(cap²) capped
+      val floodUncapped = uncapped.count(isFlood)
+      val floodCapped = capped.count(isFlood)
+      assert(floodUncapped > 40000,
+        s"$name: flood should be quadratic uncapped, got $floodUncapped")
+      assert(floodCapped <= floodBound,
+        s"$name: capped flood must be O(cap²), got $floodCapped > $floodBound")
+    }
   }
 
   test("a mutated corpus dir re-resolves end-to-end: appended files reach probes and plans") {
