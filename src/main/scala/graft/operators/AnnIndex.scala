@@ -486,12 +486,19 @@ object AnnIndex {
       retiredPrefixes = Seq(s"ivf_${Integer.toHexString(dir.hashCode)}")) { staging =>
       assign(
         // adaptive scan-spread (Tables.spread): single-split local files
-        // leave the 16-cosine assignment single-threaded; a real corpus
+        // leave the k-cosine assignment single-threaded; a real corpus
         // arrives pre-split and skips the shuffle entirely
         Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         codebook(spark, dir, fp))
         .withColumn("cluster", col("cluster").cast("int"))
+        // co-locate each cell into ONE task before the partitioned write —
+        // same discipline as the LSH build below: without it every scan
+        // task writes a sliver into every cell directory (32 tasks × k
+        // cells ≈ 1,400 tiny files at the sf0.1 √n codebook), and every
+        // probe/health scan pays k× the file opens. The assignment still
+        // parallelizes across the pre-repartition scan.
+        .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
   }

@@ -525,7 +525,12 @@ object Dedup {
 
   private[graft] def simhashPairsOf(
       spark: SparkSession, fps: DataFrame, cap: Int): DataFrame = {
-    val banded = capBuckets(simhashSegs(fps), Seq("seg_id", "seg"), "doc_id", cap)
+    val capped = capBuckets(simhashSegs(fps), Seq("seg_id", "seg"), "doc_id", cap)
+    // materialize the capped frame: the window's exchange+sort otherwise
+    // re-plans the self-join below it into the SMJ regime (4 AQE jobs,
+    // ~0.5 s of stage floor at sf0.1); checkpointed, the ≤ 4n-row key
+    // frame broadcasts and the join keeps the window-free plan's shape
+    val banded = if (cap > 0) capped.localCheckpoint(true) else capped
 
     banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       .join(banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
