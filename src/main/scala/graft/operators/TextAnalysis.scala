@@ -803,6 +803,13 @@ object TextAnalysis {
           explode(expr("ngram_hashes(text, 1, 'word_counts')")).as("tc"))
         .select(col("source"), col("tc.token").as("token"), col("tc.c").as("c"))
         .groupBy("source", "token").agg(sum("c").as("c"))
+        // checkpoint barrier BEFORE the two downstream references (window
+        // marginals + the nt broadcast agg) — same pattern as the tfidf
+        // artifact build: without it the build relies on ReuseExchange
+        // deduping the groupBy exchange, and if column pruning ever
+        // specializes the two subtrees the artifact build pays a second
+        // corpus scan, contradicting the ONE-corpus-scan contract above
+        .localCheckpoint(true)
       st.withColumn("ct", sum("c").over(Window.partitionBy("token")))
         .withColumn("n_tokens", sum("c").over(Window.partitionBy("source")))
         .crossJoin(broadcast(st.agg(sum("c").as("nt"))))

@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * is bit-for-bit Spark's `Cast(double → DECIMAL(p,12))` (Decimal.apply
   * goes through scala.math.BigDecimal(d), which is Double.toString-based,
   * then changePrecision rounds HALF_UP); the accumulation is exact at
-  * scale 12 exactly like the fold's `(acc + t).cast(dec)` chain (the
-  * fold's precision-28 re-cast only matters past 1e16, where ANSI mode
-  * would have thrown anyway); the double result equals the call sites'
+  * scale 12 exactly like the fold's `(acc + t).cast(dec)` chain,
+  * INCLUDING overflow: past the decimal(28,12) bound (|v| ≥ 1e16) the
+  * HOF's per-step cast nulls in non-ANSI mode and these folds null at
+  * the same step (DecimalFoldSpec pins both regimes; under ANSI the HOF
+  * chain would THROW there — the folds deliberately keep the non-ANSI
+  * null, a total function being the right contract for an expression on
+  * the hot path); NaN/Infinity terms
+  * null like the cast does; the double result equals the call sites'
   * final `.cast("double")` (BigDecimal.doubleValue). Null propagation
   * matches the HOF form: a null element (or a length mismatch, which
   * `zip_with` pads into null terms) nulls the whole result.
@@ -39,15 +44,34 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object DecimalFolds {
   private val Twelve = 12
 
-  /** dec12-exact sum of the terms; null when any term is null. */
+  /** The decimal(28,12) magnitude bound: 16 integral digits. The HOF
+    * chain's per-step `cast(… as decimal(28,12))` returns NULL in
+    * non-ANSI mode the moment a term or the accumulator can no longer
+    * fit precision 28 — i.e. |value| ≥ 1e16. */
+  private val Dec28_12Bound = new JBigDecimal(java.math.BigInteger.TEN.pow(16))
+
+  private def overflows(v: JBigDecimal): Boolean =
+    v.abs.compareTo(Dec28_12Bound) >= 0
+
+  /** dec12-exact sum of the terms; null when any term is null, and null
+    * when a term or the running sum crosses the decimal(28,12) bound —
+    * matching the HOF `aggregate(cast…)` chain's non-ANSI overflow
+    * behavior exactly (it nulls; a finite double here would be a silent
+    * divergence for pathological magnitudes — DecimalFoldSpec pins this).
+    */
   private[plans] def sumTerms(terms: Iterator[java.lang.Double]): Any = {
     var acc = JBigDecimal.ZERO
     while (terms.hasNext) {
       val t = terms.next()
       if (t == null) return null
-      acc = acc.add(
-        new JBigDecimal(java.lang.Double.toString(t))
-          .setScale(Twelve, RoundingMode.HALF_UP))
+      // NaN/Infinity: the non-ANSI double→decimal cast nulls them (the
+      // string constructor would throw here)
+      if (t.isNaN || t.isInfinite) return null
+      val term = new JBigDecimal(java.lang.Double.toString(t))
+        .setScale(Twelve, RoundingMode.HALF_UP)
+      if (overflows(term)) return null
+      acc = acc.add(term)
+      if (overflows(acc)) return null
     }
     acc.doubleValue()
   }

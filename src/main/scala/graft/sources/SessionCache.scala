@@ -37,7 +37,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * belong here.
   */
 object SessionCache {
-  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  /** Lazy build holder: `putIfAbsent` publishes the UNEVALUATED holder,
+    * so exactly one thread (the first `get` caller) runs the build —
+    * outside any map lock, which keeps NESTED builds legal (the near-dup
+    * label artifact builds the minhash-pair artifact inside its own
+    * build; `computeIfAbsent` forbids that reentrant insert) while
+    * closing the get-then-putIfAbsent first-touch race where two
+    * concurrent queries both ran the build and the loser's eager
+    * checkpoint blocks stayed pinned until GC + ContextCleaner.
+    */
+  private final class Memo(build: () => DataFrame) {
+    lazy val get: DataFrame = build()
+  }
+
+  private val cache = new ConcurrentHashMap[(String, String), Memo]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   def cached(spark: SparkSession, artifact: String, dir: String)
@@ -77,22 +90,15 @@ object SessionCache {
     // resolved plan pins the old file listing, so the rebuild below would
     // otherwise read the pre-mutation file set and rebuild a stale artifact
     if (superseded) Tables.invalidate(dir)
-    // get-then-putIfAbsent, NOT computeIfAbsent: artifact builds NEST (the
-    // near-dup label artifact builds the minhash-pair artifact inside its
-    // own build), and ConcurrentHashMap.computeIfAbsent forbids reentrant
-    // mutation — it throws IllegalStateException("Recursive update") when
-    // the nested insert lands in a resizing bin (observed as a rare
-    // whole-suite flake). The trade: two racing threads may both run
-    // `build` and one checkpoint is discarded for the ContextCleaner —
-    // duplicated warm-up work, never a wrong answer; reentrancy is the
-    // common case and must not throw.
-    val existing = cache.get(key)
-    if (existing != null) existing
-    else {
-      val built = build.localCheckpoint(eager = true)
-      val prev = cache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
+    // putIfAbsent of an UNEVALUATED lazy holder (see [[Memo]]): the map
+    // mutation is build-free, so nested artifact builds never mutate the
+    // map reentrantly (the computeIfAbsent "Recursive update" flake), and
+    // the lazy-val latch means exactly ONE thread runs the build — no
+    // duplicate warm-up job, no orphaned checkpoint blocks under the
+    // concurrent bench lap.
+    val holder = new Memo(() => build.localCheckpoint(eager = true))
+    val prior = cache.putIfAbsent(key, holder)
+    (if (prior != null) prior else holder).get
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write

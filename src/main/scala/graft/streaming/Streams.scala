@@ -356,21 +356,37 @@ object Streams {
         GroupStateTimeout.NoTimeout()) {
         case ((userId, eventType), batch, state: GroupState[TrendState]) =>
           var s = state.getOption.getOrElse(TrendState(0L, 0, 0, 0, 0, 0))
-          batch.foreach { e =>
-            // same x as the batch card: whole seconds since 2024-01-01
-            val x = (e.ts.getTime / 1000L - 1704067200L).toDouble
-            s = TrendState(s.n + 1, s.sx + x, s.sxx + x * x,
-              s.sy + e.value, s.syy + e.value * e.value, s.sxy + x * e.value)
-          }
+          batch.foreach(e => s = trendStep(s, e.ts.getTime, e.value))
           state.update(s)
-          val dn = s.n.toDouble
-          val covn = dn * s.sxy - s.sx * s.sy
-          val varxn = dn * s.sxx - s.sx * s.sx
-          val varyn = dn * s.syy - s.sy * s.sy
-          SeriesTrend(userId, eventType, s.n,
-            if (varxn == 0.0) 0.0 else covn / varxn * 86400.0,
-            if (varxn * varyn == 0.0) 0.0 else covn * covn / (varxn * varyn))
+          val (slope, r2) = trendOf(s)
+          SeriesTrend(userId, eventType, s.n, slope, r2)
       }
+  }
+
+  /** One event folded into the running sufficient statistics — the exact
+    * per-event update [[trendTracker]] applies, exposed so PropertySpec
+    * can drive it directly: the reference accepts out-of-order and
+    * backwards steps (/root/reference/waddle/_run.py:118-119), so the
+    * fold must be arrival-order-insensitive, which pure sums are (up to
+    * double-addition ulps — the property bounds them).
+    */
+  private[graft] def trendStep(
+      s: TrendState, tsMillis: Long, value: Double): TrendState = {
+    // same x as the batch card: whole seconds since 2024-01-01
+    val x = (tsMillis / 1000L - 1704067200L).toDouble
+    TrendState(s.n + 1, s.sx + x, s.sxx + x * x,
+      s.sy + value, s.syy + value * value, s.sxy + x * value)
+  }
+
+  /** Closed-form (slope/day, r²) from the sufficient statistics — shared
+    * by the per-batch emission and the specs. */
+  private[graft] def trendOf(s: TrendState): (Double, Double) = {
+    val dn = s.n.toDouble
+    val covn = dn * s.sxy - s.sx * s.sy
+    val varxn = dn * s.sxx - s.sx * s.sx
+    val varyn = dn * s.syy - s.sy * s.sy
+    (if (varxn == 0.0) 0.0 else covn / varxn * 86400.0,
+      if (varxn * varyn == 0.0) 0.0 else covn * covn / (varxn * varyn))
   }
 
   /** T1 — live fan-out: the WebSocket-broadcast analog. Each micro-batch is

@@ -104,4 +104,44 @@ class DecimalFoldSpec extends SparkSpec {
     assert(rows(0).isNullAt(2), "null element must null sq_dist_sum12")
     assert(rows(1).isNullAt(2), "length mismatch must null sq_dist_sum12")
   }
+
+  test("decimal(28,12) overflow and NaN/Infinity null like the HOF chain (pinned)") {
+    // the r12 advisory: the old native fold returned a finite double past
+    // the decimal(28,12) bound (~1e16) where the HOF's per-step cast
+    // nulls in non-ANSI mode — a silent divergence for pathological
+    // magnitudes. The chosen behavior is now HOF-parity: null.
+    val df = Seq(
+      (1L, Seq(1e16, 1.0)),                 // term overflows on its own
+      (2L, Seq(6e15, 6e15)),                // accumulator crosses the bound
+      (3L, Seq(9e15, 2e15, -9e15)),         // crosses (1.1e16) and comes
+                                            // back: nulls at the crossing
+                                            // step, not the final value
+      (4L, Seq(Double.NaN, 1.0)),
+      (5L, Seq(Double.PositiveInfinity)),
+      (6L, Seq(9.9e15, -1e15))              // near-bound but legal: finite
+    ).toDF("id", "v")
+    // the HOF comparison needs non-ANSI (under ANSI — the session
+    // default — the cast THROWS on overflow; the native folds choose the
+    // non-ANSI null, documented in DecimalFolds)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = df.select(
+          col("id"),
+          call_function("dsum12", col("v")).as("native"),
+          aggregate(col("v"), lit(0).cast(dec),
+            (acc, x) => (acc + x.cast(dec)).cast(dec)).cast("double").as("hof"))
+        .orderBy("id").collect()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        assert(r.isNullAt(1) == r.isNullAt(2),
+          s"id=$id: native null=${r.isNullAt(1)} must match hof null=${r.isNullAt(2)}")
+        if (!r.isNullAt(1))
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=$id value")
+      }
+      assert(rows.take(5).forall(_.isNullAt(1)), "ids 1-5 overflow/NaN → null")
+      assert(!rows(5).isNullAt(1), "id 6 stays finite")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }

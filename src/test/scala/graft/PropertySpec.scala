@@ -152,4 +152,57 @@ class PropertySpec extends AnyFunSuite {
       math.abs(kept.toDouble / n - w) < 0.05 // md5 uniformity, 4.5σ at n=2000
     })
   }
+
+  test("trendTracker fold is arrival-order-insensitive and matches direct least squares") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.TrendState
+    // the reference accepts out-of-order and BACKWARDS steps
+    // (/root/reference/waddle/_run.py:118-119): randomized series with
+    // repeated and unsorted timestamps, folded in two different arrival
+    // orders, must converge to the same slope/r² — and both must agree
+    // with the mean-centered two-pass least squares over the raw points
+    val t0 = 1704067200L
+    val genPoint = for {
+      day <- Gen.chooseNum(0, 400)
+      sec <- Gen.chooseNum(0, 86399)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield ((t0 + day * 86400L + sec) * 1000L, v)
+    val genSeries = for {
+      pts <- Gen.nonEmptyListOf(genPoint)
+      seed <- Gen.long
+    } yield (pts, seed)
+
+    def fold(pts: Seq[(Long, Double)]): (Double, Double) =
+      Streams.trendOf(pts.foldLeft(TrendState(0L, 0, 0, 0, 0, 0)) {
+        case (s, (ms, v)) => Streams.trendStep(s, ms, v)
+      })
+    def close(a: Double, b: Double, relTol: Double): Boolean =
+      math.abs(a - b) <= relTol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+    check("trend-order-insensitive", Prop.forAll(genSeries) { case (pts, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(pts)
+      val (sA, rA) = fold(pts)
+      val (sB, rB) = fold(shuffled)
+      // pure sums commute up to double-addition ulps
+      val orderOk = close(sA, sB, 1e-9) && close(rA, rB, 1e-9)
+
+      // two-pass mean-centered least squares (numerically independent of
+      // the sufficient-stats formula)
+      val xs = pts.map(p => (p._1 / 1000L - t0).toDouble)
+      val ys = pts.map(_._2)
+      val n = pts.size.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val varx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vary = ys.map(y => (y - my) * (y - my)).sum
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val slopeDirect = if (varx == 0.0) 0.0 else cov / varx * 86400.0
+      val r2Direct = if (varx * vary == 0.0) 0.0 else cov * cov / (varx * vary)
+      val directOk = close(sA, slopeDirect, 1e-5) && close(rA, r2Direct, 1e-5)
+
+      val boundsOk = rA >= -1e-9 && rA <= 1.0 + 1e-9
+      (orderOk :| "order-insensitive") &&
+        (directOk :| s"direct LSQ: fold=($sA,$rA) direct=($slopeDirect,$r2Direct)") &&
+        (boundsOk :| s"r2 in [0,1]: $rA")
+    })
+  }
 }

@@ -177,6 +177,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendTracker converges identically under shuffled out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference accepts backwards steps (_run.py:118-119): the same
+    // planted series arrives once in order and once shuffled across three
+    // micro-batches (seeded — deterministic), including late points that
+    // time-travel behind already-processed ones; the final emission must
+    // be identical because the state is pure sufficient statistics
+    val t0 = 1704067200L
+    val pts = (0 until 12).map(d =>
+      (d.toLong, t0 + d * 86400L, 2.0 + 3.0 * d + (if (d % 3 == 0) 0.5 else -0.5)))
+    val shuffled = new scala.util.Random(7L).shuffle(pts)
+
+    def runOnce(name: String, order: Seq[(Long, Long, Double)]): (Long, Double, Double) = {
+      val mem = MemoryStream[Event]
+      val q = Streams.trendTracker(spark, mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        order.grouped(4).foreach { batch =>
+          mem.addData(batch.map { case (id, ep, v) =>
+            Event(id, ts(ep), 9L, "loss", v) }: _*)
+          q.processAllAvailable()
+        }
+        val r = spark.sql(
+          s"SELECT n, slope_per_day, r2 FROM $name WHERE user_id = 9 ORDER BY n DESC")
+          .collect().head
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      } finally q.stop()
+    }
+    val (nA, sA, rA) = runOnce("trend_inorder", pts)
+    val (nB, sB, rB) = runOnce("trend_shuffled", shuffled)
+    assert(nA == 12L && nB == 12L)
+    assert(math.abs(sA - sB) < 1e-9 && math.abs(rA - rB) < 1e-9,
+      s"shuffled arrival must converge to the in-order trend: ($sA,$rA) vs ($sB,$rB)")
+  }
+
   test("windowed aggregates flow to a durable parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
