@@ -541,11 +541,12 @@ object Similarity {
     val ivfCells = AnnIndex.ivf(spark, dir, ver)
       .groupBy(lit("ivf").as("index"), col("cluster").cast("bigint").as("cell"))
       .agg(count(lit(1)).as("n"))
+    val lshGeom = AnnIndex.lshGeom(spark, dir, ver)
     val lshCells = AnnIndex.lshBands(spark, dir, ver)
       // flatten (band_id, band_key) into one cell coordinate: band_key is
       // bandBits wide, so the band id shifted above it cannot collide
       .groupBy(lit("lsh").as("index"),
-        (col("band_id").cast("bigint") * (1L << AnnIndex.LshBandBits) +
+        (col("band_id").cast("bigint") * (1L << lshGeom.bandBits) +
           col("band_key")).as("cell"))
       .agg(count(lit(1)).as("n"))
     ivfCells.unionByName(lshCells)

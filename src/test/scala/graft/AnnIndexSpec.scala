@@ -50,6 +50,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(frac == frac.sorted.reverse)
   }
 
+  test("LSH band bits scale with corpus size (width-targeted, clamped)") {
+    // floor regime: the pre-r13 4-bit toy geometry on small corpora —
+    // tiny and streaming-bootstrap indexes unchanged
+    assert(AnnIndex.lshBandBits(0L) == AnnIndex.LshMinBandBits)
+    assert(AnnIndex.lshBandBits(500L) == AnnIndex.LshMinBandBits)
+    assert(AnnIndex.LshFloorGeom.bandBits == AnnIndex.LshMinBandBits)
+    // width-targeted regime: expected bucket width stays ~LshTargetWidth
+    // instead of n/64 — the r12 IVF scale killer's LSH twin
+    assert(AnnIndex.lshBandBits(2048L) == 6)   // 2048/32 = 64 buckets
+    assert(AnnIndex.lshBandBits(1_000_000L) == 15)
+    // cap regime
+    assert(AnnIndex.lshBandBits(1L << 40) == AnnIndex.LshMaxBandBits)
+    // monotone, and expected width bounded at ~target above the floor
+    val ns = Seq(1L, 500L, 2000L, 50_000L, 10_000_000L, 1L << 30)
+    val bits = ns.map(AnnIndex.lshBandBits)
+    assert(bits == bits.sorted)
+    ns.filter(_ > 512).foreach { n =>
+      val width = n.toDouble / (1L << AnnIndex.lshBandBits(n))
+      assert(width <= AnnIndex.LshTargetWidth + 1e-9 ||
+        AnnIndex.lshBandBits(n) == AnnIndex.LshMaxBandBits,
+        s"n=$n width=$width")
+    }
+    // the geometry version tag changes across a band-bit boundary — the
+    // on-disk index invalidates when the corpus outgrows its banding
+    assert(AnnIndex.lshGeom(500L).versionTag != AnnIndex.lshGeom(2048L).versionTag)
+  }
+
   test("index cells agree with a fresh argmax assignment") {
     val idx = AnnIndex.ivf(spark, sf).select(col("vec_id"), col("cluster"))
     val fresh = AnnIndex.assign(
@@ -140,11 +167,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.ensureLsh(spark, dir) == path1)
     assert(Files.getLastModifiedTime(success1) == mtime1, "no rebuild on re-probe")
 
-    // the version string folds in the LSH geometry so a parameter change
-    // invalidates an artifact keyed under the old hyperplanes
-    val geom = Integer.toHexString(
-      s"${AnnIndex.LshPlanes}/${AnnIndex.LshSeed}/${AnnIndex.LshBands}/${AnnIndex.LshBandBits}".hashCode)
-    assert(path1.endsWith(s"_$geom"), "index version must fold in the LSH geometry")
+    // the version string folds in the LSH geometry (corpus-size-adaptive
+    // band bits included) so a geometry change — or the corpus crossing a
+    // band-bit boundary — invalidates an artifact keyed under the old
+    // hyperplanes
+    val geom = AnnIndex.lshGeom(
+      AnnIndex.corpusCount(spark, dir, AnnIndex.corpusVersion(spark, dir)))
+    assert(path1.endsWith(s"_${geom.versionTag}"),
+      "index version must fold in the LSH geometry")
 
     // layout: the round-7 build wrote ~32 files per bucket (2,003 tiny
     // files); the bucket-repartitioned write must produce ≤ 1 data file
@@ -182,12 +212,14 @@ class AnnIndexSpec extends SparkSpec {
     val probed = AnnIndex.probeBands(spark, sf, 0L)
     assert(probed.distinct == probed, "no duplicate probe pairs")
     assert(exact.subsetOf(probed.toSet), "exact buckets always probed")
-    assert(probed.size <= AnnIndex.LshBands * (1 + AnnIndex.LshBandBits),
+    val geom = AnnIndex.lshGeom(
+      AnnIndex.corpusCount(spark, sf, AnnIndex.corpusVersion(spark, sf)))
+    assert(probed.size <= geom.bands * (1 + geom.bandBits),
       "probe set bounded by bands*(1+bandBits)")
     val flipped = probed.toSet -- exact
     val exactByBand = exact.toMap
     flipped.foreach { case (b, k) =>
-      assert(k >= 0 && k < (1L << AnnIndex.LshBandBits), "key stays in band range")
+      assert(k >= 0 && k < (1L << geom.bandBits), "key stays in band range")
       val bits = java.lang.Long.bitCount(k ^ exactByBand(b))
       assert(bits == 1, s"flipped bucket must differ in exactly 1 bit, got $bits")
     }

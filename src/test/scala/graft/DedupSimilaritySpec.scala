@@ -406,8 +406,10 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(card("lsh").getAs[Long]("n_entries") == n * AnnIndex.LshBands,
       "LSH stores one signature row per (vector, band)")
     assert(card("ivf").getAs[Long]("n_cells") <= AnnIndex.centroids(spark, sf).size)
+    val lshGeom = AnnIndex.lshGeom(
+      AnnIndex.corpusCount(spark, sf, AnnIndex.corpusVersion(spark, sf)))
     assert(card("lsh").getAs[Long]("n_cells") <=
-      AnnIndex.LshBands.toLong * (1L << AnnIndex.LshBandBits))
+      lshGeom.bands.toLong * (1L << lshGeom.bandBits))
     card.values.foreach { r =>
       assert(r.getAs[Long]("min_cell") >= 1, "only non-empty cells appear")
       assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
