@@ -643,16 +643,22 @@ object AnnIndex {
     * the index on `vec_id` — a non-partition column — which full-scanned
     * all 64 directories to find 4 rows, twice per probe.
     */
-  def queryBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] = {
-    val geom = lshGeom(spark, dir, corpusVersion(spark, dir))
+  def queryBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] =
+    queryBands(spark, dir, vecId, corpusVersion(spark, dir))
+
+  /** As [[queryBands]] with the corpus version precomputed by the caller
+    * — a probe resolves the version ONCE and threads it through geometry,
+    * band fetch, and index read (the round-7 triple-listing lesson). */
+  def queryBands(
+      spark: SparkSession, dir: String, vecId: Long,
+      version: String): Seq[(Int, Long)] =
     bandify(
       Tables.embeddings(spark, dir)
         .where(col("vec_id") === vecId)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      geom)
+      lshGeom(spark, dir, version))
       .select("band_id", "band_key")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-  }
 
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each
     * band's exact bucket plus every bucket whose key differs in ≤ flips
@@ -661,9 +667,15 @@ object AnnIndex {
     * bands·(1 + bandBits) pairs for one flip; still literal partition
     * predicates, still driver-safe (≤ 4·21 pairs at the band-bit cap).
     */
-  def probeBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] = {
-    val geom = lshGeom(spark, dir, corpusVersion(spark, dir))
-    val exact = queryBands(spark, dir, vecId)
+  def probeBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] =
+    probeBands(spark, dir, vecId, corpusVersion(spark, dir))
+
+  /** As [[probeBands]] with the corpus version precomputed by the caller. */
+  def probeBands(
+      spark: SparkSession, dir: String, vecId: Long,
+      version: String): Seq[(Int, Long)] = {
+    val geom = lshGeom(spark, dir, version)
+    val exact = queryBands(spark, dir, vecId, version)
     // every XOR mask over the band's bits with 1..LshProbeFlips bits set —
     // the documented "≤ flips hyperplane bits" contract for ANY flip
     // count, not just 1 (bounded: Σ C(bandBits, f) masks per band)

@@ -499,11 +499,15 @@ object Similarity {
     * (that's the [[AnnIndex.LshProbeFlips]] trade).
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val qPairs = AnnIndex.probeBands(spark, dir, 0L)
+    // ONE corpus-version resolution per probe, threaded through band
+    // derivation, geometry, and the index read (each resolution is a
+    // metadata listing on an unmanaged store)
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val qPairs = AnnIndex.probeBands(spark, dir, 0L, ver)
     val bucketPred = qPairs
       .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val candIds = AnnIndex.lshBands(spark, dir, AnnIndex.corpusVersion(spark, dir))
+    val candIds = AnnIndex.lshBands(spark, dir, ver)
       .where(bucketPred)
       .where(col("vec_id") =!= 0L)
       .select("vec_id").distinct()
