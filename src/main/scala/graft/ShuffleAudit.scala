@@ -61,9 +61,20 @@ object ShuffleAudit {
   def measure(
       spark: SparkSession,
       sfDir: String,
-      names: Seq[String]): Map[String, Audit] = {
-    names.foreach { n =>
-      try exec(SparkEntry.queries(n)(spark, sfDir))
+      names: Seq[String]): Map[String, Audit] =
+    measureFrames(spark,
+      names.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))))
+
+  /** As [[measure]] over explicit frame thunks — lets a spec audit a
+    * build seam (e.g. an artifact's pair search) that the registry only
+    * exposes behind a SessionCache, where the steady-state query
+    * rightfully shuffles nothing.
+    */
+  def measureFrames(
+      spark: SparkSession,
+      frames: Seq[(String, () => DataFrame)]): Map[String, Audit] = {
+    frames.foreach { case (n, f) =>
+      try exec(f())
       catch { case e: Throwable =>
         System.err.println(s"[audit] warm-up $n failed: ${e.getMessage}") }
     }
@@ -96,11 +107,11 @@ object ShuffleAudit {
       }
     }
     try {
-      names.flatMap { n =>
+      frames.flatMap { case (n, f) =>
         quiesce()
         val (i0, s0, r0) = (inputRecs.sum, shuffle.sum, shuffleRecs.sum)
         try {
-          exec(SparkEntry.queries(n)(spark, sfDir))
+          exec(f())
           quiesce()
           Some(n -> Audit(
             inputRecs.sum - i0, shuffle.sum - s0, shuffleRecs.sum - r0))

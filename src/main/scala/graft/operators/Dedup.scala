@@ -501,7 +501,17 @@ object Dedup {
       simhashSegs(fps).groupBy("seg_id", "seg").count()
         .agg(max("count")).head().getLong(0)
     }
-    simhashPairsOf(spark, fps, cap)
+    // the verified pair set is a SessionCache artifact like
+    // [[minhashPairs]] — 24 B/row, pair-count-sized (488 rows at sf0.1).
+    // Matters since the default cap: on a corpus with real wide segment
+    // buckets the engaged rank window costs ~0.4 s of exchange+sort per
+    // evaluation, which a serve-many session should pay once per corpus
+    // version, not per query. The effective cap folds into the artifact
+    // key — a conf change mid-session must not serve the other cap's
+    // pairs.
+    SessionCache.cached(spark, s"simhash_pairs_c$cap", dir) {
+      simhashPairsOf(spark, fps, cap)
+    }
       .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
       .limit(20)
   }

@@ -129,11 +129,29 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(audited("q_dedup_embed").shuffleBytes < 384 * 1024,
       s"q_dedup_embed shuffled ${audited("q_dedup_embed").shuffleBytes} B — " +
         "more than ~1.5× the corpus payload means vectors rode the band fan")
-    // simhash pairs: 8-byte fingerprints + doc ids, never text
-    assert(perRecord("q_dedup_simhash_pairs") < 128.0,
-      s"q_dedup_simhash_pairs moves ${perRecord("q_dedup_simhash_pairs")} B/record")
-    assert(audited("q_dedup_simhash_pairs").shuffleBytes < 64 * 1024,
-      s"q_dedup_simhash_pairs shuffle ${audited("q_dedup_simhash_pairs").shuffleBytes}")
+    // simhash pairs: the steady-state query serves TakeOrdered off the
+    // session-cached pair artifact — ZERO shuffle (the r13 state; the
+    // pair search itself is gated on the build seam below)
+    assert(audited("q_dedup_simhash_pairs").shuffleBytes == 0L,
+      s"q_dedup_simhash_pairs steady state shuffled " +
+        s"${audited("q_dedup_simhash_pairs").shuffleBytes} B — the artifact " +
+        "probe must not re-run the pair search")
+    // build seam: 8-byte fingerprints + doc ids through the pigeonhole
+    // buckets, never text (B/record), driven directly because the
+    // registry query hides the search behind the artifact
+    val fps = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("simhash64(text)").as("fp"))
+    val build = ShuffleAudit.measureFrames(spark, Seq(
+      "simhash_pair_build" -> (() =>
+        graft.operators.Dedup.simhashPairsOf(spark, fps,
+          graft.operators.Dedup.DefaultTextBucketCap))))
+    val b = build("simhash_pair_build")
+    assert(b.shuffleRecords > 0, "build seam must exercise the pair search")
+    assert(b.shuffleBytes.toDouble / b.shuffleRecords < 128.0,
+      s"simhash pair build moves ${b.shuffleBytes.toDouble / b.shuffleRecords} B/record")
+    assert(b.shuffleBytes < 64 * 1024,
+      s"simhash pair build shuffle ${b.shuffleBytes}")
     // clusters: label-propagation rounds move 16 B (id, label) rows over
     // the session-cached edge set — never documents or signatures
     assert(perRecord("q_dedup_clusters") < 64.0,
