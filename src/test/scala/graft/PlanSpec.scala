@@ -313,6 +313,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pair-artifact consumers serve TakeOrdered off the cached pair set — zero corpus scans") {
+    // all three text pair searches (minhash/simhash/ngram) are session
+    // artifacts since r13: the steady-state query must be a bounded
+    // TakeOrdered over the checkpointed pair frame, never a re-run of the
+    // shingle/fingerprint/gram pipeline
+    Seq(
+      "dedupMinhash" -> graft.operators.Dedup.dedupMinhash(spark, sf),
+      "dedupSimhashPairs" -> graft.operators.Dedup.dedupSimhashPairs(spark, sf),
+      "dedupNgram" -> graft.operators.Dedup.dedupNgram(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("documents.parquet"),
+        s"$name steady state must read the cached pair artifact, not re-scan the corpus")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-20 must plan as TakeOrdered over the artifact")
+    }
+  }
+
   test("ngramCounts top-k is two-phase: bucket-local rank before the per-lang rank") {
     val p = plan(graft.operators.TextAnalysis.ngramCounts(spark, sf))
     assert("row_number".r.findAllIn(p).size >= 2,
