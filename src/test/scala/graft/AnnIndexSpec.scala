@@ -77,6 +77,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.lshGeom(500L).versionTag != AnnIndex.lshGeom(2048L).versionTag)
   }
 
+  test("a corpus above the band-bit floor builds and probes under the adaptive geometry") {
+    import spark.implicits._
+    // the shared testdata corpora (500–2000 rows) sit at or near the
+    // 4-bit floor, so without this case the >floor banding path would
+    // ship untested: 4096 synthetic vectors → 7 band bits, 128 buckets
+    // per band
+    val rnd = new scala.util.Random(3)
+    val corpus = Files.createTempDirectory("ann_adaptive").toString
+    (0L until 4096L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    val ver = AnnIndex.corpusVersion(spark, corpus)
+    val geom = AnnIndex.lshGeom(spark, corpus, ver)
+    assert(geom.bandBits == AnnIndex.lshBandBits(4096L) && geom.bandBits == 7)
+
+    val path = AnnIndex.ensureLsh(spark, corpus, ver)
+    assert(path.endsWith(s"_${geom.versionTag}"))
+    val bands = AnnIndex.lshBands(spark, corpus, ver)
+    // coverage: every vector in exactly `bands` buckets, keys in range
+    assert(bands.count() == 4096L * geom.bands)
+    val keyRange = bands.agg(min("band_key"), max("band_key")).head()
+    assert(keyRange.getLong(0) >= 0L &&
+      keyRange.getLong(1) < (1L << geom.bandBits))
+    // the adaptive geometry actually uses the wider key space (128
+    // buckets/band at 7 bits — a floor-geometry bug would cap keys at 15)
+    assert(keyRange.getLong(1) > 15L,
+      "band keys must exceed the floor geometry's 4-bit range")
+    // probe-side derivation agrees with the index build under >floor bits
+    val qb = AnnIndex.queryBands(spark, corpus, 7L, ver).sorted
+    val fromIndex = bands.where(col("vec_id") === 7L)
+      .select("band_id", "band_key")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(qb == fromIndex,
+      "probe bands must agree with the index build under adaptive bits")
+    val probed = AnnIndex.probeBands(spark, corpus, 7L, ver)
+    assert(probed.size <= geom.bands * (1 + geom.bandBits))
+    assert(qb.toSet.subsetOf(probed.toSet))
+  }
+
   test("index cells agree with a fresh argmax assignment") {
     val idx = AnnIndex.ivf(spark, sf).select(col("vec_id"), col("cluster"))
     val fresh = AnnIndex.assign(
