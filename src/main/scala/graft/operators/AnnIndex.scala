@@ -285,6 +285,12 @@ object AnnIndex {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
       .limit(n.toInt)
+      // re-spread before the checkpoint: the global limit funnels the
+      // sample into ONE partition, and without this every Lloyd
+      // iteration's assignment (k cosines/row — 65536 at the pivot cap)
+      // would run single-threaded over the 2 M-row cap sample; one
+      // bounded round-robin exchange per BUILD buys parallel iterations
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
 
   /** Sampled k-means centroids (Lloyd), the real IVF codebook build:
