@@ -70,6 +70,16 @@ object AnnIndex {
     * = 32 MB codebook). Deployments tune nprobe from the recall card
     * ([[Similarity.annRecall]]), where each extra probed cell costs
     * ~1/k of a corpus scan, not a fixed floor.
+    *
+    * Known ingest-side cost at the cap, stated honestly: [[assign]] is a
+    * FLAT coarse quantizer — O(k·d) cosines per vector, paid once per
+    * corpus version at index build (n·k total; n^1.5 at k = √n). Probes
+    * never pay it (cluster selection is k cosines per QUERY). A
+    * deployment whose ingest volume makes that bite swaps the
+    * assignment's argmax for a two-level quantizer (√k super-pivots,
+    * then the winner's pivot subset — O(√k)/vector, the standard IVF
+    * build trick) without touching probe plans: the codebook and the
+    * cell ids are unchanged, only the argmax search order is.
     */
   val MinPivots = 16
   val MaxPivots = 65536
