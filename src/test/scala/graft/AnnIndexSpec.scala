@@ -140,6 +140,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.ensureIvf(spark, dir) == path1)
     assert(Files.getLastModifiedTime(success1) == mtime1, "no rebuild on re-probe")
 
+    // layout: the cell-repartitioned write must produce ≤ 1 data file per
+    // cluster directory (the r13 fix — the un-repartitioned write left
+    // every scan task a sliver in every cell dir, ~1,400 tiny files at
+    // the sf0.1 √n codebook, and every probe paid the opens)
+    {
+      import scala.jdk.CollectionConverters._
+      val perCell = Files.walk(Paths.get(path1.stripPrefix("file:")))
+        .iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent)
+      assert(perCell.nonEmpty)
+      perCell.foreach { case (cellDir, files) =>
+        assert(cellDir.toString.contains("cluster="),
+          s"data files must live under cluster partitions: $cellDir")
+        assert(files.size == 1,
+          s"expected one file per cell, $cellDir has ${files.size}")
+      }
+    }
+
     // corpus changes (append a file) → new fingerprint → new index path.
     // Eviction keeps the most recent superseded version (a cross-JVM
     // reader that resolved it before this build may be mid-scan), so after
