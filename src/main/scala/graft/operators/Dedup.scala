@@ -499,7 +499,7 @@ object Dedup {
     // skips the cap window entirely
     val cap = skewAdaptiveTextCap(spark, dir, "simhash") {
       simhashSegs(fps).groupBy("seg_id", "seg").count()
-        .agg(max("count")).head().getLong(0)
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }
     // the verified pair set is a SessionCache artifact like
     // [[minhashPairs]] — 24 B/row, pair-count-sized (488 rows at sf0.1).
@@ -569,7 +569,7 @@ object Dedup {
       Tables.documents(spark, dir)
         .groupBy(col("lang"), col("source"),
           (col("n_chars") / 32).cast("int").as("lband"))
-        .count().agg(max("count")).head().getLong(0)
+        .count().agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }
     // verified pair set as a SessionCache artifact (24 B/row, pair-count-
     // sized) — the dominant stage is the gram-hash pass + blocked
@@ -801,7 +801,7 @@ object Dedup {
           expr(s"hyperplane_bits(cast(embedding as array<double>), $planes, 1234)"),
           EmbedBands, bandBits)).as(Seq("band_id", "band_key")))
         .groupBy("band_id", "band_key").count()
-        .agg(max("count")).head().getLong(0)
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }
 
   /** Embedding-cosine near-dup: top-20 most similar vector pairs, candidates
@@ -921,7 +921,7 @@ object Dedup {
     // flood-free store skips the cap window on the store side
     val cap = skewAdaptiveTextCap(spark, dir, "inc_store") {
       store.groupBy("band_id", "band_hash").count()
-        .agg(max("count")).head().getLong(0)
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }
     incrementalVerdicts(docs.where(isBatch), store, docs.where(!isBatch), cap)
   }
