@@ -244,12 +244,26 @@ object Streams {
     * so streamed vectors land in the same (band_id, band_key) buckets a
     * batch rebuild would assign them to and probes keep partition-pruning
     * to the query's buckets while new vectors stream in.
+    * Geometry: a stream has no corpus count, so this ingests under the
+    * FLOOR geometry ([[graft.operators.AnnIndex.LshFloorGeom]], 4×4-bit
+    * — same as a sub-512-vector batch build); a corpus that outgrows its
+    * banding is a batch re-index concern (band bits are corpus-size-
+    * adaptive since r13: build the fresh index version, restart the
+    * stream on it with the matching [[lshIngestGeom]]).
     * Scale: banding cost is O(batch × planes); output is 24 B/row keys,
-    * never the vector payload. Geometry changes (planes/seed/bands) are a
-    * batch concern: build a fresh index version, restart the stream on it.
+    * never the vector payload.
     */
   def lshIngest(vectors: DataFrame): DataFrame =
     graft.operators.AnnIndex.bandify(vectors)
+
+  /** [[lshIngest]] under an explicit geometry — what a restarted stream
+    * uses to keep appending into an index rebuilt at adaptive band bits
+    * (pass [[graft.operators.AnnIndex.lshGeom]] of the rebuild's corpus
+    * count). */
+  def lshIngestGeom(
+      vectors: DataFrame,
+      geom: graft.operators.AnnIndex.LshGeom): DataFrame =
+    graft.operators.AnnIndex.bandify(vectors, geom)
 
   /** Parquet sink for [[lshIngest]]: (band_id, band_key)-partitioned
     * append — the partition layout IS the hash-bucket index, identical to
