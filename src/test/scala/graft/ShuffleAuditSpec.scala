@@ -47,6 +47,37 @@ class ShuffleAuditSpec extends SparkSpec {
       s"q_dedup_minhash shuffle ${audited("q_dedup_minhash").shuffleBytes}")
   }
 
+  test("text pair-search BUILDS shuffle keys, never text (artifact-era seam gates)") {
+    // the r13 artifact moves put the minhash/ngram pair searches behind
+    // SessionCache, so their steady-state query audits read ~0 B and the
+    // key-only discipline must be gated on the build seams directly
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val cap = graft.operators.Dedup.DefaultTextBucketCap
+    val build = ShuffleAudit.measureFrames(spark, Seq(
+      "minhash_pair_build" -> (() =>
+        graft.operators.Dedup.minhashPairsOf(spark,
+          docs.select(col("doc_id"), col("text")))),
+      "ngram_pair_build" -> (() =>
+        graft.operators.Dedup.ngramPairsOf(spark, docs, cap))))
+    assert(build.keySet.size == 2,
+      s"build seams failed during audit: ${build.keySet}")
+    // minhash: (band_id, band_hash, doc_id) candidate rows + the pair/id
+    // join-backs — bounded per record; the shingle ARRAYS ride exactly one
+    // local spread exchange, so the blended B/record stays far under a
+    // text payload (~0.9 KB/doc at sf0.001)
+    val mh = build("minhash_pair_build")
+    assert(mh.shuffleRecords > 0)
+    assert(mh.shuffleBytes.toDouble / mh.shuffleRecords < 512.0,
+      s"minhash build moves ${mh.shuffleBytes.toDouble / mh.shuffleRecords} B/record")
+    // ngram: block-key + id rows and the gram-array materialization
+    // exchange (hashed longs, never text)
+    val ng = build("ngram_pair_build")
+    assert(ng.shuffleRecords > 0)
+    assert(ng.shuffleBytes.toDouble / ng.shuffleRecords < 1024.0,
+      s"ngram build moves ${ng.shuffleBytes.toDouble / ng.shuffleRecords} B/record")
+  }
+
   test("round-11 families: int8 zero-shuffle, probe/card-sized ANN and audits") {
     val names = Seq(
       "q_sim_ann_int8", "q_sim_ann_batch", "q_embed_outliers",
