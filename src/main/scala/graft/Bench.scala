@@ -128,8 +128,10 @@ object Bench {
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
     // headline scalars AFTER the 100-entry query map: the tail keeps the
     // END of this line — r9's tail cut metric/value/n_errors off the front
-    // when they led the line
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // when they led the line. value/n_errors go LAST (after the errors
+    // map): in a many-failure run the per-query error messages could
+    // otherwise push the two scalars out of the 2 KB window too.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total,"n_errors":${errors.size}}""")
     println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"cpus":${Runtime.getRuntime.availableProcessors()}}""")
     println(s"""{"detail":"concurrent","pool":$concPool,"wall":${"%.3f".format(concWall)},"sequential_total":${"%.3f".format(total)},"overlap_x":${"%.2f".format(total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
     spark.stop()
