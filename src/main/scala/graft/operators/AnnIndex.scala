@@ -259,7 +259,15 @@ object AnnIndex {
       spark: SparkSession, dir: String, version: String): Long = {
     val prefix = s"${spark.sparkContext.applicationId}|$dir|"
     val key = s"$prefix$version"
-    corpusCounts.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    // a superseded entry means the DIRECTORY mutated: the catalog's
+    // resolved plan pins the pre-mutation file listing, so without the
+    // invalidation the recount — and the codebook/banding builds that run
+    // right after it against the same catalog — would read the OLD file
+    // set and rebuild a stale index under the new version token (the
+    // Dedup probe caches learned this in r11; the pure-ANN path had no
+    // detector of its own until this count landed)
+    if (corpusCounts.keySet.removeIf(k => k.startsWith(prefix) && k != key))
+      Tables.invalidate(dir)
     corpusCounts.computeIfAbsent(key,
       _ => Tables.embeddings(spark, dir).count())
   }

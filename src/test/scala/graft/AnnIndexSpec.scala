@@ -182,6 +182,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(Files.exists(Paths.get(path3.stripPrefix("file:"), "_SUCCESS")))
   }
 
+  test("a pure-ANN flow re-indexes appended rows after a corpus mutation") {
+    // embeddings.parquet as a DIRECTORY so a crawl drop can be appended —
+    // the 100 TB layout. The catalog pins the resolved file listing; with
+    // no dedup-probe detector running first, the ANN path's own
+    // supersession hook (corpusCount → Tables.invalidate) is what makes
+    // the rebuild read the post-mutation file set instead of silently
+    // rebuilding a stale-listing index under a fresh version token.
+    val corpus = Files.createTempDirectory("ann_mut").toString
+    val tableDir = Paths.get(corpus, "embeddings.parquet")
+    Files.createDirectories(tableDir)
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      tableDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val n0 = Tables.embeddings(spark, corpus).count()
+    val path1 = AnnIndex.ensureIvf(spark, corpus)
+    assert(spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, cluster INT")
+      .parquet(path1).count() == n0)
+
+    // crawl drop lands as a second part file inside the table dir
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      tableDir.resolve("part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val path2 = AnnIndex.ensureIvf(spark, corpus)
+    assert(path2 != path1, "appended data must get a fresh index version")
+    assert(spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, cluster INT")
+      .parquet(path2).count() == 2 * n0,
+      "post-mutation rebuild must index the appended rows, not the pinned listing")
+  }
+
   test("first build sweeps the retired hashCode-named index family") {
     val corpus = Files.createTempDirectory("ann_retired")
     Files.copy(Paths.get(s"$sf/embeddings.parquet"),
