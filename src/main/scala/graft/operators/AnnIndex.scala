@@ -702,12 +702,23 @@ object AnnIndex {
     val exact = queryBands(spark, dir, vecId, version)
     // every XOR mask over the band's bits with 1..LshProbeFlips bits set —
     // the documented "≤ flips hyperplane bits" contract for ANY flip
-    // count, not just 1 (bounded: Σ C(bandBits, f) masks per band)
-    val masks = (1L until (1L << geom.bandBits))
-      .filter(m => java.lang.Long.bitCount(m) <= LshProbeFlips)
+    // count, not just 1. Generated combinatorially from bit POSITIONS
+    // (Σ C(bandBits, f) masks), not by scanning the 2^bandBits key space —
+    // the scan was ~1M driver iterations per probe at the 20-bit cap to
+    // keep ~bandBits masks (r13 ADVICE).
+    val masks = flipMasks(geom.bandBits, LshProbeFlips)
     val flipped = exact.flatMap { case (b, k) => masks.map(m => (b, k ^ m)) }
     (exact ++ flipped).distinct
   }
+
+  /** All XOR masks of width `bits` with 1..`flips` bits set, by choosing
+    * bit positions — |result| = Σ_{f=1..flips} C(bits, f), never a scan of
+    * the 2^bits key space. Sorted for a deterministic probe order.
+    */
+  private[graft] def flipMasks(bits: Int, flips: Int): Seq[Long] =
+    (1 to math.min(flips, bits)).flatMap(f =>
+      (0 until bits).combinations(f)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq).sorted
 
   /** LSH banded signatures as a DataFrame over the materialized table:
     * (vec_id, band_id, band_key), 24 B/row — orders of magnitude under the

@@ -104,7 +104,10 @@ object Dedup {
     * later dedup query starts from the materialized edges.
     */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "minhash_pairs", dir) {
+    // the effective cap folds into the key like the simhash/ngram pair
+    // artifacts: a mid-session `spark.graft.dedup.bucketCap` change must
+    // build fresh pairs, not serve the other cap's set (r13 ADVICE)
+    SessionCache.cached(spark, s"minhash_pairs_c${textBucketCap(spark)}", dir) {
       minhashPairsBuild(spark, dir)
     }
 
@@ -487,10 +490,13 @@ object Dedup {
     * REAL corpora grow wide segment buckets (widest 179 of 5 000 docs at
     * sf0.1) and the default [[textBucketCap]] engages there, bounding the
     * O(width²) candidate blowup segment banding otherwise develops with
-    * corpus size. Completeness then holds per surviving bucket
-    * membership: at sf0.1 the default cap keeps 488/525 (93%) of all
-    * radius-≤3 pairs and the top-20 view is unchanged; set the conf to 0
-    * to restore the full pigeonhole guarantee at the quadratic price.
+    * corpus size. Since r14 the capped path carries a RECOVERY sub-band
+    * (second-level pigeonhole over the wide buckets' other 48 bits — see
+    * [[simhashPairsOf]]), so radius-≤3 completeness under the default cap
+    * is 525/525 at sf0.1 (was 93% with bare truncation in r13); only an
+    * exact-fingerprint flood wider than the cap can still drop pairs,
+    * where kept members link the cluster. Conf 0 restores the unbanded
+    * quadratic guarantee.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = simhashFps(spark, dir)
@@ -535,41 +541,87 @@ object Dedup {
 
   private[graft] def simhashPairsOf(
       spark: SparkSession, fps: DataFrame, cap: Int): DataFrame = {
-    val capped = capBuckets(simhashSegs(fps), Seq("seg_id", "seg"), "doc_id", cap)
-    // materialize the capped frame: the window's exchange+sort otherwise
-    // re-plans the self-join below it into the SMJ regime (4 AQE jobs,
-    // ~0.5 s of stage floor at sf0.1); checkpointed, the ≤ 4n-row key
-    // frame broadcasts and the join keeps the window-free plan's shape
-    val banded = if (cap > 0) capped.localCheckpoint(true) else capped
-
-    banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      .join(banded.select(col("seg_id"), col("seg"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
-        Seq("seg_id", "seg"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
-      .where(col("hamming") <= 3) // the radius the banding makes complete
-      .distinct()
+    val segs = simhashSegs(fps)
+    def pairsOn(banded: DataFrame, keys: Seq[String]): DataFrame =
+      banded.select((keys.map(col) :+ col("doc_id").as("doc_a") :+ col("fp").as("fp_a")): _*)
+        .join(banded.select(
+          (keys.map(col) :+ col("doc_id").as("doc_b") :+ col("fp").as("fp_b")): _*), keys)
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+        .where(col("hamming") <= 3) // the radius the banding makes complete
+    if (cap <= 0) pairsOn(segs, Seq("seg_id", "seg")).distinct()
+    else {
+      // materialize the capped frame: the window's exchange+sort otherwise
+      // re-plans the self-join below it into the SMJ regime (4 AQE jobs,
+      // ~0.5 s of stage floor at sf0.1); checkpointed, the ≤ 4n-row key
+      // frame broadcasts and the join keeps the window-free plan's shape
+      val banded = capBuckets(segs, Seq("seg_id", "seg"), "doc_id", cap)
+        .localCheckpoint(true)
+      // RECOVERY band for the pairs the cap truncates (r13: 16-bit segment
+      // values are vocabulary-biased, so REAL buckets outgrow the cap and
+      // truncation was systematic — 93% radius-≤3 completeness at sf0.1).
+      // Second-level pigeonhole: every member of a wide bucket already
+      // agrees on segment i, and a radius-≤3 pair differs in ≤3 of the
+      // OTHER 48 bits, so it must also agree on ≥1 of 4 12-bit
+      // sub-segments of those bits. Sub-banding the FULL wide-bucket
+      // membership on (seg, sub-segment) splits the width-179 bucket into
+      // fine sub-buckets (28 shared bits) whose self-joins stay small,
+      // and only an exact-fingerprint flood can widen a sub-bucket past
+      // the cap — where the cap's loss is the right loss (kept members
+      // still link the cluster; measured ≥95% planted recall incl. the
+      // flood fixture, 100% on the vocabulary-biased one).
+      val wide = segs.groupBy("seg_id", "seg").count()
+        .where(col("count") > cap).select("seg_id", "seg")
+      val rest48 =
+        when(col("seg_id") === 0, shiftrightunsigned(col("fp"), 16))
+          .when(col("seg_id") === 1,
+            col("fp").bitwiseAND(lit(0xFFFFL))
+              .bitwiseOR(shiftleft(shiftrightunsigned(col("fp"), 32), 16)))
+          .when(col("seg_id") === 2,
+            col("fp").bitwiseAND(lit(0xFFFFFFFFL))
+              .bitwiseOR(shiftleft(shiftrightunsigned(col("fp"), 48), 32)))
+          .otherwise(col("fp").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+      val rec = capBuckets(
+        segs.join(broadcast(wide), Seq("seg_id", "seg"))
+          .withColumn("rest", rest48)
+          .select(col("seg_id"), col("seg"), col("doc_id"), col("fp"),
+            posexplode(array(Seq.tabulate(4)(j =>
+              shiftright(col("rest"), j * 12).bitwiseAND(lit(0xFFFL))): _*))
+              .as(Seq("sub_id", "sub"))),
+        Seq("seg_id", "seg", "sub_id", "sub"), "doc_id", cap)
+        .localCheckpoint(true)
+      pairsOn(banded, Seq("seg_id", "seg"))
+        .unionByName(pairsOn(rec, Seq("seg_id", "seg", "sub_id", "sub")))
+        .distinct()
+    }
   }
 
   /** Character n-gram Jaccard near-dup within blocking buckets.
     * Blocks on (lang, source) — the natural partition a corpus pipeline
     * already has — and compares char-3-gram sets only within a block;
-    * top-20 most similar pairs overall.
+    * top-20 most similar pairs between DISTINCT texts (exact duplicates
+    * collapse to one representative before the build — see
+    * [[ngramPairsOf]]; exact-duplicate pairs are [[dedupExact]]'s
+    * domain by composition).
     * Scale: pair count is Σ blockᵢ² not n²; block width is bounded by the
     * (lang, source, length-band) key, and a boilerplate-flooded block is
     * additionally bounded by [[capBuckets]] at [[textBucketCap]] (on by
     * default). The gram sets shuffle once (hash join on the block key).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    // skew probe over the 3 meta columns only (no gram hashing) — one
-    // card-sized aggregate per (app, corpus version); slack 2 because the
-    // b side of the block join spans two length bands
+    // skew probe over the 3 meta columns + content hash (no gram
+    // hashing) — one card-sized aggregate per (app, corpus version).
+    // Widths count DISTINCT texts per block because the build collapses
+    // exact duplicates first: probing raw rows would engage the rank
+    // window for floods the collapse already absorbs. Slack 2 because
+    // the b side of the block join spans two length bands.
     val cap = skewAdaptiveTextCap(spark, dir, "ngram", slack = 2) {
       Tables.documents(spark, dir)
         .groupBy(col("lang"), col("source"),
           (col("n_chars") / 32).cast("int").as("lband"))
-        .count().agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+        .agg(count_distinct(md5(col("text"))).as("w"))
+        .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
     }
     // verified pair set as a SessionCache artifact (24 B/row, pair-count-
     // sized) — the dominant stage is the gram-hash pass + blocked
@@ -598,6 +650,24 @@ object Dedup {
     // not strings, and hashing is one pass per row (plans.NGramHashes)
     val gramArr = expr("ngram_hashes(text, 3, 'char_distinct')")
 
+    // EXACT-DEDUP-FIRST (r13 verdict #4): collapse md5-identical texts to
+    // one representative (min doc_id) per (content, lang, source) BEFORE
+    // gram hashing. An exact-duplicated corpus otherwise pays the whole
+    // build per copy — gram hashing per copy, and candidate pairs growing
+    // quadratically in the copy count while blocks sit below the cap
+    // (the 8× adversarial re-measure showed 5.5× build cost; collapsed,
+    // the build runs at distinct-corpus size + one cheap aggregate).
+    // Exact-duplicate PAIRS are [[dedupExact]]'s domain by composition —
+    // the near-dup card reports pairs between DISTINCT texts only. The
+    // collapse groups on (16-byte md5, block meta) with map-side partial
+    // min_by, so the exchange carries ≤ one text per distinct content per
+    // partition, never the duplicated payload volume.
+    val reps = docsIn
+      .groupBy(md5(col("text")).as("h"), col("lang"), col("source"))
+      .agg(min("doc_id").as("doc_id"), min("n_chars").as("n_chars"),
+        expr("min_by(text, doc_id)").as("text"))
+      .drop("h")
+
     // blocking key: (lang, source) — the partition a corpus pipeline already
     // has — plus a 32-char length band (each doc also probes the previous
     // band): a high-Jaccard pair can't differ much in length, so banding
@@ -607,7 +677,7 @@ object Dedup {
     // serialize the pair join): spread the single-split text rows, hash in
     // parallel, then materialize the gram arrays once for both join sides.
     val par = spark.sparkContext.defaultParallelism
-    val docs = docsIn
+    val docs = reps
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         gramArr.as("grams"))
       .withColumn("n_grams", size(col("grams")))

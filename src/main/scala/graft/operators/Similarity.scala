@@ -406,21 +406,23 @@ object Similarity {
     * Scale: assignment is map-side (broadcast 1-row codebook, zero fan)
     * over the corpus scan; the only shuffles carry (cluster × label) partial
     * aggregates — map-side combine leaves ≤ cells×labels rows in flight,
-    * never vectors.
+    * never vectors. Since r14 that pass runs once per (session, corpus
+    * version): the (cell × label) card is a SessionCache artifact and the
+    * steady-state query is the card-sized rollup alone.
     */
   def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
-    val ver = AnnIndex.corpusVersion(spark, dir)
-    // adaptive scan-spread: few local input splits, 16-cosine assignment
-    // is the compute; a pre-split corpus skips the shuffle
-    val emb = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-    val cells = AnnIndex.assign(emb, AnnIndex.codebook(spark, dir, ver))
-      .join(broadcast(AnnIndex.pivots(spark, dir, ver)
-        .withColumnRenamed("pivot_id", "cluster")), Seq("cluster"))
-      .select(col("cluster"), col("label"), expr("cosine_sim(v, pv)").as("sim"))
-      .groupBy("cluster", "label")
-      .agg(count(lit(1)).as("n"), sum(col("sim").cast("decimal(28,12)")).as("s"))
+    // the (cell × label) card — count + DECIMAL-exact similarity mass per
+    // cell per label — is a SessionCache artifact like its ten ANN-family
+    // siblings (r13 verdict #5: this was the family's last per-query
+    // corpus scan). The assignment pass (broadcast 1-row codebook,
+    // map-side argmax over the spread scan) runs once per (session,
+    // corpus version); the card is ≤ cells × labels rows, squarely inside
+    // the SessionCache size discipline, and every later profile query is
+    // the card-sized rollup below over the checkpointed frame — zero
+    // embeddings scans (PlanSpec-pinned).
+    val cells = SessionCache.cached(spark, "cluster_cells", dir) {
+      clusterCellsBuild(spark, dir)
+    }
       // ≤ cells × labels rows — one coalesced partition satisfies the
       // cluster rollup's clustering requirement, so no second exchange
       .coalesce(1)
@@ -434,6 +436,25 @@ object Similarity {
       .select(col("cluster").cast("int").as("cluster"), col("n_vecs"),
         col("top_label"), col("top_share"), col("avg_sim"))
       .transform(Present.cardSort(_, col("cluster")))
+  }
+
+  /** The uncached (cell × label) card builder behind [[clusterProfile]]
+    * (PlanSpec pins ITS shape — the cached consumer reads a checkpoint
+    * leaf): broadcast 1-row codebook, map-side argmax assignment over the
+    * spread scan, broadcast centroid join for the cohesion cosine, one
+    * (cluster, label)-keyed aggregate with map-side combine.
+    */
+  private[graft] def clusterCellsBuild(spark: SparkSession, dir: String): DataFrame = {
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    AnnIndex.assign(emb, AnnIndex.codebook(spark, dir, ver))
+      .join(broadcast(AnnIndex.pivots(spark, dir, ver)
+        .withColumnRenamed("pivot_id", "cluster")), Seq("cluster"))
+      .select(col("cluster"), col("label"), expr("cosine_sim(v, pv)").as("sim"))
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"), sum(col("sim").cast("decimal(28,12)")).as("s"))
   }
 
   /** k-NN label propagation — classify each of the [[BatchQueries]] query

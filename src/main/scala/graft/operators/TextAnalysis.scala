@@ -167,7 +167,12 @@ object TextAnalysis {
     // count-sized but orders of magnitude under the corpus; the confusion
     // matrix below is then one 25-cell aggregate over the artifact instead
     // of re-running the bigram extraction + 5 profile dots per invocation.
-    val scored = SessionCache.cached(spark, "langid_scored", dir) {
+    // SIZE-GATED (cachedBounded): past `spark.graft.artifact.maxRows` the
+    // frame would pin O(corpus rows) of executor storage for the session
+    // lifetime, so the gate falls back to inline scoring per query —
+    // identical answers, no pinned state (spec-pinned both modes).
+    val scored = SessionCache.cachedBounded(spark, "langid_scored", dir,
+      Tables.cachedCount(spark, dir, "documents")) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
@@ -339,7 +344,10 @@ object TextAnalysis {
     * under the corpus — exactly what [[SessionCache]] is for.
     */
   private def lmScored(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "lm_scores", dir)(lmScoredBuild(spark, dir))
+    // size-gated like langid_scored: the score frame is O(corpus rows),
+    // so past the artifact ceiling it scores inline instead of pinning
+    SessionCache.cachedBounded(spark, "lm_scores", dir,
+      Tables.cachedCount(spark, dir, "documents"))(lmScoredBuild(spark, dir))
 
   /** The uncached builder behind [[lmScored]] (PlanSpec pins ITS shape —
     * the cached consumers read a checkpoint leaf).
@@ -925,7 +933,10 @@ object TextAnalysis {
     * uncached transform — per-batch inputs have no corpus fingerprint.
     */
   private[graft] def verdictFrame(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "filter_verdicts", dir) {
+    // size-gated like langid_scored/lm_scores: one verdict row per doc is
+    // O(corpus rows) of pinned storage — past the ceiling, score inline
+    SessionCache.cachedBounded(spark, "filter_verdicts", dir,
+      Tables.cachedCount(spark, dir, "documents")) {
       filterVerdicts(Tables.spread(Tables.documents(spark, dir)),
         passthrough = Seq("source"))
     }

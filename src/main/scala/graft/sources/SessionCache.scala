@@ -101,6 +101,31 @@ object SessionCache {
     (if (prior != null) prior else holder).get
   }
 
+  /** Default ceiling for CORPUS-ROW-SIZED artifacts (one slim row per
+    * document — langid scores, LM scores, filter verdicts): ~10⁹ rows is
+    * the documented ~100 GB-of-aggregate-executor-storage envelope
+    * (SCALING.md "Session-level artifacts"). Override with
+    * `spark.graft.artifact.maxRows`; 0 disables the gate.
+    */
+  val DefaultArtifactMaxRows = 1000000000L
+
+  /** [[cached]] gated on corpus size — for artifacts whose row count is
+    * O(corpus rows), not O(cells). Past the configured ceiling the build
+    * is returned INLINE (lazy, uncached, no checkpoint): consumers score
+    * per query instead of pinning O(corpus) executor storage for the
+    * session lifetime. `rows` is the corpus row count (callers pass the
+    * cached [[Tables.cachedCount]] — one count job per corpus version,
+    * no job at all on repeat probes).
+    */
+  def cachedBounded(
+      spark: SparkSession, artifact: String, dir: String, rows: => Long)(
+      build: => DataFrame): DataFrame = {
+    val max = spark.conf.get(
+      "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
+    if (max > 0 && rows > max) build
+    else cached(spark, artifact, dir)(build)
+  }
+
   /** Drop every cached artifact derived from `dir` (all sessions): write
     * paths call this after mutating a directory; the dropped references
     * let ContextCleaner reclaim the checkpoint blocks on the next GC

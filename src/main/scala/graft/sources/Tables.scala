@@ -53,6 +53,24 @@ object Tables {
     ()
   }
 
+  /** Cached row count of one table, one count job per (app, dir, table,
+    * corpus version) — what the corpus-row-sized-artifact gate
+    * ([[SessionCache.cachedBounded]]) sizes against. Same
+    * superseded-version discipline as the Dedup/AnnIndex count caches: a
+    * fingerprint change drops the stale entry AND invalidates the pinned
+    * resolved plan, so the recount sees the post-mutation file set.
+    */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|$name|"
+    val key = s"$prefix${SessionCache.dirFingerprint(spark, dir)}"
+    if (rowCounts.keySet.removeIf(k => k.startsWith(prefix) && k != key))
+      invalidate(dir)
+    rowCounts.computeIfAbsent(key, _ => apply(spark, dir, name).count())
+  }
+
   /** Scan-spread, made adaptive: repartition ONLY when the input arrives
     * in fewer partitions than cores. The single-file local testdata gives
     * Spark one split, so compute-heavy map stages (shingling, simhash,

@@ -311,4 +311,25 @@ class AnnIndexSpec extends SparkSpec {
       assert(bits == 1, s"flipped bucket must differ in exactly 1 bit, got $bits")
     }
   }
+
+  test("flipMasks: combinatorial generation equals the key-space scan, sized C(bits,f)") {
+    for (bits <- Seq(4, 10, 20); flips <- Seq(1, 2)) {
+      val got = AnnIndex.flipMasks(bits, flips)
+      assert(got == got.distinct && got == got.sorted)
+      def c(n: Int, k: Int): Long =
+        (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+      assert(got.size == (1 to flips).map(c(bits, _)).sum,
+        s"bits=$bits flips=$flips size=${got.size}")
+      assert(got.forall(m => m > 0 && m < (1L << bits) &&
+        java.lang.Long.bitCount(m) <= flips))
+      // the scan form it replaced, checked only at widths where the scan
+      // is cheap (the 20-bit scan being ~1M iterations per probe was the
+      // point of the change)
+      if (bits <= 10) {
+        val scan = (1L until (1L << bits))
+          .filter(m => java.lang.Long.bitCount(m) <= flips).sorted
+        assert(got == scan)
+      }
+    }
+  }
 }

@@ -635,9 +635,10 @@ class DedupSimilaritySpec extends SparkSpec {
       ("minhash", 64 * 63 / 2, () => Dedup.minhashPairsOf(spark, all)),
       ("simhash", 64 * 63 / 2, () => Dedup.simhashPairsOf(spark,
         all.select(col("doc_id"), expr("simhash64(text)").as("fp")))),
-      // ngram caps each join side independently and b probes two length
-      // bands, so the flood bound is cap² unordered pairs, not C(cap,2)
-      ("ngram", 64 * 64, () => Dedup.ngramPairsOf(spark, all)))
+      // ngram collapses exact duplicates before the build (exact-first),
+      // so the IDENTICAL-text flood contributes zero near-dup pairs by
+      // construction — the bound below asserts exactly that
+      ("ngram", 0, () => Dedup.ngramPairsOf(spark, all)))
 
     for ((name, floodBound, gen) <- gens) {
       val uncapped = pairsOf(gen(), 0)
@@ -654,14 +655,92 @@ class DedupSimilaritySpec extends SparkSpec {
       // buckets the cap never touches
       assert(foundCapped >= math.ceil(0.95 * foundUncapped).toInt,
         s"$name: cap=64 recall $foundCapped of uncapped $foundUncapped planted pairs")
-      // the flood is quadratic uncapped, O(cap²) capped
+      // the flood is quadratic uncapped and O(cap²) capped on the banded
+      // generators; ngram's exact-first collapse absorbs it entirely
       val floodUncapped = uncapped.count(isFlood)
       val floodCapped = capped.count(isFlood)
-      assert(floodUncapped > 40000,
-        s"$name: flood should be quadratic uncapped, got $floodUncapped")
+      if (name != "ngram")
+        assert(floodUncapped > 40000,
+          s"$name: flood should be quadratic uncapped, got $floodUncapped")
       assert(floodCapped <= floodBound,
-        s"$name: capped flood must be O(cap²), got $floodCapped > $floodBound")
+        s"$name: flood bound violated, got $floodCapped > $floodBound")
+      if (name == "ngram")
+        assert(floodUncapped == 0,
+          s"ngram: identical-text flood must collapse to one rep, got $floodUncapped pairs")
     }
+  }
+
+  test("ngram exact-first: an 8×-duplicated corpus yields the distinct corpus's pair set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the r13 adversarial re-measure's shape: every doc copied 8×. The
+    // build must collapse copies to the min-doc_id representative before
+    // gram hashing, so the pair set over the duplicated corpus is
+    // IDENTICAL to the distinct corpus's — no copy-inflated candidates,
+    // no duplicate-pair multiplicities.
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)(rnd.nextInt(50000).toString).mkString(" ")
+    val base = (1 to 120).map(i =>
+      (i.toLong, s"l${i % 2}", s"s${i % 2}", words(60 + rnd.nextInt(200))))
+    val planted = base.take(30).map { case (i, l, s, t) =>
+      (2000L + i, l, s, t + " " + rnd.nextInt(50000).toString)
+    }
+    val distinct = base ++ planted
+    val dup8 = distinct ++ (1 to 7).flatMap(c =>
+      distinct.map { case (i, l, s, t) => (100000L * c + i, l, s, t) })
+    def frame(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "lang", "source", "text")
+        .withColumn("n_chars", length(col("text")))
+        .localCheckpoint(true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramPairsOf(spark, df, Dedup.DefaultTextBucketCap)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pDistinct = pairs(frame(distinct))
+    val pDup = pairs(frame(dup8))
+    assert(pDistinct.nonEmpty, "fixture must produce near-dup pairs")
+    assert(pDup == pDistinct,
+      s"duplicated corpus must collapse to the distinct pair set " +
+        s"(got ${pDup.size} vs ${pDistinct.size})")
+  }
+
+  test("simhash recovery band: ≥95% radius-≤3 recall at the default cap on a vocabulary-biased fixture") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the r13 failure mode, reproduced sharply: segment VALUES are
+    // vocabulary-biased, so one 16-bit segment bucket grows far past the
+    // cap and bare truncation systematically dropped its pairs (93%
+    // radius-≤3 completeness at sf0.1). Fixture: 300 fingerprints sharing
+    // segment 0 (low 16 bits — bucket width 400 ≫ cap 64), other bits
+    // random; 100 planted partners differing in EXACTLY one bit of each
+    // of segments 1, 2, 3 — so segment 0 is the ONLY agreeing segment
+    // and every planted pair's survival depends on the wide bucket.
+    val rnd = new scala.util.Random(7)
+    val bases = (1 to 300).map(i => (i.toLong, (rnd.nextLong() & ~0xFFFFL) | 0x1234L))
+    val planted = bases.take(100).map { case (i, fp) =>
+      val flipped = fp ^ (1L << (16 + rnd.nextInt(16))) ^
+        (1L << (32 + rnd.nextInt(16))) ^ (1L << (48 + rnd.nextInt(16)))
+      (1000L + i, flipped)
+    }
+    val fps = (bases ++ planted).toDF("doc_id", "fp").localCheckpoint(true)
+    // ground truth by brute force over the 400-fp fixture
+    val allFps = (bases ++ planted)
+    val truth = (for {
+      (a, fa) <- allFps; (b, fb) <- allFps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(truth.size >= 100, s"fixture must contain the planted pairs, got ${truth.size}")
+    val got = Dedup.simhashPairsOf(spark, fps, Dedup.DefaultTextBucketCap)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bare truncation keeps 64 of ~400 bucket members → most pairs lost;
+    // the recovery sub-band (second-level pigeonhole over the other 48
+    // bits, narrow sub-buckets here) must restore ≥95% — on this fixture
+    // it is exact because no sub-bucket nears the cap
+    assert(got.intersect(truth).size >= math.ceil(0.95 * truth.size).toInt,
+      s"recovered ${got.intersect(truth).size} of ${truth.size} radius-≤3 pairs at cap=64")
+    // and nothing beyond radius 3 or outside the truth set is emitted
+    assert(got.subsetOf(truth), "emitted pairs must all be true radius-≤3 pairs")
   }
 
   test("a mutated corpus dir re-resolves end-to-end: appended files reach probes and plans") {

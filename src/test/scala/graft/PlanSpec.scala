@@ -313,6 +313,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("artifact size gate: past maxRows the corpus-row-sized artifacts score inline, same answers") {
+    import graft.operators.TextAnalysis
+    // cached mode first (default ceiling) — also the answer baseline
+    val cachedAnswers = Seq(
+      "textLangId" -> TextAnalysis.textLangId(spark, sf),
+      "lmQuality" -> TextAnalysis.lmQuality(spark, sf),
+      "corpusFilter" -> TextAnalysis.corpusFilter(spark, sf)
+    ).map { case (n, df) => n -> df.collect().toSeq }.toMap
+    // gate engaged: a tiny ceiling forces the langid_scored / lm_scores /
+    // filter_verdicts artifacts back to INLINE scoring — the plan must
+    // carry the documents scan again (no pinned O(corpus) checkpoint
+    // leaf), and every answer must be identical to the cached mode's
+    spark.conf.set("spark.graft.artifact.maxRows", "10")
+    try {
+      Seq(
+        "textLangId" -> (() => TextAnalysis.textLangId(spark, sf)),
+        "lmQuality" -> (() => TextAnalysis.lmQuality(spark, sf)),
+        "corpusFilter" -> (() => TextAnalysis.corpusFilter(spark, sf))
+      ).foreach { case (name, mk) =>
+        val df = mk()
+        assert(plan(df).contains("documents.parquet"),
+          s"$name past the ceiling must plan the inline documents scan")
+        assert(df.collect().toSeq == cachedAnswers(name),
+          s"$name must answer identically in inline and cached modes")
+      }
+    } finally spark.conf.unset("spark.graft.artifact.maxRows")
+  }
+
+  test("clusterProfile steady state rolls up the cached (cell × label) card — zero embeddings scans") {
+    // warm the artifact, then pin the steady-state shape: the per-query
+    // plan must be the card-sized rollup over the checkpointed cells
+    // frame — no embeddings scan, no assignment argmax re-run
+    Similarity.clusterProfile(spark, sf).collect()
+    val p = plan(Similarity.clusterProfile(spark, sf))
+    assert(!p.contains("embeddings.parquet"),
+      "steady state must read the cached (cell × label) card, not re-scan the corpus")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "expected the checkpointed card leaf")
+  }
+
   test("pair-artifact consumers serve TakeOrdered off the cached pair set — zero corpus scans") {
     // all three text pair searches (minhash/simhash/ngram) are session
     // artifacts since r13: the steady-state query must be a bounded
@@ -372,8 +412,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("clusterProfile assigns map-side from broadcast codebook — no vector shuffle join") {
-    val p = plan(Similarity.clusterProfile(spark, sf))
+  test("clusterProfile's card BUILD assigns map-side from broadcast codebook — no vector shuffle join") {
+    // the build seam behind the r14 session artifact (the cached consumer
+    // reads a checkpoint leaf — its own zero-scan pin is below)
+    val p = plan(Similarity.clusterCellsBuild(spark, sf))
     assert(!p.contains("SortMergeJoin"),
       "vector payloads must never shuffle for a join")
     assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
