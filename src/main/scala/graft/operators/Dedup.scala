@@ -103,11 +103,13 @@ object Dedup {
     * (24 B/row), so it's computed once per (session, corpus) and every
     * later dedup query starts from the materialized edges.
     */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(
+      spark: SparkSession, dir: String, fp: String): DataFrame =
     // the effective cap folds into the key like the simhash/ngram pair
     // artifacts: a mid-session `spark.graft.dedup.bucketCap` change must
     // build fresh pairs, not serve the other cap's set (r13 ADVICE)
-    SessionCache.cached(spark, s"minhash_pairs_c${textBucketCap(spark)}", dir) {
+    SessionCache.cached(
+      spark, s"minhash_pairs_c${textBucketCap(spark)}", dir, fp) {
       minhashPairsBuild(spark, dir)
     }
 
@@ -230,7 +232,7 @@ object Dedup {
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(spark, dir)
+    minhashPairs(spark, dir, SessionCache.dirFingerprint(spark, dir))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
 
@@ -371,8 +373,11 @@ object Dedup {
     */
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
     val algo = spark.conf.get("spark.graft.cc", "propagate")
-    SessionCache.cached(spark, s"neardup_labels_$algo", dir) {
-      val edges = minhashPairs(spark, dir)
+    // ONE fingerprint resolution per query, shared with the nested
+    // minhash-pair artifact (each resolution is a metadata listing)
+    val fp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cached(spark, s"neardup_labels_$algo", dir, fp) {
+      val edges = minhashPairs(spark, dir, fp)
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       val nodes = Tables.documents(spark, dir).select("doc_id")
@@ -460,14 +465,15 @@ object Dedup {
     * so consumers see a leaf RDD and nothing can be pushed below the
     * parallel fingerprint compute.
     */
-  private def simhashFps(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "simhash_fps", dir) {
+  private def simhashFps(
+      spark: SparkSession, dir: String, fp: String): DataFrame =
+    SessionCache.cached(spark, "simhash_fps", dir, fp) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), expr("simhash64(text)").as("fp"))
     }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashFps(spark, dir)
+    simhashFps(spark, dir, SessionCache.dirFingerprint(spark, dir))
       .select(col("doc_id"), col("fp").as("simhash64"))
       .orderBy("doc_id")
 
@@ -499,11 +505,15 @@ object Dedup {
     * quadratic guarantee.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = simhashFps(spark, dir)
+    // ONE fingerprint resolution per query, shared by the fingerprint
+    // artifact, the skew probe, and the pair artifact (3 listings → 1;
+    // each is ~34 ms of metadata round trips on an unmanaged sf0.1 store)
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val fps = simhashFps(spark, dir, dfp)
     // skew probe over the cached 16 B/row fingerprint artifact — one
     // card-sized aggregate per (app, corpus version); a skew-free corpus
     // skips the cap window entirely
-    val cap = skewAdaptiveTextCap(spark, dir, "simhash") {
+    val cap = skewAdaptiveTextCap(spark, dir, "simhash", dfp) {
       simhashSegs(fps).groupBy("seg_id", "seg").count()
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }
@@ -515,7 +525,7 @@ object Dedup {
     // version, not per query. The effective cap folds into the artifact
     // key — a conf change mid-session must not serve the other cap's
     // pairs.
-    SessionCache.cached(spark, s"simhash_pairs_c$cap", dir) {
+    SessionCache.cached(spark, s"simhash_pairs_c$cap", dir, dfp) {
       simhashPairsOf(spark, fps, cap)
     }
       .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
@@ -616,7 +626,8 @@ object Dedup {
     // exact duplicates first: probing raw rows would engage the rank
     // window for floods the collapse already absorbs. Slack 2 because
     // the b side of the block join spans two length bands.
-    val cap = skewAdaptiveTextCap(spark, dir, "ngram", slack = 2) {
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val cap = skewAdaptiveTextCap(spark, dir, "ngram", dfp, slack = 2) {
       Tables.documents(spark, dir)
         .groupBy(col("lang"), col("source"),
           (col("n_chars") / 32).cast("int").as("lband"))
@@ -628,7 +639,7 @@ object Dedup {
     // verification (~0.8 s at sf0.1, decomposed in BASELINE.md), which a
     // serve-many session pays once per corpus version like the minhash
     // and simhash pair sets; the cap folds into the key
-    SessionCache.cached(spark, s"ngram_pairs_c$cap", dir) {
+    SessionCache.cached(spark, s"ngram_pairs_c$cap", dir, dfp) {
       ngramPairsOf(spark, Tables.spread(Tables.documents(spark, dir)), cap)
     }
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
@@ -806,10 +817,9 @@ object Dedup {
       Tables.invalidate(dir)
     cache.computeIfAbsent(key, _ => compute)
   }
-  private def embedCount(spark: SparkSession, dir: String): Long =
+  private def embedCount(spark: SparkSession, dir: String, fp: String): Long =
     cachedLong(corpusCounts, dir,
-      s"${spark.sparkContext.applicationId}|$dir",
-      SessionCache.dirFingerprint(spark, dir)) {
+      s"${spark.sparkContext.applicationId}|$dir", fp) {
       Tables.embeddings(spark, dir).count()
     }
 
@@ -840,20 +850,20 @@ object Dedup {
     * it would sometimes skip.
     */
   private def skewAdaptiveTextCap(
-      spark: SparkSession, dir: String, family: String, slack: Int = 1)(
+      spark: SparkSession, dir: String, family: String, fp: String,
+      slack: Int = 1)(
       widest: => Long): Int = {
     val cap = textBucketCap(spark)
     if (cap <= 0) 0
     else {
       val w = cachedLong(bucketWidths, dir,
-        s"${spark.sparkContext.applicationId}|$dir|$family",
-        SessionCache.dirFingerprint(spark, dir))(widest)
+        s"${spark.sparkContext.applicationId}|$dir|$family", fp)(widest)
       if (w * slack <= cap) 0 else cap
     }
   }
 
   private def maxBucketWidth(
-      spark: SparkSession, dir: String, bandBits: Int): Long =
+      spark: SparkSession, dir: String, bandBits: Int, fp: String): Long =
     // bandBits folds into the VERSION half of the key so a geometry change
     // (corpus crossing a band-bit boundary) also evicts the stale entry.
     // The prefix carries an explicit `|embed` family marker: cachedLong
@@ -864,7 +874,7 @@ object Dedup {
     // path (caught by the r13 shuffle audit re-measure).
     cachedLong(bucketWidths, dir,
       s"${spark.sparkContext.applicationId}|$dir|embed",
-      s"$bandBits|${SessionCache.dirFingerprint(spark, dir)}") {
+      s"$bandBits|$fp") {
       val planes = EmbedBands * bandBits
       Tables.embeddings(spark, dir)
         .select(posexplode(VectorOps.bandKeys(
@@ -882,14 +892,16 @@ object Dedup {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     // probes FIRST: a fingerprint change detected here invalidates the
     // catalog's resolved plan (stale file listing), so the vecs frame
-    // below must be resolved AFTER them to see the post-mutation file set
-    val n = embedCount(spark, dir)
+    // below must be resolved AFTER them to see the post-mutation file set.
+    // ONE fingerprint resolution per query, shared by both probes.
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val n = embedCount(spark, dir, dfp)
     // skew-adaptive cap: pay the rank window only when the cached width
     // probe proves some bucket actually exceeds the cap — a skew-free
     // corpus plans the window-free broadcast self-join
     val cap = embedBucketCap(spark)
     val effectiveCap =
-      if (cap > 0 && maxBucketWidth(spark, dir, embedBandBits(n)) <= cap) 0
+      if (cap > 0 && maxBucketWidth(spark, dir, embedBandBits(n), dfp) <= cap) 0
       else cap
     // cast below the exchange: the double arrays materialize once and the
     // three consumers (banding + two join-backs) reuse the exchange
@@ -950,8 +962,9 @@ object Dedup {
     * dedup deployment keeps on disk and APPENDS to as batches are
     * admitted. Built once per (session, corpus version); key-only rows.
     */
-  private def corpusBandStore(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "inc_band_store", dir) {
+  private def corpusBandStore(
+      spark: SparkSession, dir: String, fp: String): DataFrame =
+    SessionCache.cached(spark, "inc_band_store", dir, fp) {
       bandDocs(Tables.spread(Tables.documents(spark, dir)
         .where(col("doc_id") % lit(IncrementMod) =!= 0L)))
     }
@@ -986,10 +999,14 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBatch = col("doc_id") % lit(IncrementMod) === 0L
-    val store = corpusBandStore(spark, dir)
+    // ONE fingerprint resolution per query, shared by the store artifact
+    // and the skew probe — the r13 form resolved it twice, and the second
+    // ~34 ms listing WAS the round's only >10% bench regression
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val store = corpusBandStore(spark, dir, dfp)
     // skew probe over the cached 24 B/row band-store artifact — a
     // flood-free store skips the cap window on the store side
-    val cap = skewAdaptiveTextCap(spark, dir, "inc_store") {
+    val cap = skewAdaptiveTextCap(spark, dir, "inc_store", dfp) {
       store.groupBy("band_id", "band_hash").count()
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     }

@@ -449,7 +449,10 @@ object Similarity {
     val emb = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    AnnIndex.assign(emb, AnnIndex.codebook(spark, dir, ver))
+    // SAME dispatch as the index build (two-level past the pivot
+    // threshold), so the profile and the inverted file describe
+    // identical cells
+    AnnIndex.coarseAssign(spark, dir, ver)(emb)
       .join(broadcast(AnnIndex.pivots(spark, dir, ver)
         .withColumnRenamed("pivot_id", "cluster")), Seq("cluster"))
       .select(col("cluster"), col("label"), expr("cosine_sim(v, pv)").as("sim"))

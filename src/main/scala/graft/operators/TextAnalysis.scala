@@ -133,12 +133,16 @@ object TextAnalysis {
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val langs = Seq("de", "en", "es", "fr", "zh")
+    // ONE fingerprint resolution per query, shared by the profile
+    // artifact, the scored artifact, and the size-gate count (each
+    // resolution is a ~34 ms metadata listing on an unmanaged store)
+    val dfp = SessionCache.dirFingerprint(spark, dir)
 
     // profiles train on a deterministic 1-in-4 sample — frequency ranks
     // are stable under sampling and it quarters the training explode (at
     // 100 TB the profile pass runs on a small sample by necessity); the
     // round-robin repartition spreads the few text splits across cores
-    val profileRow = SessionCache.cached(spark, "langid_profiles", dir) {
+    val profileRow = SessionCache.cached(spark, "langid_profiles", dir, dfp) {
       val bigrams = Tables.spread(Tables.documents(spark, dir)
           .where(col("doc_id") % 4 === 0))
         .select(col("lang"),
@@ -171,8 +175,8 @@ object TextAnalysis {
     // frame would pin O(corpus rows) of executor storage for the session
     // lifetime, so the gate falls back to inline scoring per query —
     // identical answers, no pinned state (spec-pinned both modes).
-    val scored = SessionCache.cachedBounded(spark, "langid_scored", dir,
-      Tables.cachedCount(spark, dir, "documents")) {
+    val scored = SessionCache.cachedBounded(spark, "langid_scored", dir, dfp,
+      Tables.cachedCount(spark, dir, "documents", dfp)) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
@@ -343,11 +347,14 @@ object TextAnalysis {
     * itself (id + lang + two numbers, no text) is orders of magnitude
     * under the corpus — exactly what [[SessionCache]] is for.
     */
-  private def lmScored(spark: SparkSession, dir: String): DataFrame =
+  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
     // size-gated like langid_scored: the score frame is O(corpus rows),
-    // so past the artifact ceiling it scores inline instead of pinning
-    SessionCache.cachedBounded(spark, "lm_scores", dir,
-      Tables.cachedCount(spark, dir, "documents"))(lmScoredBuild(spark, dir))
+    // so past the artifact ceiling it scores inline instead of pinning.
+    // One fingerprint resolution shared by gate count + artifact key.
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cachedBounded(spark, "lm_scores", dir, dfp,
+      Tables.cachedCount(spark, dir, "documents", dfp))(lmScoredBuild(spark, dir))
+  }
 
   /** The uncached builder behind [[lmScored]] (PlanSpec pins ITS shape —
     * the cached consumers read a checkpoint leaf).
@@ -932,14 +939,17 @@ object TextAnalysis {
     * ([[graft.streaming.Streams.docFilterStream]]) keeps calling the
     * uncached transform — per-batch inputs have no corpus fingerprint.
     */
-  private[graft] def verdictFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def verdictFrame(spark: SparkSession, dir: String): DataFrame = {
     // size-gated like langid_scored/lm_scores: one verdict row per doc is
-    // O(corpus rows) of pinned storage — past the ceiling, score inline
-    SessionCache.cachedBounded(spark, "filter_verdicts", dir,
-      Tables.cachedCount(spark, dir, "documents")) {
+    // O(corpus rows) of pinned storage — past the ceiling, score inline.
+    // One fingerprint resolution shared by gate count + artifact key.
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cachedBounded(spark, "filter_verdicts", dir, dfp,
+      Tables.cachedCount(spark, dir, "documents", dfp)) {
       filterVerdicts(Tables.spread(Tables.documents(spark, dir)),
         passthrough = Seq("source"))
     }
+  }
 
   /** Repetition-filter signal (the Gopher/MassiveText "duplicate n-gram
     * fraction" rule): per document, the fraction of word 3-grams that are

@@ -54,6 +54,17 @@ object SessionCache {
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   def cached(spark: SparkSession, artifact: String, dir: String)
+      (build: => DataFrame): DataFrame =
+    cached(spark, artifact, dir, dirFingerprint(spark, dir))(build)
+
+  /** As [[cached]] with the corpus fingerprint precomputed by the caller —
+    * the same resolve-once-and-thread discipline as AnnIndex's
+    * corpusVersion: a fingerprint is ONE metadata listing on an unmanaged
+    * store (~34 ms on the sf0.1 testdata), so a query touching several
+    * artifacts/probes must not pay it per artifact (the r13
+    * q_dedup_incremental regression was exactly one extra listing).
+    */
+  def cached(spark: SparkSession, artifact: String, dir: String, fp: String)
       (build: => DataFrame): DataFrame = {
     // identity of the session object: localCheckpoint blocks live on the
     // session's executors, so a different/new session must never hit.
@@ -78,7 +89,7 @@ object SessionCache {
       })
     }
     val prefix = s"$artifact|$dir|"
-    val key = (sessionKey, s"$prefix${dirFingerprint(spark, dir)}")
+    val key = (sessionKey, s"$prefix$fp")
     // drop superseded-fingerprint entries for the same artifact BEFORE
     // inserting: a stale entry would otherwise pin its checkpoint blocks
     // for the application's lifetime. Dropping the map reference is the
@@ -118,12 +129,13 @@ object SessionCache {
     * no job at all on repeat probes).
     */
   def cachedBounded(
-      spark: SparkSession, artifact: String, dir: String, rows: => Long)(
+      spark: SparkSession, artifact: String, dir: String, fp: String,
+      rows: => Long)(
       build: => DataFrame): DataFrame = {
     val max = spark.conf.get(
       "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
     if (max > 0 && rows > max) build
-    else cached(spark, artifact, dir)(build)
+    else cached(spark, artifact, dir, fp)(build)
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write

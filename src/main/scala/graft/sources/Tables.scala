@@ -63,9 +63,16 @@ object Tables {
   private val rowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def cachedCount(spark: SparkSession, dir: String, name: String): Long = {
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    cachedCount(spark, dir, name, SessionCache.dirFingerprint(spark, dir))
+
+  /** As [[cachedCount]] with the fingerprint precomputed by the caller
+    * (the resolve-once-per-query discipline — see
+    * [[SessionCache.cached]]). */
+  def cachedCount(
+      spark: SparkSession, dir: String, name: String, fp: String): Long = {
     val prefix = s"${spark.sparkContext.applicationId}|$dir|$name|"
-    val key = s"$prefix${SessionCache.dirFingerprint(spark, dir)}"
+    val key = s"$prefix$fp"
     if (rowCounts.keySet.removeIf(k => k.startsWith(prefix) && k != key))
       invalidate(dir)
     rowCounts.computeIfAbsent(key, _ => apply(spark, dir, name).count())

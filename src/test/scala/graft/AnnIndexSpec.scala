@@ -312,6 +312,136 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("LSH saturation envelope: constant probe cost up to 2²⁰ buckets, linear past it, IVF sub-linear throughout") {
+    import AnnIndex._
+    // the saturation boundary is where the 20-bit cap first binds
+    assert(LshSaturationN == 32L << 20) // ~3.4e7 vectors
+    assert(lshBandBits(LshSaturationN) == LshMaxBandBits)
+    assert(lshBandBits(LshSaturationN - (1L << 20)) < LshMaxBandBits ||
+      lshBandBits(LshSaturationN / 2) == LshMaxBandBits - 1)
+    Seq(LshSaturationN, LshSaturationN * 10, 1L << 40).foreach(n =>
+      assert(lshBandBits(n) == LshMaxBandBits, s"saturated at n=$n"))
+    // ADAPTIVE regime: expected width — and so per-probe candidate volume
+    // — stays bounded at ~target: the probe cost a deployment sees is
+    // corpus-size-CONSTANT while the geometry can still widen
+    Seq(2048L, 100000L, 10000000L, LshSaturationN).foreach { n =>
+      assert(lshExpectedWidth(n) <= LshTargetWidth + 1e-9, s"n=$n")
+      assert(lshProbeCandidates(n) <=
+        LshBands * (1 + LshMaxBandBits) * LshTargetWidth + 1e-9)
+    }
+    // SATURATED regime: width and candidate volume grow LINEARLY in n —
+    // the honest envelope of fixed-band LSH (nothing adapts past 2²⁰)
+    Seq(LshSaturationN, LshSaturationN * 4, LshSaturationN * 100).foreach { n =>
+      assert(math.abs(lshExpectedWidth(2 * n) / lshExpectedWidth(n) - 2.0) < 1e-9)
+      assert(math.abs(lshProbeCandidates(2 * n) / lshProbeCandidates(n) - 2.0) < 1e-9)
+    }
+    // IVF probe rows stay SUB-linear (~n^(3/4) in the √n-codebook regime):
+    // 100× the corpus costs ≤ ~32× the probed rows — the property that
+    // makes IVF the tier that keeps scaling where LSH has gone linear
+    Seq(100000L, 10000000L).foreach { n =>
+      val ratio = ivfProbeRows(100 * n) / ivfProbeRows(n)
+      assert(ratio <= 33.0, s"n=$n ratio=$ratio")
+    }
+    // and past the pivot cap IVF probe rows are n/256 — still 256× under
+    // a corpus scan, while saturated-LSH candidates are n/12.5K KEY rows
+    // whose payloads need per-id fetches; the tier table in SCALING.md
+    // ("LSH → IVF envelope") prices the crossover with the access-pattern
+    // factor, this pin keeps the two laws themselves honest
+    val nCap = 1L << 36
+    assert(math.abs(ivfProbeRows(nCap) - nCap / 256.0) < nCap / 256.0 * 0.01)
+  }
+
+  test("pivotGroups: exact partition of the codebook into ≤⌈√k⌉ groups") {
+    val rnd = new scala.util.Random(19)
+    for (k <- Seq(5, 100, 1024)) {
+      val cents = Seq.fill(k)(Array.fill(16)(rnd.nextGaussian()))
+      val groups = AnnIndex.pivotGroups(cents)
+      assert(groups.size <= math.ceil(math.sqrt(k.toDouble)).toInt)
+      val members = groups.flatMap(_._2).sorted
+      assert(members == (0 until k), s"k=$k: every pivot in exactly one group")
+      assert(groups.forall(_._2.nonEmpty), "no empty groups emitted")
+    }
+  }
+
+  /** Clustered codebook fixture: `nCenters` random unit centers, each
+    * jittered into `perCenter` pivots — the pivot-space structure k-means
+    * over a real (clustered) embedding corpus produces, where the
+    * two-level quantizer's group probe is exact.
+    */
+  private def clusteredCents(
+      nCenters: Int, perCenter: Int, d: Int, seed: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(nCenters)(unit(Array.fill(d)(rnd.nextGaussian())))
+    val cents = centers.flatMap(c =>
+      Seq.fill(perCenter)(unit(c.map(_ + 0.05 * rnd.nextGaussian()))))
+    // shuffled so the grouping cannot ride the seed layout
+    new scala.util.Random(seed + 1).shuffle(cents)
+  }
+
+  test("two-level assignment equals the flat argmax on a clustered codebook, at √k cost") {
+    import spark.implicits._
+    val d = 16
+    val cents = clusteredCents(nCenters = 16, perCenter = 16, d = d, seed = 29)
+    val k = cents.size // 256 > TwoLevelMinPivots
+    assert(k > AnnIndex.TwoLevelMinPivots)
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, cents(i % k).map(_ + 0.02 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v").localCheckpoint(true)
+    val flatCb = cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("pivot_id", "pv")
+      .groupBy().agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+    val hier = AnnIndex.hierCodebookOf(spark, cents)
+    val flat = AnnIndex.assign(vecs, flatCb).select("vec_id", "cluster")
+    val two = AnnIndex.assignTwo(vecs, hier, AnnIndex.DefaultGroupProbes)
+      .select("vec_id", "cluster")
+    assert(flat.exceptAll(two).isEmpty && two.exceptAll(flat).isEmpty,
+      "two-level must agree with the flat argmax on clustered pivots")
+    // the cost law the two-level path exists for: candidates scored per
+    // vector = |groups| super-pivots + the probed groups' members —
+    // O(√k·d), a real multiple under the flat k·d
+    val groups = AnnIndex.pivotGroups(cents)
+    val maxGroup = groups.map(_._2.size).max
+    val worstCandidates =
+      groups.size + AnnIndex.DefaultGroupProbes * maxGroup
+    assert(worstCandidates * 2 <= k,
+      s"two-level must score ≤ k/2 candidates, got $worstCandidates of $k")
+  }
+
+  test("past the pivot threshold the index build dispatches two-level and stays self-consistent") {
+    import spark.implicits._
+    // clustered corpus big enough that k = √n > TwoLevelMinPivots: the
+    // REAL build path (ensureIvf → coarseAssign) must take the two-level
+    // branch and the built cells must equal a fresh dispatch — the same
+    // contract the flat-path test above pins at sf
+    val cents = clusteredCents(nCenters = 100, perCenter = 1, d = 16, seed = 41)
+    val rnd = new scala.util.Random(43)
+    val corpus = Files.createTempDirectory("ann_twolevel").toString
+    (0L until 6000L).map { i =>
+      (i, cents(rnd.nextInt(cents.size)).map(x =>
+        (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    val ver = AnnIndex.corpusVersion(spark, corpus)
+    val k = AnnIndex.centroids(spark, corpus, ver).size
+    assert(k == AnnIndex.pivotCount(6000L) && k > AnnIndex.TwoLevelMinPivots)
+
+    val fresh = AnnIndex.coarseAssign(spark, corpus, ver)(
+      Tables.embeddings(spark, corpus)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+    // the dispatcher really took the two-level branch
+    assert(fresh.queryExecution.analyzed.toString.contains("gid"),
+      "above the threshold the assignment must go through the group structs")
+    val idx = AnnIndex.ivf(spark, corpus, ver).select(col("vec_id"), col("cluster"))
+    assert(idx.exceptAll(fresh).isEmpty && fresh.exceptAll(idx).isEmpty,
+      "index cells must equal a fresh two-level dispatch")
+  }
+
   test("flipMasks: combinatorial generation equals the key-space scan, sized C(bits,f)") {
     for (bits <- Seq(4, 10, 20); flips <- Seq(1, 2)) {
       val got = AnnIndex.flipMasks(bits, flips)

@@ -274,6 +274,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest dispatches two-level for a hierarchical codebook, matching batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    implicit val sqlCtx = spark.sqlContext
+    // clustered pivots (4 centers × 4 jittered copies): the codebook shape
+    // a deployment past TwoLevelMinPivots streams against; the sink must
+    // detect the `groups` column and assign two-level, landing every
+    // vector in the cell the batch dispatch would pick
+    val rnd = new scala.util.Random(47)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(4)(unit(Array.fill(8)(rnd.nextGaussian())))
+    val cents = new scala.util.Random(48).shuffle(centers.flatMap(c =>
+      Seq.fill(4)(unit(c.map(_ + 0.05 * rnd.nextGaussian())))))
+    val hier = AnnIndex.hierCodebookOf(spark, cents)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, cents(i % cents.size).map(_ + 0.02 * rnd.nextGaussian()).toSeq))
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("ann_hier_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_hier_ckpt").toString
+    val q = Streams.annIngestSink(
+      mem.toDF().toDF("vec_id", "v"), hier, out, ckpt).start()
+    try {
+      mem.addData(vecs: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+      val batch = AnnIndex.assignTwo(
+        vecs.toDF("vec_id", "v"), hier, AnnIndex.DefaultGroupProbes)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+      assert(streamed == batch,
+        "streamed cells must equal the batch two-level assignment")
+    } finally q.stop()
+  }
+
   test("streaming dedup-band ingest matches the batch banding transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -396,7 +434,45 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(compacted == batch ++ batchBands,
         "compaction must preserve every (vec_id, band) assignment")
+
+      // the geometry marker landed with the first append
+      val marked = graft.operators.AnnIndex.readLshGeomMarker(spark, out)
+      assert(marked.contains(graft.operators.AnnIndex.LshFloorGeom),
+        s"sink must mark the layout with its banding geometry, got $marked")
     } finally q.stop()
+  }
+
+  test("LSH ingest under a mismatched geometry fails loudly at first append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("lsh_geom_out").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("lsh_geom_c1").toString
+    // band the layout at the floor geometry first
+    val q1 = Streams.lshIngestSink(mem.toDF().toDF("vec_id", "v"), out, ckpt1).start()
+    try {
+      mem.addData((1L, Seq(0.5, -0.2, 0.8, 0.1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a restart under adaptive (wider) band bits must be REFUSED — before
+    // r14 it silently appended floor-keyed rows into an adaptive index
+    // (or vice versa): zero recall for the streamed slice
+    val wider = graft.operators.AnnIndex.lshGeom(100000L)
+    assert(wider != graft.operators.AnnIndex.LshFloorGeom)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("lsh_geom_c2").toString
+    val q2 = Streams.lshIngestSink(
+      mem2.toDF().toDF("vec_id", "v"), out, ckpt2, wider).start()
+    try {
+      mem2.addData((2L, Seq(0.1, 0.9, -0.3, 0.2)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("banded under geometry")),
+        s"mismatch must surface the geometry guard, got: ${messages(e)}")
+    } finally q2.stop()
   }
 
   test("streaming shard ingest lands docs in the same shards as the batch writer") {
