@@ -172,17 +172,51 @@ object SessionCache {
     if (!fs.exists(path)) "absent"
     else StoreVersion.read(fs, path).getOrElse {
       fallbackListings.incrementAndGet()
-      var h = 1125899906842597L
-      val it = fs.listFiles(path, true)
-      while (it.hasNext) {
-        val st = it.next()
-        // FULL path, not base name: a partition-dir rename that preserves
-        // file names, sizes, and mtimes must still change the fingerprint
-        h = h * 31 + st.getPath.toString.hashCode
-        h = h * 31 + st.getLen
-        h = h * 31 + st.getModificationTime
+      fs match {
+        // LOCAL fast path: Hadoop's RawLocalFileSystem materializes each
+        // FileStatus's permission bits by FORKING `ls -ld` per file
+        // (DeprecatedRawLocalFileStatus.loadPermissionInfo) — measured
+        // ~34 ms for a 10-file listing, paid once per query by every
+        // artifact-probing operator. A java.nio sorted walk reads the
+        // same (path, size, mtime) triples in ~0.3 ms. Deterministic
+        // (sorted traversal) so concurrent JVMs sharing an index root
+        // derive identical fingerprints; extra sensitivity to .crc
+        // sidecars is harmless (they mutate with their data file).
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val root = java.nio.file.Paths.get(path.toUri.getPath)
+          var h = 1125899906842597L
+          val s = java.nio.file.Files.walk(root)
+          try {
+            val it = s.sorted().iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val attrs = java.nio.file.Files.readAttributes(
+                p, classOf[java.nio.file.attribute.BasicFileAttributes])
+              if (attrs.isRegularFile) {
+                // FULL path, not base name: a partition-dir rename that
+                // preserves file names, sizes, and mtimes must still
+                // change the fingerprint
+                h = h * 31 + p.toString.hashCode
+                h = h * 31 + attrs.size()
+                h = h * 31 + attrs.lastModifiedTime().toMillis
+              }
+            }
+          } finally s.close()
+          java.lang.Long.toHexString(h)
+        case _ =>
+          // remote stores (hdfs://, s3a://): one namenode/metadata listing
+          // per cache probe, no data reads
+          var h = 1125899906842597L
+          val it = fs.listFiles(path, true)
+          while (it.hasNext) {
+            val st = it.next()
+            h = h * 31 + st.getPath.toString.hashCode
+            h = h * 31 + st.getLen
+            h = h * 31 + st.getModificationTime
+          }
+          java.lang.Long.toHexString(h)
       }
-      java.lang.Long.toHexString(h)
     }
   }
 
