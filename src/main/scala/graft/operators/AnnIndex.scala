@@ -926,19 +926,34 @@ object AnnIndex {
   def queryBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] =
     queryBands(spark, dir, vecId, corpusVersion(spark, dir))
 
+  // a query vector's bucket coordinates are a pure function of (corpus
+  // version, vec id) — index METADATA like the centroids, not a query
+  // answer — so a probe-per-query workload must not re-run the 1-row
+  // banding job (a full scheduler round trip) per probe. ≤ LshBands
+  // pairs per entry; superseded versions for the same (dir, vecId) are
+  // dropped on insert like every other version-keyed cache here.
+  private val queryBandCache =
+    new ConcurrentHashMap[String, Seq[(Int, Long)]]()
+
   /** As [[queryBands]] with the corpus version precomputed by the caller
     * — a probe resolves the version ONCE and threads it through geometry,
     * band fetch, and index read (the round-7 triple-listing lesson). */
   def queryBands(
       spark: SparkSession, dir: String, vecId: Long,
-      version: String): Seq[(Int, Long)] =
-    bandify(
-      Tables.embeddings(spark, dir)
-        .where(col("vec_id") === vecId)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      lshGeom(spark, dir, version))
-      .select("band_id", "band_key")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      version: String): Seq[(Int, Long)] = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|$vecId|"
+    val key = s"$prefix$version"
+    if (queryBandCache.keySet.removeIf(k => k.startsWith(prefix) && k != key))
+      Tables.invalidate(dir)
+    queryBandCache.computeIfAbsent(key, _ =>
+      bandify(
+        Tables.embeddings(spark, dir)
+          .where(col("vec_id") === vecId)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        lshGeom(spark, dir, version))
+        .select("band_id", "band_key")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
 
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each
     * band's exact bucket plus every bucket whose key differs in ≤ flips
