@@ -234,10 +234,28 @@ object AnnIndex {
     }
   }
 
-  /** Write-once / assert-after: writes the marker if `path` is unmarked,
-    * otherwise requires the stored geometry to equal `geom` — failing
-    * LOUDLY instead of appending zero-recall rows. Idempotent content, so
-    * a concurrent double-write is benign.
+  /** Force-write the geometry marker — the batch build stamps its staging
+    * dir with this, and it is the documented migration step for a pre-r14
+    * streamed layout whose geometry the operator knows out-of-band.
+    */
+  def markLshGeom(spark: SparkSession, path: String, geom: LshGeom): Unit = {
+    val p = new Path(path, LshGeomMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Write-once / assert-after: marks an EMPTY unmarked layout, asserts
+    * against the stored geometry otherwise — failing LOUDLY instead of
+    * appending zero-recall rows. Two review-found holes closed here:
+    * an unmarked layout that ALREADY HOLDS band data (a pre-r14 streamed
+    * layout, or a batch index built before the build stamped markers) is
+    * refused rather than silently stamped with THIS stream's possibly
+    * wrong geometry; and the first-mark create is no-overwrite atomic,
+    * so two differently-configured streams racing on an empty layout
+    * cannot both pass — the loser re-reads the winner's marker and
+    * asserts against it.
     */
   def assertLshGeomMarker(
       spark: SparkSession, path: String, geom: LshGeom): Unit =
@@ -252,9 +270,31 @@ object AnnIndex {
       case None =>
         val p = new Path(path, LshGeomMarker)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, true)
-        try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
-        finally out.close()
+        val root = new Path(path)
+        val hasBandData = fs.exists(root) &&
+          fs.listStatus(root).exists(_.getPath.getName.startsWith("band_id="))
+        if (hasBandData)
+          throw new IllegalStateException(
+            s"LSH layout at $path holds band data but carries no geometry " +
+              "marker — refusing to stamp it with this stream's geometry " +
+              s"($geom), which may not be what it was banded under. If the " +
+              "layout's geometry is known, mark it explicitly with " +
+              "AnnIndex.markLshGeom and restart the stream.")
+        try {
+          val out = fs.create(p, false) // atomic no-overwrite: one winner
+          try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            // lost the create race — assert against the winner's marker
+            readLshGeomMarker(spark, path) match {
+              case Some(stored) if stored != geom =>
+                throw new IllegalStateException(
+                  s"LSH layout at $path was concurrently marked $stored; " +
+                    s"this stream uses $geom — refusing to append.")
+              case _ => ()
+            }
+        }
     }
 
   /** Multi-probe expansion: how many hyperplane-bit flips a probe explores
@@ -692,6 +732,20 @@ object AnnIndex {
     else assignTwo(vectors, hierCodebook(spark, dir, version), groupProbes(spark))
   }
 
+  /** Key component naming the EFFECTIVE assignment geometry of
+    * [[coarseAssign]] — folded into the on-disk inverted-file version and
+    * the cluster-profile card's artifact key, so a mid-session
+    * `spark.graft.ann.groupProbes` change (or a stream configured
+    * differently from the batch builder) rebuilds rather than mixing
+    * cells assigned under different probe widths (the two-level argmax is
+    * probe-width-dependent on non-clustered codebooks — the r13-ADVICE
+    * bucketCap key-class, applied here).
+    */
+  def assignTag(spark: SparkSession, dir: String, version: String): String = {
+    val k = centroids(spark, dir, version).size
+    if (k <= TwoLevelMinPivots) "flat" else s"two${groupProbes(spark)}"
+  }
+
   /** Read schema for the inverted file. `cluster` is declared INT (its
     * values are pivot ids < [[MaxPivots]]) so the partition-column type
     * never depends on discovery inference, and probe keys compare without
@@ -830,6 +884,9 @@ object AnnIndex {
     val cb = centroids(spark, dir, fp)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
+    // the assignment geometry is part of the index identity: cells
+    // assigned flat vs two-level-at-p-probes differ on boundary vectors
+    md.update(assignTag(spark, dir, fp).getBytes("UTF-8"))
     val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
     ensureBuilt(spark, indexRoot(spark),
       s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash",
@@ -910,6 +967,10 @@ object AnnIndex {
         // scan above.
         .repartition(col("band_id"), col("band_key"))
         .write.mode("overwrite").partitionBy("band_id", "band_key").parquet(staging)
+      // stamp the batch-built layout with its geometry so a stream later
+      // pointed at it is guarded by the same marker protocol the
+      // streamed-grown layouts carry (the marker rides the atomic rename)
+      markLshGeom(spark, staging, geom)
     }
   }
 
@@ -945,6 +1006,9 @@ object AnnIndex {
     val key = s"$prefix$version"
     if (queryBandCache.keySet.removeIf(k => k.startsWith(prefix) && k != key))
       Tables.invalidate(dir)
+    // bound the map under many distinct query ids (a served workload):
+    // a cleared entry costs one re-banding job, never a wrong answer
+    if (queryBandCache.size > 4096) queryBandCache.clear()
     queryBandCache.computeIfAbsent(key, _ =>
       bandify(
         Tables.embeddings(spark, dir)

@@ -374,9 +374,14 @@ object Dedup {
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
     val algo = spark.conf.get("spark.graft.cc", "propagate")
     // ONE fingerprint resolution per query, shared with the nested
-    // minhash-pair artifact (each resolution is a metadata listing)
+    // minhash-pair artifact (each resolution is a metadata listing).
+    // The effective bucket cap folds into the key like the pair set it
+    // derives from: a mid-session bucketCap change must rebuild the
+    // labels, or dedupClusters would silently disagree with dedupMinhash
+    // about the edge set (the r13 ADVICE bug class, one level up).
     val fp = SessionCache.dirFingerprint(spark, dir)
-    SessionCache.cached(spark, s"neardup_labels_$algo", dir, fp) {
+    SessionCache.cached(
+      spark, s"neardup_labels_${algo}_c${textBucketCap(spark)}", dir, fp) {
       val edges = minhashPairs(spark, dir, fp)
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))

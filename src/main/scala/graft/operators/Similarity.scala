@@ -420,8 +420,13 @@ object Similarity {
     // the SessionCache size discipline, and every later profile query is
     // the card-sized rollup below over the checkpointed frame — zero
     // embeddings scans (PlanSpec-pinned).
-    val cells = SessionCache.cached(spark, "cluster_cells", dir) {
-      clusterCellsBuild(spark, dir)
+    // ONE corpus-version resolution, shared by key + build; the
+    // assignment geometry folds into the key so a groupProbes change
+    // rebuilds the card against cells the index would actually assign
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val cells = SessionCache.cached(spark,
+      s"cluster_cells_${AnnIndex.assignTag(spark, dir, ver)}", dir, ver) {
+      clusterCellsBuild(spark, dir, ver)
     }
       // ≤ cells × labels rows — one coalesced partition satisfies the
       // cluster rollup's clustering requirement, so no second exchange
@@ -444,8 +449,11 @@ object Similarity {
     * spread scan, broadcast centroid join for the cohesion cosine, one
     * (cluster, label)-keyed aggregate with map-side combine.
     */
-  private[graft] def clusterCellsBuild(spark: SparkSession, dir: String): DataFrame = {
-    val ver = AnnIndex.corpusVersion(spark, dir)
+  private[graft] def clusterCellsBuild(spark: SparkSession, dir: String): DataFrame =
+    clusterCellsBuild(spark, dir, AnnIndex.corpusVersion(spark, dir))
+
+  private[graft] def clusterCellsBuild(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
     val emb = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))

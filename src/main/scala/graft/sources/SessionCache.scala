@@ -134,8 +134,18 @@ object SessionCache {
       build: => DataFrame): DataFrame = {
     val max = spark.conf.get(
       "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
-    if (max > 0 && rows > max) build
-    else cached(spark, artifact, dir, fp)(build)
+    if (max > 0 && rows > max) {
+      // crossing the ceiling mid-session (append past maxRows, or the
+      // conf lowered) must RELEASE any previously cached generation —
+      // only cached() runs the superseded-prefix drop, and skipping it
+      // here would leave the old O(corpus)-row checkpoint pinned for the
+      // application lifetime: the exact pinning the gate exists to stop
+      val sessionKey =
+        s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
+      cache.keySet.removeIf(k =>
+        k._1 == sessionKey && k._2.startsWith(s"$artifact|$dir|"))
+      build
+    } else cached(spark, artifact, dir, fp)(build)
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write
@@ -186,7 +196,13 @@ object SessionCache {
              _: org.apache.hadoop.fs.RawLocalFileSystem =>
           val root = java.nio.file.Paths.get(path.toUri.getPath)
           var h = 1125899906842597L
-          val s = java.nio.file.Files.walk(root)
+          // FOLLOW_LINKS: the Hadoop listing this replaces traversed
+          // symlinked subdirs (java.io.File semantics), and Spark's scan
+          // follows them too — a mutation behind a link must change the
+          // fingerprint. A link cycle throws FileSystemLoopException
+          // (loudly), which the File-based walk would have spun on.
+          val s = java.nio.file.Files.walk(
+            root, java.nio.file.FileVisitOption.FOLLOW_LINKS)
           try {
             val it = s.sorted().iterator()
             while (it.hasNext) {

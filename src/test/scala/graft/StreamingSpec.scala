@@ -475,6 +475,61 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("LSH ingest refuses to stamp an UNMARKED layout that already holds band data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    // a pre-r14 streamed layout: band data, no marker — the sink must NOT
+    // silently stamp its own geometry over it (review finding: the
+    // write-if-absent branch would have legitimized any restart geometry)
+    val out = java.nio.file.Files.createTempDirectory("lsh_unmarked").toString
+    Seq((5L, Seq(0.4, 0.1, -0.6, 0.2))).toDF("vec_id", "v")
+      .transform(AnnIndex.bandify(_))
+      .write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_unmarked_c").toString
+    val q = Streams.lshIngestSink(mem.toDF().toDF("vec_id", "v"), out, ckpt).start()
+    val failed = try {
+      mem.addData((6L, Seq(0.2, 0.7, 0.1, -0.4)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("no geometry marker")),
+        s"unmarked non-empty layout must be refused, got: ${messages(e)}")
+      true
+    } finally q.stop()
+    assert(failed)
+    // the documented remedy: mark the known geometry explicitly, restart
+    AnnIndex.markLshGeom(spark, out, AnnIndex.LshFloorGeom)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("lsh_unmarked_c2").toString
+    val q2 = Streams.lshIngestSink(mem2.toDF().toDF("vec_id", "v"), out, ckpt2).start()
+    try {
+      mem2.addData((6L, Seq(0.2, 0.7, 0.1, -0.4)))
+      q2.processAllAvailable()
+      val ids = spark.read
+        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids == Set(5L, 6L), "marked layout accepts the matching-geometry append")
+    } finally q2.stop()
+  }
+
+  test("batch-built LSH index carries the geometry marker") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val corpus = java.nio.file.Files.createTempDirectory("lsh_marked_corpus").toString
+    (0L until 40L).map(i => (i, Seq.fill(4)(new scala.util.Random(i).nextGaussian())))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val ver = AnnIndex.corpusVersion(spark, corpus)
+    val path = AnnIndex.ensureLsh(spark, corpus, ver)
+    val expected = AnnIndex.lshGeom(spark, corpus, ver)
+    assert(AnnIndex.readLshGeomMarker(spark, path).contains(expected),
+      "ensureLsh must stamp its layout so streams pointed at it are guarded")
+  }
+
   test("streaming shard ingest lands docs in the same shards as the batch writer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
