@@ -22,6 +22,8 @@ object GraftSession {
         graft.plans.WeightedDotSorted.inject(ext)
         graft.plans.SimHash64.inject(ext)
         graft.plans.DecimalFolds.inject(ext)
+        graft.plans.IvfArgmaxFlat.inject(ext)
+        graft.plans.IvfArgmaxTwo.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -553,6 +553,20 @@ object AnnIndex {
   def assign(vectors: DataFrame, codebook: DataFrame): DataFrame =
     vectors
       .crossJoin(broadcast(codebook)) // 1-row codebook: zero fan
+      // native primitive-loop argmax (plans.IvfArgmax): the interpreted
+      // HOF form below allocates one boxed struct per pivot per row —
+      // measured 12.6 s vs ~0.6 s for 100k vectors at a 4096-pivot
+      // codebook. Bit-identical by construction (spec-pinned vs the
+      // reference fold).
+      .withColumn("cluster", expr("ivf_argmax(v, pvs)"))
+      .drop("pvs")
+
+  /** The HOF reference formulation of [[assign]]'s argmax — what the
+    * native `ivf_argmax` is spec-pinned against (the simhash64Hof
+    * discipline). */
+  private[graft] def assignHofRef(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(codebook))
       .withColumn("cluster", expr(
         "array_max(transform(pvs, p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid"))
       .drop("pvs")
@@ -574,8 +588,11 @@ object AnnIndex {
 
   /** One pivot entry of the hierarchical codebook. */
   final case class HierPivot(pivot_id: Long, pv: Seq[Double])
-  /** One super-pivot group: centroid-of-pivots + its member pivots. */
-  final case class HierGroup(gid: Int, sp: Seq[Double], pvs: Seq[HierPivot])
+  /** One super-pivot group: centroid-of-pivots, its angular radius (max
+    * angle from sp to any member — the exact-mode pruning bound), and
+    * its member pivots. */
+  final case class HierGroup(
+      gid: Int, sp: Seq[Double], radius: Double, pvs: Seq[HierPivot])
 
   /** Deterministic two-level grouping of a codebook: g = ⌈√k⌉ groups,
     * seeded FARTHEST-FIRST (start at pivot 0, repeatedly add the pivot
@@ -674,16 +691,31 @@ object AnnIndex {
     hierCodebookOf(spark, centroids(spark, dir, version))
 
   /** [[hierCodebook]] over explicit centroids — the seam the equality and
-    * cost-law specs drive with a hand-built clustered codebook. */
+    * cost-law specs drive with a hand-built clustered codebook. Each
+    * group carries its ANGULAR RADIUS r = max over members of
+    * acos(cos(sp, member)), padded by 1e-9 for the acos/cos float
+    * round-trip: the exact-mode bound cos(max(0, θ(v, sp) − r)) then
+    * provably dominates every member similarity.
+    */
   private[graft] def hierCodebookOf(
       spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
     import spark.implicits._
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) 0.0 else math.max(-1.0, math.min(1.0, dot(a, b) / d))
+    }
     pivotGroups(cents).zipWithIndex.map { case ((sp, members), gi) =>
-      HierGroup(gi, sp.toSeq,
+      val radius = members.map(i => math.acos(cos(sp, cents(i)))).max + 1e-9
+      HierGroup(gi, sp.toSeq, radius,
         members.map(i => HierPivot(i.toLong, cents(i).toSeq)))
     }.toDS().toDF()
       .groupBy().agg(array_sort(
-        collect_list(struct(col("gid"), col("sp"), col("pvs")))).as("groups"))
+        collect_list(struct(col("gid"), col("sp"), col("radius"), col("pvs")))).as("groups"))
   }
 
   /** Two-level map-side coarse assignment (the standard IVF build trick —
@@ -708,6 +740,18 @@ object AnnIndex {
       vectors: DataFrame, hierCodebook: DataFrame, probes: Int): DataFrame =
     vectors
       .crossJoin(broadcast(hierCodebook)) // 1-row codebook: zero fan
+      // native primitive-loop kernel (plans.IvfArgmaxProbes) — the HOF
+      // form below is its spec-pinned reference (boxed-struct cost:
+      // 8.4 s vs 0.9 s at k=4096 × 100k vectors)
+      .withColumn("cluster", expr(s"ivf_argmax_two(v, groups, $probes)"))
+      .drop("groups")
+
+  /** The HOF reference formulation of [[assignTwo]] — what the native
+    * `ivf_argmax_two(v, groups, probes)` is spec-pinned against. */
+  private[graft] def assignTwoHofRef(
+      vectors: DataFrame, hierCodebook: DataFrame, probes: Int): DataFrame =
+    vectors
+      .crossJoin(broadcast(hierCodebook))
       .withColumn("cluster", expr(
         s"""array_max(transform(
            |  flatten(transform(
@@ -718,9 +762,51 @@ object AnnIndex {
            |  p -> struct(cosine_sim(v, p.pv) AS s, p.pivot_id AS pid))).pid""".stripMargin))
       .drop("groups")
 
+  /** EXACT two-level assignment via spherical triangle-inequality
+    * pruning — the agreement caveat of [[assignTwo]] removed at the cost
+    * of a DATA-DEPENDENT probe width. For any pivot p in group g,
+    * θ(v, p) ≥ θ(v, sp_g) − radius_g, so
+    * cos(v, p) ≤ cos(max(0, θ(v, sp_g) − radius_g)) — a per-group upper
+    * bound computable from the √k super-pivot scores alone. The argmax
+    * over the BEST group's members sets the incumbent s0; only groups
+    * whose bound (+1e-9 float slop, erring toward inclusion) reaches s0
+    * are opened. Result is PROVABLY equal to the flat argmax — tie-break
+    * included, since a tied pivot's group bound ≥ its sim = s0 passes
+    * the ≥ filter (spec-pinned on clustered AND uniform-random
+    * codebooks).
+    * Cost: √k super-pivot cosines + acos per group + the opened groups'
+    * members — ~(√k + |best group|)·d on a clustered pivot space where
+    * bounds prune nearly everything; degrades toward flat (plus the √k
+    * overhead) on an unclustered one, where NO exact method can beat
+    * flat. [[assignTwo]] (probes mode) remains the bounded-cost choice
+    * when ingest throughput must be guaranteed; this mode is the default
+    * because correctness-by-construction beats a measured 92% agreement
+    * wherever the cost is affordable.
+    */
+  def assignTwoExact(vectors: DataFrame, hierCodebook: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(hierCodebook)) // 1-row codebook: zero fan
+      // native primitive-loop kernel (plans.IvfArgmaxTwo): the staged-SQL
+      // formulation of the same pruning allocated boxed structs per
+      // group/member and measured SLOWER than flat (25.8 s vs 12.6 s at
+      // k=4096 × 100k vectors); the native runs it at ~(√k + opened
+      // members)·d. Equality with the flat argmax is the spec-pinned
+      // contract (clustered AND uniform-random codebooks).
+      .withColumn("cluster", expr("ivf_argmax_two(v, groups)"))
+      .drop("groups")
+
+  /** Assignment mode past the pivot threshold: `exact` (default —
+    * bound-pruned, provably equal to the flat argmax, data-dependent
+    * cost) or `probes` (fixed [[groupProbes]] groups — guaranteed
+    * O(√k·d), measured-agreement). Folded into [[assignTag]].
+    */
+  private[graft] def assignMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.ann.assignMode", "exact")
+
   /** The coarse assigner for the corpus at `dir`: two-level past
-    * [[TwoLevelMinPivots]] pivots, flat below — ONE dispatch shared by
-    * the index build ([[ensureIvf]]), the cluster-profile card
+    * [[TwoLevelMinPivots]] pivots (exact bound-pruned by default, probes
+    * mode by conf), flat below — ONE dispatch shared by the index build
+    * ([[ensureIvf]]), the cluster-profile card
     * ([[graft.operators.Similarity]]), and the streaming ingester, so
     * every consumer assigns identically for a given corpus version.
     */
@@ -729,7 +815,9 @@ object AnnIndex {
       vectors: DataFrame): DataFrame = {
     val k = centroids(spark, dir, version).size
     if (k <= TwoLevelMinPivots) assign(vectors, codebook(spark, dir, version))
-    else assignTwo(vectors, hierCodebook(spark, dir, version), groupProbes(spark))
+    else if (assignMode(spark) == "probes")
+      assignTwo(vectors, hierCodebook(spark, dir, version), groupProbes(spark))
+    else assignTwoExact(vectors, hierCodebook(spark, dir, version))
   }
 
   /** Key component naming the EFFECTIVE assignment geometry of
@@ -743,7 +831,12 @@ object AnnIndex {
     */
   def assignTag(spark: SparkSession, dir: String, version: String): String = {
     val k = centroids(spark, dir, version).size
-    if (k <= TwoLevelMinPivots) "flat" else s"two${groupProbes(spark)}"
+    if (k <= TwoLevelMinPivots) "flat"
+    // exact mode equals the flat argmax by construction, so the two tags
+    // share an identity on purpose: flipping between them must NOT
+    // invalidate the index — the cells are provably identical
+    else if (assignMode(spark) == "probes") s"two${groupProbes(spark)}"
+    else "flat"
   }
 
   /** Read schema for the inverted file. `cluster` is declared INT (its

@@ -213,10 +213,13 @@ object Streams {
     * codebook version, restart the stream on it.
     */
   def annIngest(vectors: DataFrame, codebook: DataFrame): DataFrame =
-    if (codebook.columns.contains("groups"))
-      graft.operators.AnnIndex.assignTwo(vectors, codebook,
-        graft.operators.AnnIndex.groupProbes(vectors.sparkSession))
-    else graft.operators.AnnIndex.assign(vectors, codebook)
+    if (codebook.columns.contains("groups")) {
+      val spark = vectors.sparkSession
+      if (graft.operators.AnnIndex.assignMode(spark) == "probes")
+        graft.operators.AnnIndex.assignTwo(vectors, codebook,
+          graft.operators.AnnIndex.groupProbes(spark))
+      else graft.operators.AnnIndex.assignTwoExact(vectors, codebook)
+    } else graft.operators.AnnIndex.assign(vectors, codebook)
 
   /** Shared sink shape for every layout-growing ingester below: idempotent
     * partitioned parquet append WITHOUT the streaming sink's

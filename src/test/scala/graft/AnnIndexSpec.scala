@@ -411,6 +411,74 @@ class AnnIndexSpec extends SparkSpec {
       s"two-level must score ≤ k/2 candidates, got $worstCandidates of $k")
   }
 
+  test("native ivf_argmax is bit-for-bit equal to the HOF reference fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val cents = Seq.fill(50)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      // include near-tie vectors (jittered pivots) to stress the boundary
+      val v = if (i % 3 == 0) Array.fill(8)(rnd.nextGaussian())
+      else cents(i % cents.size).map(_ + 0.01 * rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "v").localCheckpoint(true)
+    val cb = cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("pivot_id", "pv")
+      .groupBy().agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+    val native = AnnIndex.assign(vecs, cb).select("vec_id", "cluster")
+    val hof = AnnIndex.assignHofRef(vecs, cb).select("vec_id", "cluster")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native argmax must reproduce the HOF reference exactly")
+  }
+
+  test("native probes-mode ivf_argmax_two is bit-for-bit equal to its HOF reference") {
+    import spark.implicits._
+    // uniform-random pivots maximize near-tie group scores — the sharpest
+    // stress on the (ns, gid) sort-order contract the native replicates
+    val uniRnd = new scala.util.Random(71)
+    val cents = Seq.fill(120)(Array.fill(12)(uniRnd.nextGaussian()))
+    val rnd = new scala.util.Random(73)
+    val vecs = (0 until 300).map { i =>
+      val v = if (i % 2 == 0) cents(i % cents.size).map(_ + 0.05 * rnd.nextGaussian())
+      else Array.fill(12)(rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "v").localCheckpoint(true)
+    val hier = AnnIndex.hierCodebookOf(spark, cents)
+    for (probes <- Seq(1, 4)) {
+      val native = AnnIndex.assignTwo(vecs, hier, probes).select("vec_id", "cluster")
+      val hof = AnnIndex.assignTwoHofRef(vecs, hier, probes).select("vec_id", "cluster")
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"probes=$probes: native probes-mode must reproduce the HOF reference exactly")
+    }
+  }
+
+  test("EXACT two-level assignment equals the flat argmax on clustered AND uniform-random codebooks") {
+    import spark.implicits._
+    val d = 16
+    val uniRnd = new scala.util.Random(59)
+    for ((name, cents) <- Seq(
+      "clustered" -> clusteredCents(nCenters = 16, perCenter = 16, d = d, seed = 53),
+      // the WORST case for any two-level scheme: pivots uniform on the
+      // sphere, super-pivot means barely discriminate — the probes mode
+      // measures 92% agreement here; the bound-pruned mode must be 100%
+      "uniform" -> Seq.fill(256)(Array.fill(d)(uniRnd.nextGaussian())))) {
+      val rnd = new scala.util.Random(61)
+      val vecs = (0 until 400).map { i =>
+        // half near-pivot, half fully random query vectors
+        val v = if (i % 2 == 0) cents(i % cents.size).map(_ + 0.1 * rnd.nextGaussian())
+        else Array.fill(d)(rnd.nextGaussian())
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "v").localCheckpoint(true)
+      val flatCb = cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+        .toDF("pivot_id", "pv")
+        .groupBy().agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+      val flat = AnnIndex.assign(vecs, flatCb).select("vec_id", "cluster")
+      val exact = AnnIndex.assignTwoExact(vecs, AnnIndex.hierCodebookOf(spark, cents))
+        .select("vec_id", "cluster")
+      assert(flat.exceptAll(exact).isEmpty && exact.exceptAll(flat).isEmpty,
+        s"$name: bound-pruned assignment must equal the flat argmax exactly")
+    }
+  }
+
   test("past the pivot threshold the index build dispatches two-level and stays self-consistent") {
     import spark.implicits._
     // clustered corpus big enough that k = √n > TwoLevelMinPivots: the
@@ -435,8 +503,8 @@ class AnnIndexSpec extends SparkSpec {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
     // the dispatcher really took the two-level branch
-    assert(fresh.queryExecution.analyzed.toString.contains("gid"),
-      "above the threshold the assignment must go through the group structs")
+    assert(fresh.queryExecution.analyzed.toString.contains("ivf_argmax_two"),
+      "above the threshold the assignment must go through the two-level kernel")
     val idx = AnnIndex.ivf(spark, corpus, ver).select(col("vec_id"), col("cluster"))
     assert(idx.exceptAll(fresh).isEmpty && fresh.exceptAll(idx).isEmpty,
       "index cells must equal a fresh two-level dispatch")

@@ -304,8 +304,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.read.parquet(out).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
-      val batch = AnnIndex.assignTwo(
-        vecs.toDF("vec_id", "v"), hier, AnnIndex.DefaultGroupProbes)
+      // independent reference: the default dispatch is the exact
+      // bound-pruned quantizer, which provably equals the flat argmax
+      val batch = AnnIndex.assignTwoExact(vecs.toDF("vec_id", "v"), hier)
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
       assert(streamed == batch,
         "streamed cells must equal the batch two-level assignment")
