@@ -163,6 +163,7 @@ case class IvfArgmaxTwo(left: Expression, right: Expression)
     }
     // incumbent from the best group's members
     val bg = groups.getStruct(bestG, 4)
+    var anyMember = bg.getArray(3).numElements() > 0
     var (s0, pid0) = IvfArgmaxKernel.scanMembers(
       v, bg.getArray(3), Double.NegativeInfinity, Long.MinValue)
     // pass 2: open only groups whose bound can reach the incumbent
@@ -175,13 +176,17 @@ case class IvfArgmaxTwo(left: Expression, right: Expression)
         val theta = math.acos(math.max(-1.0, math.min(1.0, ds)))
         val bound = if (theta <= r) 1.0 else math.cos(theta - r)
         if (bound + 1e-9 >= s0) {
+          if (g.getArray(3).numElements() > 0) anyMember = true
           val res = IvfArgmaxKernel.scanMembers(v, g.getArray(3), s0, pid0)
           s0 = res._1; pid0 = res._2
         }
       }
       i += 1
     }
-    pid0
+    // all-empty member sets → null, matching the flat argmax over an
+    // empty pivot array (hierCodebookOf never builds one, but the
+    // expression contract shouldn't depend on that)
+    if (anyMember) pid0 else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
