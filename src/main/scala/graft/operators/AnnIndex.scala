@@ -604,19 +604,29 @@ object AnnIndex {
     * group; empty groups are dropped. Pure function of the (rounded)
     * centroids, so every JVM derives identical groups.
     */
+  /** Driver-side cosine shared by the grouping and the radius builder —
+    * ONE definition so the exact-mode bound is provably computed with
+    * the same fold that grouped the pivots. Zero-norm inputs → 0.0
+    * (degenerate pivots are handled by the π-radius marking in
+    * [[hierCodebookOf]], not here); clamped to [−1, 1] so a build-time
+    * acos never sees a float overshoot.
+    */
+  private[graft] def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private[graft] def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    val d = math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b))
+    if (d == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, dotArr(a, b) / d))
+  }
+
   private[graft] def pivotGroups(
       cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
     val k = cents.size
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
-      if (d == 0.0) 0.0 else dot(a, b) / d
-    }
+    val cos = cosArr _
     val centArr = cents.toArray
     // farthest-first traversal: nearestSeedSim(i) tracks each pivot's best
     // cosine to any chosen seed; the next seed is the argmin (ties → lower
@@ -700,17 +710,19 @@ object AnnIndex {
   private[graft] def hierCodebookOf(
       spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
     import spark.implicits._
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
-      if (d == 0.0) 0.0 else math.max(-1.0, math.min(1.0, dot(a, b) / d))
-    }
+    // a zero-norm or non-finite member pivot has NaN similarity to EVERY
+    // vector under the runtime kernel (cosArr's 0.0 is the driver-side
+    // guard, not the kernel's semantics), and NaN is GREATEST in the
+    // flat argmax ordering — its group must never be pruned, so it gets
+    // radius π (bound 1.0 for any query). A NaN radius (non-finite
+    // arithmetic leaking through) is mapped the same way: err open.
+    def degenerate(m: Array[Double]): Boolean =
+      !m.forall(java.lang.Double.isFinite) || dotArr(m, m) == 0.0
     pivotGroups(cents).zipWithIndex.map { case ((sp, members), gi) =>
-      val radius = members.map(i => math.acos(cos(sp, cents(i)))).max + 1e-9
+      val raw = members.map(i => math.acos(cosArr(sp, cents(i)))).max + 1e-9
+      val radius =
+        if (raw.isNaN || members.exists(i => degenerate(cents(i)))) math.Pi
+        else raw
       HierGroup(gi, sp.toSeq, radius,
         members.map(i => HierPivot(i.toLong, cents(i).toSeq)))
     }.toDS().toDF()
@@ -800,8 +812,14 @@ object AnnIndex {
     * cost) or `probes` (fixed [[groupProbes]] groups — guaranteed
     * O(√k·d), measured-agreement). Folded into [[assignTag]].
     */
-  private[graft] def assignMode(spark: SparkSession): String =
-    spark.conf.get("spark.graft.ann.assignMode", "exact")
+  private[graft] def assignMode(spark: SparkSession): String = {
+    val m = spark.conf.get("spark.graft.ann.assignMode", "exact")
+    // a typo must not silently select the data-dependent-cost mode — the
+    // probes knob exists precisely to guarantee ingest throughput
+    require(m == "exact" || m == "probes",
+      s"spark.graft.ann.assignMode must be 'exact' or 'probes', got '$m'")
+    m
+  }
 
   /** The coarse assigner for the corpus at `dir`: two-level past
     * [[TwoLevelMinPivots]] pivots (exact bound-pruned by default, probes

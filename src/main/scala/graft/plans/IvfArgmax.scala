@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native coarse-quantizer argmax kernels for the IVF build/ingest path.
@@ -67,6 +68,11 @@ case class IvfArgmaxFlat(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "ivf_argmax"
+  // an EMPTY pivot array yields null even for non-null inputs; without
+  // this override non-nullable children would make nullSafeCodeGen pin
+  // ev.isNull to the false literal and the generated `false = true;`
+  // fails to compile, ejecting the stage to interpreted execution
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IvfArgmaxFlat =
@@ -120,6 +126,8 @@ case class IvfArgmaxTwo(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "ivf_argmax_two"
+  // null for empty groups / all-empty member sets (see IvfArgmaxFlat)
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IvfArgmaxTwo =
@@ -166,16 +174,30 @@ case class IvfArgmaxTwo(left: Expression, right: Expression)
     var anyMember = bg.getArray(3).numElements() > 0
     var (s0, pid0) = IvfArgmaxKernel.scanMembers(
       v, bg.getArray(3), Double.NegativeInfinity, Long.MinValue)
-    // pass 2: open only groups whose bound can reach the incumbent
+    // pass 2: open only groups whose bound can reach the incumbent.
+    // The bound cos(θ − r) is computed by ANGLE ADDITION —
+    // ds·cos r + sqrt(1 − ds²)·sin r — never through acos(ds), which is
+    // ill-conditioned near |ds| = 1 (dθ ≈ ε/√(1−ds²) can amplify a
+    // 1e-16 dot-product rounding past any fixed slop). Every term here
+    // is bounded by 1 and within a few ulp; the sqrt's worst-case
+    // cancellation near ds = 1 contributes < ~1e-10 absolute, so the
+    // 1e-9 inclusion slop (erring toward opening) genuinely dominates
+    // the arithmetic error. θ ≤ r ⟺ ds ≥ cos r (both in [0, π]) → the
+    // bound saturates at 1. A NaN incumbent (a degenerate member pivot
+    // scanned — NaN is GREATEST in the flat ordering) disables pruning
+    // for the rest of the row: every remaining group is opened so the
+    // largest-pid NaN pivot wins exactly as it does flat.
     i = 0
     while (i < ng) {
       if (i != bestG) {
         val g = groups.getStruct(i, 4)
-        val ds = dss(i)
+        val ds = math.max(-1.0, math.min(1.0, dss(i)))
         val r = g.getDouble(2)
-        val theta = math.acos(math.max(-1.0, math.min(1.0, ds)))
-        val bound = if (theta <= r) 1.0 else math.cos(theta - r)
-        if (bound + 1e-9 >= s0) {
+        val cr = math.cos(r)
+        val bound =
+          if (ds >= cr) 1.0
+          else ds * cr + math.sqrt(math.max(0.0, 1.0 - ds * ds)) * math.sin(r)
+        if (bound + 1e-9 >= s0 || java.lang.Double.isNaN(s0)) {
           if (g.getArray(3).numElements() > 0) anyMember = true
           val res = IvfArgmaxKernel.scanMembers(v, g.getArray(3), s0, pid0)
           s0 = res._1; pid0 = res._2
@@ -228,6 +250,18 @@ case class IvfArgmaxProbes(
 
   override def dataType: DataType = LongType
   override def prettyName: String = "ivf_argmax_two"
+  // null for empty groups / non-positive probes (see IvfArgmaxFlat)
+  override def nullable: Boolean = true
+
+  // the SQL surface accepts any integral literal (4 parses as INT, 4L as
+  // BIGINT); a fractional or non-numeric probes argument is rejected at
+  // analysis time instead of a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = third.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmax_two probes argument must be integral, got ${t.simpleString}")
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -236,7 +270,7 @@ case class IvfArgmaxProbes(
 
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      c.asInstanceOf[Int])
+      c.asInstanceOf[Number].intValue())
 
   def compute(v: ArrayData, groups: ArrayData, probes: Int): Any = {
     val ng = groups.numElements()
@@ -251,20 +285,33 @@ case class IvfArgmaxProbes(
       gid(i) = g.getInt(0)
       i += 1
     }
-    val order = Array.tabulate(ng)(identity).sortWith { (x, y) =>
-      val c = java.lang.Double.compare(ns(x), ns(y))
-      c < 0 || (c == 0 && gid(x) < gid(y))
-    }
+    // top-`take` selection by (ns, gid) ascending — primitive selection
+    // scan (take ≈ 4 ≪ ng ≈ √k), zero allocation beyond the two arrays;
+    // Double.compare keeps NaN scores LAST, matching array_sort
     var s = Double.NegativeInfinity; var pid = Long.MinValue
     var any = false
-    i = 0
     val take = math.min(probes, ng)
-    while (i < take) {
-      val g = groups.getStruct(order(i), 4)
+    val used = new Array[Boolean](ng)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      i = 0
+      while (i < ng) {
+        if (!used(i)) {
+          if (best < 0) best = i
+          else {
+            val c = java.lang.Double.compare(ns(i), ns(best))
+            if (c < 0 || (c == 0 && gid(i) < gid(best))) best = i
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      val g = groups.getStruct(best, 4)
       if (g.getArray(3).numElements() > 0) any = true
       val r = IvfArgmaxKernel.scanMembers(v, g.getArray(3), s, pid)
       s = r._1; pid = r._2
-      i += 1
+      t += 1
     }
     if (any) pid else null
   }
@@ -272,7 +319,7 @@ case class IvfArgmaxProbes(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val ref = ctx.addReferenceObj("ivfArgmaxProbes", this, classOf[IvfArgmaxProbes].getName)
-      s"""Object r = $ref.compute($a, $b, $c);
+      s"""Object r = $ref.compute($a, $b, (int) $c);
          |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin
     })
 }

@@ -451,6 +451,84 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("exact two-level assignment survives degenerate zero-norm pivots — NaN sims equal flat") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val base = Seq.fill(60)(Array.fill(8)(rnd.nextGaussian()))
+    // zero-norm pivots have NaN similarity to EVERY vector under the
+    // runtime kernel, and NaN is GREATEST in the flat ordering — so the
+    // flat argmax picks the larger degenerate pivot id for all vectors.
+    // The bound-pruned mode must reproduce that through the π-radius
+    // marking + NaN-incumbent full scan, not prune the groups away.
+    val cents = base.updated(7, Array.fill(8)(0.0)).updated(41, Array.fill(8)(0.0))
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v").localCheckpoint(true)
+    val flatCb = cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("pivot_id", "pv")
+      .groupBy().agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+    val flat = AnnIndex.assign(vecs, flatCb).select("vec_id", "cluster")
+    val exact = AnnIndex.assignTwoExact(vecs, AnnIndex.hierCodebookOf(spark, cents))
+      .select("vec_id", "cluster")
+    assert(flat.exceptAll(exact).isEmpty && exact.exceptAll(flat).isEmpty,
+      "degenerate pivots must not break exact ≡ flat")
+    // the winner really is the larger zero-norm pivot — the NaN path was
+    // exercised, not vacuously green
+    assert(flat.select("cluster").distinct().as[Long].collect().toSeq == Seq(41L))
+  }
+
+  test("argmax kernels stay codegen-compilable with non-nullable children") {
+    // range's id is non-nullable; before the nullable override the
+    // generated code assigned to the false literal and Janino refused the
+    // stage — fallback=false makes that failure loud instead of a silent
+    // interpreted ejection
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.range(1).selectExpr(
+        """ivf_argmax(array(cast(id AS double) + 1d, 0d),
+          |  array(struct(3L AS pivot_id, array(1d, 0d) AS pv),
+          |        struct(5L AS pivot_id, array(0d, 1d) AS pv))) AS c""".stripMargin)
+        .head.getLong(0)
+      assert(r == 3L)
+      // the ternary probes form, driven with a BIGINT probes argument
+      val r2 = spark.range(1).selectExpr(
+        """ivf_argmax_two(array(cast(id AS double) + 1d, 0d),
+          |  array(struct(0 AS gid, array(1d, 0d) AS sp, 0.1d AS radius,
+          |        array(struct(3L AS pivot_id, array(1d, 0d) AS pv)) AS pvs)),
+          |  4L) AS c""".stripMargin)
+        .head.getLong(0)
+      assert(r2 == 3L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("argmax kernels return null on empty pivot/group/member arrays") {
+    val row = spark.range(1).selectExpr(
+      "ivf_argmax(array(1d), slice(array(struct(0L AS pivot_id, array(1d) AS pv)), 1, 0)) AS a",
+      """ivf_argmax_two(array(1d),
+        |  slice(array(struct(0 AS gid, array(1d) AS sp, 0d AS radius,
+        |    array(struct(0L AS pivot_id, array(1d) AS pv)) AS pvs)), 1, 0)) AS b""".stripMargin,
+      // groups present but every member set empty — must also be null
+      """ivf_argmax_two(array(1d),
+        |  array(struct(0 AS gid, array(1d) AS sp, 0d AS radius,
+        |    slice(array(struct(0L AS pivot_id, array(1d) AS pv)), 1, 0) AS pvs))) AS c""".stripMargin)
+      .head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("probes argument must be integral; assignMode rejects unknown values") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr(
+        """ivf_argmax_two(array(1d),
+          |  array(struct(0 AS gid, array(1d) AS sp, 0d AS radius,
+          |    array(struct(0L AS pivot_id, array(1d) AS pv)) AS pvs)), 1.5) AS c""".stripMargin)
+        .head
+    }
+    spark.conf.set("spark.graft.ann.assignMode", "probe")
+    try intercept[IllegalArgumentException](AnnIndex.assignMode(spark))
+    finally spark.conf.unset("spark.graft.ann.assignMode")
+  }
+
   test("EXACT two-level assignment equals the flat argmax on clustered AND uniform-random codebooks") {
     import spark.implicits._
     val d = 16
