@@ -21,11 +21,17 @@ object DevAssignCost {
     }
     val centers = Seq.fill(nCenters)(unit(Array.fill(d)(rnd.nextGaussian())))
     // pivots: jittered copies of centers (k ≈ what √n-kmeans would learn;
-    // override with arg 2 to probe large-codebook regimes)
+    // override with arg 2 to probe large-codebook regimes). Arg 3
+    // "uniform" draws pivots uniform on the sphere instead — the honest
+    // WORST case for the exact bound-pruned mode, where super-pivot
+    // means barely discriminate and bounds prune little.
     val k = args.lift(1).map(_.toInt)
       .getOrElse(math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = (0 until k).map(i =>
-      unit(centers(i % nCenters).map(_ + 0.05 * rnd.nextGaussian())))
+    val uniformPivots = args.lift(2).contains("uniform")
+    val cents =
+      if (uniformPivots) (0 until k).map(_ => unit(Array.fill(d)(rnd.nextGaussian())))
+      else (0 until k).map(i =>
+        unit(centers(i % nCenters).map(_ + 0.05 * rnd.nextGaussian())))
     val vecs = (0 until n).map { i =>
       (i.toLong, centers(i % nCenters).map(_ + 0.1 * rnd.nextGaussian()).toSeq)
     }.toDF("vec_id", "v").repartition(32).localCheckpoint(true)
