@@ -787,13 +787,22 @@ object AnnIndex {
     * the ≥ filter (spec-pinned on clustered AND uniform-random
     * codebooks).
     * Cost: √k super-pivot cosines + acos per group + the opened groups'
-    * members — ~(√k + |best group|)·d on a clustered pivot space where
-    * bounds prune nearly everything; degrades toward flat (plus the √k
-    * overhead) on an unclustered one, where NO exact method can beat
-    * flat. [[assignTwo]] (probes mode) remains the bounded-cost choice
-    * when ingest throughput must be guaranteed; this mode is the default
-    * because correctness-by-construction beats a measured 92% agreement
-    * wherever the cost is affordable.
+    * members. MEASURED HONESTLY (DevAssignCost): the bounds prune well
+    * only when group radii are tight, and with g = √k groups over a
+    * pivot space whose natural cluster count exceeds g, each group
+    * spans several clusters and its radius approaches the inter-cluster
+    * angle — so in both the clustered and uniform fixtures this mode
+    * costs ~1.0–1.1× FLAT (vs probes mode's ~0.2×). That is why it is
+    * NOT the default: IVF coarse assignment is a partitioning choice,
+    * not a correctness property (a vector in its second-best cell is
+    * still found when the query probes that cell — recall is a
+    * query-time nprobe property, and build/stream/query consistency is
+    * what [[assignTag]] guarantees), while bounded O(√k·d) ingest cost
+    * IS a scale requirement at the 65,536-pivot cap (~270 µs vs ~9 µs
+    * per vector). Select with `spark.graft.ann.assignMode=exact` when
+    * cells must be bit-reproducible against a flat (or differently
+    * probed) build — e.g. cross-validating indexes built before and
+    * after a geometry change.
     */
   def assignTwoExact(vectors: DataFrame, hierCodebook: DataFrame): DataFrame =
     vectors
@@ -807,13 +816,15 @@ object AnnIndex {
       .withColumn("cluster", expr("ivf_argmax_two(v, groups)"))
       .drop("groups")
 
-  /** Assignment mode past the pivot threshold: `exact` (default —
-    * bound-pruned, provably equal to the flat argmax, data-dependent
-    * cost) or `probes` (fixed [[groupProbes]] groups — guaranteed
-    * O(√k·d), measured-agreement). Folded into [[assignTag]].
+  /** Assignment mode past the pivot threshold: `probes` (default —
+    * fixed [[groupProbes]] groups, guaranteed O(√k·d) per vector: the
+    * bounded ingest cost the two-level quantizer exists to provide) or
+    * `exact` (bound-pruned, provably equal to the flat argmax, but
+    * data-dependent cost measured ~flat on realistic pivot spaces —
+    * see [[assignTwoExact]]). Folded into [[assignTag]].
     */
   private[graft] def assignMode(spark: SparkSession): String = {
-    val m = spark.conf.get("spark.graft.ann.assignMode", "exact")
+    val m = spark.conf.get("spark.graft.ann.assignMode", "probes")
     // a typo must not silently select the data-dependent-cost mode — the
     // probes knob exists precisely to guarantee ingest throughput
     require(m == "exact" || m == "probes",
@@ -822,8 +833,8 @@ object AnnIndex {
   }
 
   /** The coarse assigner for the corpus at `dir`: two-level past
-    * [[TwoLevelMinPivots]] pivots (exact bound-pruned by default, probes
-    * mode by conf), flat below — ONE dispatch shared by the index build
+    * [[TwoLevelMinPivots]] pivots (bounded-cost probes mode by default,
+    * exact bound-pruned by conf), flat below — ONE dispatch shared by the index build
     * ([[ensureIvf]]), the cluster-profile card
     * ([[graft.operators.Similarity]]), and the streaming ingester, so
     * every consumer assigns identically for a given corpus version.

@@ -304,9 +304,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.read.parquet(out).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
-      // independent reference: the default dispatch is the exact
-      // bound-pruned quantizer, which provably equals the flat argmax
-      val batch = AnnIndex.assignTwoExact(vecs.toDF("vec_id", "v"), hier)
+      // reference: the default dispatch is the bounded-cost probes mode
+      val batch = AnnIndex.assignTwo(
+        vecs.toDF("vec_id", "v"), hier, AnnIndex.DefaultGroupProbes)
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
       assert(streamed == batch,
         "streamed cells must equal the batch two-level assignment")
