@@ -24,6 +24,8 @@ object GraftSession {
         graft.plans.DecimalFolds.inject(ext)
         graft.plans.IvfArgmaxFlat.inject(ext)
         graft.plans.IvfArgmaxTwo.inject(ext)
+        graft.plans.PqEncode.inject(ext)
+        graft.plans.PqAdc.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -92,8 +92,12 @@ case class IvfArgmaxFlat(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val ref = ctx.addReferenceObj("ivfArgmax", this, classOf[IvfArgmaxFlat].getName)
-      s"""Object r = $ref.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin
+      val r = ctx.freshName("r")
+      // fresh local: with non-nullable children nullSafeCodeGen emits
+      // bodies into a shared flat scope, so sibling/nested natives would
+      // collide on a fixed name
+      s"""Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }""".stripMargin
     })
 }
 
@@ -214,8 +218,12 @@ case class IvfArgmaxTwo(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val ref = ctx.addReferenceObj("ivfArgmaxTwo", this, classOf[IvfArgmaxTwo].getName)
-      s"""Object r = $ref.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin
+      val r = ctx.freshName("r")
+      // fresh local: with non-nullable children nullSafeCodeGen emits
+      // bodies into a shared flat scope, so sibling/nested natives would
+      // collide on a fixed name
+      s"""Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }""".stripMargin
     })
 }
 
@@ -319,7 +327,8 @@ case class IvfArgmaxProbes(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val ref = ctx.addReferenceObj("ivfArgmaxProbes", this, classOf[IvfArgmaxProbes].getName)
-      s"""Object r = $ref.compute($a, $b, (int) $c);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin
+      val r = ctx.freshName("r")
+      s"""Object $r = $ref.compute($a, $b, (int) $c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }""".stripMargin
     })
 }

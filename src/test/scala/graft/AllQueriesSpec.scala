@@ -26,7 +26,11 @@ class AllQueriesSpec extends SparkSpec {
       "q_quantiles_approx", "q_multimodal_decode",
       "q_multimodal_frames", "q_multimodal_resize",
       "q_dedup_keep", "q_cluster_profile", "q_sim_ann_batch", "q_ann_recall",
-      "q_text_compress", "q_index_health", "q_dedup_incremental")
+      "q_text_compress", "q_index_health", "q_dedup_incremental",
+      // trained product quantizer — k-means codebooks are not
+      // cross-engine expressible (the q_sim_ann_ivf class); AnnPqSpec
+      // pins output equality with the oracle-checked q_sim_topk
+      "q_sim_ann_pq")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, PqIndex, Similarity}
+
+/** Product-quantization serving tier: codebook determinism, the native
+  * kernels' contracts, and the recall property that makes the
+  * exact-re-rank output equal the oracle-checked exact top-k.
+  */
+class AnnPqSpec extends SparkSpec {
+
+  test("store holds one m-byte code per corpus vector") {
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val store = PqIndex.store(spark, sf, ver)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(store.count() == n)
+    val lens = store.select(length(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(PqIndex.M),
+      s"every code must be exactly ${PqIndex.M} bytes, got lengths $lens")
+  }
+
+  test("codebook training is deterministic and shaped [m][ksub][dsub]") {
+    val rnd = new scala.util.Random(83)
+    val sample = Array.fill(500)(Array.fill(64)(rnd.nextGaussian()))
+    val a = PqIndex.train(sample.map(_.clone()))
+    val b = PqIndex.train(sample.map(_.clone()))
+    assert(a.length == PqIndex.M * PqIndex.Ksub * (64 / PqIndex.M))
+    assert(java.util.Arrays.equals(a, b),
+      "two trainings of the same sample must be bit-identical")
+  }
+
+  test("native pq_adc equals a driver-side recompute of the table sum") {
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val cbs = PqIndex.codebooks(spark, sf, ver)
+    val qv = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val lut = PqIndex.lut(qv, cbs)
+    import spark.implicits._
+    val lutDf = Seq(Tuple1(lut.toSeq)).toDF("lut")
+    val rows = PqIndex.store(spark, sf, ver)
+      .crossJoin(broadcast(lutDf))
+      .select(col("vec_id"), col("codes"),
+        expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
+      .orderBy("vec_id").limit(20).collect()
+    for (r <- rows) {
+      val codes = r.getAs[Array[Byte]]("codes")
+      val expected = codes.zipWithIndex
+        .map { case (c, j) => lut(j * PqIndex.Ksub + (c & 0xFF)) }.sum
+      assert(r.getDouble(2) == expected,
+        s"vec ${r.getLong(0)}: native adc ${r.getDouble(2)} != $expected")
+    }
+  }
+
+  test("served output equals simTopK at the small SF (recall holds at the default pool)") {
+    // at 500 uniform-random vectors every exact-top-10 neighbor sits
+    // inside ADC rank ≤ ~87 (DevPqRecall) — 4× inside the default pool,
+    // so the exact re-rank reproduces the exact answer here. At larger
+    // n on RANDOM data cosine gaps shrink toward quantization noise and
+    // equality honestly degrades to the recall floors below.
+    val exact = Similarity.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val served = Similarity.simAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq == exact.toSeq,
+      "PQ retrieve + exact re-rank must reproduce the exact top-10 at this corpus size")
+  }
+
+  test("per-query recall floors over the batch-query set at the default pool") {
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val cbs = PqIndex.codebooks(spark, sf, ver)
+    val pool = PqIndex.rerank(spark)
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val recalls = (0L until Similarity.BatchQueries.toLong).map { qid =>
+      val qv = emb.where(col("vec_id") === qid).head().getSeq[Double](1).toArray
+      val lutDf = Seq(Tuple1(PqIndex.lut(qv, cbs).toSeq)).toDF("lut")
+      val adcTop = PqIndex.store(spark, sf, ver)
+        .where(col("vec_id") =!= qid)
+        .crossJoin(broadcast(lutDf))
+        .select(col("vec_id"), expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
+        .orderBy(desc("adc"), asc("vec_id")).limit(pool)
+        .collect().map(_.getLong(0)).toSet
+      val q = emb.where(col("vec_id") === qid).select(col("v").as("qv"))
+      val exactTop = emb.where(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      (exactTop & adcTop).size.toDouble / exactTop.size
+    }
+    // uniform-random vectors are the PQ worst case; floors are set with
+    // regen margin (measured 1.0 per query at this corpus size)
+    assert(recalls.min >= 0.7,
+      s"a batch query fell below the 0.7 recall floor: $recalls")
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"average recall@10 below 0.9: $recalls")
+  }
+
+  test("a miswired codebook fails loudly instead of mis-encoding") {
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "pq_encode(array(1d, 2d), array(1d, 2d, 3d), 2, 256)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("pq kernels stay codegen-compilable with non-nullable children") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // m=2 one-centroid-per-subspace toy: codes must be [0, 0] and the
+      // ADC sum the two table entries; id makes the children non-nullable
+      // AND non-foldable so the expressions really run inside codegen
+      val r = spark.range(1).selectExpr(
+        s"""pq_adc(
+           |  pq_encode(array(cast(id AS double) + 3d, 4d), array(0.6d, 0.8d), 2, 1),
+           |  array(0.25d, 0.75d), 1) AS s""".stripMargin)
+        .head.getDouble(0)
+      assert(r == 1.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+}
