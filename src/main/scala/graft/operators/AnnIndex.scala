@@ -1041,6 +1041,62 @@ object AnnIndex {
   def ivf(spark: SparkSession, dir: String, version: String): DataFrame =
     resolvedFrame(spark, ensureIvf(spark, dir, version), IvfSchema)
 
+  /** Read schema for the PQ-coded inverted file ([[ensureIvfPq]]):
+    * same cast-free INT partition column as [[IvfSchema]], but the
+    * payload is the m-byte PQ code instead of the raw vector.
+    */
+  private val IvfPqSchema = "vec_id BIGINT, codes BINARY, cluster INT"
+
+  /** Ensure the cluster-partitioned PQ-CODED inverted file exists for the
+    * corpus at `dir`; returns its path. This is the IVF-PQ composition
+    * (Jégou et al. 2011, the FAISS `IVFPQ` shape): the same coarse cells
+    * as [[ensureIvf]] — so a probe's dynamic partition pruning opens only
+    * the nprobe probed directories — but each row stores the
+    * [[PqIndex.M]]-byte product-quantized code instead of the d-dim f64
+    * vector. At 100 TB the probed fraction is ~n^(-1/4) of the corpus AND
+    * each probed row is 64× smaller, so the candidate scan reads
+    * ~n^(3/4)/64 of the bytes an exact probe would; the exact re-rank
+    * touches only the final re-rank pool by id.
+    *
+    * The version folds the IVF codebook hash + effective assignment
+    * geometry (cells must match the probe's pivot scoring — same rule as
+    * [[ensureIvf]]) AND the PQ geometry (a code built under a different
+    * m×ksub layout must never be scored by this lut shape). The PQ
+    * codebooks themselves are a deterministic function of the corpus
+    * version ([[PqIndex.codebooks]]), so the fingerprint covers them.
+    */
+  def ensureIvfPq(spark: SparkSession, dir: String, fp: String): String = {
+    val cb = centroids(spark, dir, fp)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    cb.foreach(_.foreach(x =>
+      md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
+    md.update(assignTag(spark, dir, fp).getBytes("UTF-8"))
+    md.update(s"pq${PqIndex.M}x${PqIndex.Ksub}".getBytes("UTF-8"))
+    val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
+    ensureBuilt(spark, indexRoot(spark),
+      s"ivfpq_${dirFamily(dir)}", s"${fp}_$cbHash") { staging =>
+      import spark.implicits._
+      // one-row broadcast codebook: the 1-row crossJoin idiom (zero fan)
+      val pqcb = Seq(Tuple1(PqIndex.codebooks(spark, dir, fp).toSeq)).toDF("cbs")
+      coarseAssign(spark, dir, fp)(
+        Tables.spread(Tables.embeddings(spark, dir))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .withColumn("cluster", col("cluster").cast("int"))
+        .crossJoin(broadcast(pqcb))
+        .select(col("vec_id"),
+          expr(s"pq_encode(v, cbs, ${PqIndex.M}, ${PqIndex.Ksub})").as("codes"),
+          col("cluster"))
+        // one task per cell before the partitioned write — the sliver
+        // discipline of ensureIvf (assignment still parallelizes upstream)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    }
+  }
+
+  /** The PQ-coded inverted file as a DataFrame (see [[IvfPqSchema]]). */
+  def ivfPq(spark: SparkSession, dir: String, version: String): DataFrame =
+    resolvedFrame(spark, ensureIvfPq(spark, dir, version), IvfPqSchema)
+
   /** The banded-signature transform — key-only output, shared verbatim by
     * the batch index build and the streaming ingester
     * ([[graft.streaming.Streams.lshIngestSink]]) so batch and streamed

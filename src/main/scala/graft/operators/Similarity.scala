@@ -281,6 +281,68 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF-PQ retrieve + exact re-rank — the two compressions composed
+    * (the FAISS `IVFPQ` shape): candidates come from the CLUSTER-
+    * PARTITIONED PQ store ([[AnnIndex.ensureIvfPq]]) so the scan is
+    * dynamic-partition-pruned to the query's nprobe nearest cells like
+    * [[simAnnIvf]], AND each scanned row is the 8-byte ADC-scored code
+    * like [[simAnnPq]] — at 100 TB the candidate read is ~n^(3/4)/64 of
+    * the exact probe's bytes, the only tier here that shrinks BOTH the
+    * row count and the row width with corpus size. Top-
+    * [[PqIndex.rerank]] ADC candidates re-score exactly through the
+    * In()-pushed bounded-collect discipline.
+    *
+    * Recall composes two approximations (cell probe miss × quantization
+    * noise), so this tier sits below [[simAnnIvf]] and [[simAnnPq]] on
+    * the recall axis by construction — AnnPqSpec measures it against
+    * both parents on the worst-case uniform corpus and pins the floors;
+    * the knobs are nprobe (cell misses) and `spark.graft.ann.pqRerank`
+    * (quantization misses), both query-time.
+    */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val q = withVec(spark, dir).where(col("vec_id") === 0L)
+      .select(col("v").as("qv0"))
+    val ids = ivfPqCandidates(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    withVec(spark, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(v, qv0)"), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** The IVF-PQ candidate plan [[simAnnIvfPq]] bounded-collects from —
+    * exposed so PlanSpec can pin its shape: the code-store scan must be
+    * dynamic-partition-pruned to the probed cells, contain no corpus
+    * re-encode (`pq_encode` is ingest-time work in
+    * [[AnnIndex.ensureIvfPq]]) and no coarse re-assignment.
+    */
+  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
+    val q = withVec(spark, dir).where(col("vec_id") === 0L)
+      .select(col("v").as("qv0"))
+    // bounded collect: the ONE query row (its LUT is driver math)
+    val qv = q.head().getSeq[Double](0).toArray
+    val lutDf = Seq(Tuple1(
+      PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
+    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(q))
+      .select(col("pivot_id"), expr("cosine_sim(pv, qv0)").as("psim"))
+      .orderBy(desc("psim"), asc("pivot_id"))
+      .limit(nprobe)
+      .select(col("pivot_id").cast("int").as("cluster"))
+    AnnIndex.ivfPq(spark, dir, ver)
+      .join(broadcast(probe), Seq("cluster"))
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(lutDf)) // 1-row LUT: zero fan
+      .select(col("vec_id"),
+        expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(PqIndex.rerank(spark))
+  }
+
   /** O4 — exact cosine top-k for query vector vec_id=0.
     * Scale: the single query row is broadcast; similarity is evaluated
     * map-side over the corpus scan and the global top-k is
@@ -409,13 +471,14 @@ object Similarity {
       .transform(Present.cardSort(_, col("qid"), col("rank")))
   }
 
-  /** ANN self-audit: recall@10 of each approximate tier ([[simAnnIvf]],
-    * [[simAnnLsh]]) against the exact [[simTopK]] for the same query — the
-    * number a retrieval deployment tracks to decide nprobe / band count
-    * before trading accuracy for scan cost. rows-only: composes three
-    * rows-only/oracle plans whose own correctness is already gated.
-    * Scale: all three inputs are 10-row frames (each already the bounded
-    * output of a pruned plan); the overlap joins and the 2-row union are
+  /** ANN self-audit: recall@10 of EVERY approximate tier ([[simAnnIvf]],
+    * [[simAnnLsh]], [[simAnnPq]], [[simAnnIvfPq]]) against the exact
+    * [[simTopK]] for the same query — the
+    * number a retrieval deployment tracks to decide nprobe / band count /
+    * re-rank pool before trading accuracy for scan cost. rows-only:
+    * composes rows-only/oracle plans whose own correctness is already
+    * gated. Scale: all inputs are 10-row frames (each already the bounded
+    * output of a pruned plan); the overlap joins and the 4-row union are
     * driver-trivial by construction. (Measured dead ends, for the record:
     * collecting the exact ids into an isin() filter and checkpointing the
     * exact frame both cost MORE than the inlined subtree — the 10-row
@@ -431,6 +494,8 @@ object Similarity {
           round(col("hits") / 10.0, 6).as("recall_at_10"))
     recallOf("ivf", simAnnIvf(spark, dir))
       .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
+      .unionByName(recallOf("pq", simAnnPq(spark, dir)))
+      .unionByName(recallOf("ivfpq", simAnnIvfPq(spark, dir)))
       .transform(Present.cardSort(_, col("method")))
   }
 

@@ -30,7 +30,10 @@ class AllQueriesSpec extends SparkSpec {
       // trained product quantizer — k-means codebooks are not
       // cross-engine expressible (the q_sim_ann_ivf class); AnnPqSpec
       // pins output equality with the oracle-checked q_sim_topk
-      "q_sim_ann_pq")
+      "q_sim_ann_pq",
+      // IVF-PQ composes the two engine-state approximations; AnnPqSpec
+      // pins candidates ⊆ probed cells + recall floors vs both parents
+      "q_sim_ann_ivfpq")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

@@ -100,6 +100,60 @@ class AnnPqSpec extends SparkSpec {
       s"average recall@10 below 0.9: $recalls")
   }
 
+  test("ivfpq store: one dir per cell, m-byte codes, cells identical to the ivf store") {
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val path = AnnIndex.ensureIvfPq(spark, sf, ver)
+    val dirs = new java.io.File(path.stripPrefix("file:")).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.nonEmpty, s"expected cluster= partition dirs under $path")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val joined = AnnIndex.ivfPq(spark, sf, ver).as("pq")
+      .join(AnnIndex.ivf(spark, sf, ver).as("iv"), "vec_id")
+      .select(col("pq.cluster"), col("iv.cluster"), length(col("codes")))
+      .collect()
+    // row-for-row: same corpus coverage, same coarse cells (one
+    // coarseAssign dispatch + shared version identity), m-byte codes
+    assert(joined.length == n)
+    joined.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        "ivfpq cells must equal the ivf assignment")
+      assert(r.getInt(2) == PqIndex.M)
+    }
+  }
+
+  test("ivfpq candidates come only from probed cells; output equals simAnnIvf here") {
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, sf, ver).size)
+    val qv = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // probed cells recomputed driver-side from the same cached pivots
+    val probed = AnnIndex.centroids(spark, sf, ver).zipWithIndex
+      .map { case (pv, i) =>
+        val dot = pv.zip(qv).map { case (a, b) => a * b }.sum
+        val na = math.sqrt(pv.map(x => x * x).sum)
+        val nb = math.sqrt(qv.map(x => x * x).sum)
+        (i, dot / (na * nb)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nprobe).map(_._1).toSet
+    val cells = AnnIndex.ivfPq(spark, sf, ver)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = Similarity.simAnnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.forall { case (id, _) => probed.contains(cells(id)) },
+      s"a served id came from an unprobed cell: $served / probed $probed")
+    // at this corpus size the ADC pool covers the probed rows' true order,
+    // so the PQ layer loses NOTHING beyond the cell-probe choice — the
+    // composition equals its IVF parent exactly (measured identical at
+    // sf0.001/0.01/0.1; at real scale this honestly degrades into the
+    // pqRerank recall trade, which the pq-tier floors above price)
+    val ivf = Similarity.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq == ivf.toSeq,
+      "IVF-PQ must equal the uncompressed IVF probe at this corpus size")
+  }
+
   test("a miswired codebook fails loudly instead of mis-encoding") {
     val e = intercept[Exception] {
       spark.range(1).selectExpr(

@@ -195,18 +195,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("annRecall equals the overlap recomputed from the three result sets") {
+  test("annRecall equals the overlap recomputed from the tier result sets") {
     val exact = Similarity.simTopK(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    val ivf = Similarity.simAnnIvf(spark, sf).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val lsh = Similarity.simAnnLsh(spark, sf).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("vec_id")).toSet
+    val tiers = Map(
+      "ivf" -> ids(Similarity.simAnnIvf(spark, sf)),
+      "lsh" -> ids(Similarity.simAnnLsh(spark, sf)),
+      "pq" -> ids(Similarity.simAnnPq(spark, sf)),
+      "ivfpq" -> ids(Similarity.simAnnIvfPq(spark, sf)))
     val card = Similarity.annRecall(spark, sf).collect()
       .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall_at_10")).toMap
-    assert(card.keySet == Set("ivf", "lsh"))
-    assert(card("ivf") == ivf.intersect(exact).size / 10.0)
-    assert(card("lsh") == lsh.intersect(exact).size / 10.0)
+    assert(card.keySet == tiers.keySet)
+    for ((m, got) <- tiers)
+      assert(card(m) == got.intersect(exact).size / 10.0, s"tier $m")
     card.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 

@@ -179,6 +179,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "probe list and query must broadcast")
   }
 
+  test("ivfPq candidate scan is partition-pruned and never re-encodes the corpus") {
+    val p = plan(Similarity.ivfPqCandidates(spark, sf))
+    // encoding is ingest-time work (AnnIndex.ensureIvfPq); a probe that
+    // contains pq_encode or a coarse re-assignment is rebuilding the
+    // index per query — the 100 TB anti-pattern
+    assert(!p.contains("pq_encode"),
+      "candidate plan must not re-encode the corpus")
+    assert(!p.contains("array_max(transform"),
+      "candidate plan must not re-assign the corpus to cells")
+    assert(p.contains("dynamicpruningexpression"),
+      "code-store scan must be partition-pruned to the probed cells")
+    assert(p.contains("graft_ann"), "probe must read the materialized index")
+    assert(p.contains("pq_adc"), "candidates must be ADC-scored codes")
+    assert(p.contains("BroadcastExchange"), "probe list and LUT must broadcast")
+  }
+
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
     val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
     // corpus signatures are computed once per corpus version
