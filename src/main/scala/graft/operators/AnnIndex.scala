@@ -1197,6 +1197,32 @@ object AnnIndex {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
   }
 
+  // the raw embedding of one query vector — the same pure-function-of-
+  // (corpus version, vec id) argument as queryBandCache: PQ probes turn
+  // it into a driver-math ADC lookup table, so without the cache every
+  // probe pays a 1-row scan job just to re-fetch an unchanged vector
+  private val queryVecCache =
+    new ConcurrentHashMap[String, Array[Double]]()
+
+  /** The embedding of ONE query vector, collected once per (corpus
+    * version, vec id) — bounded at d doubles per entry, eviction and
+    * size discipline of [[queryBands]].
+    */
+  def queryVector(
+      spark: SparkSession, dir: String, vecId: Long,
+      version: String): Array[Double] = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|$vecId|"
+    val key = s"$prefix$version"
+    if (queryVecCache.keySet.removeIf(k => k.startsWith(prefix) && k != key))
+      Tables.invalidate(dir)
+    if (queryVecCache.size > 4096) queryVecCache.clear()
+    queryVecCache.computeIfAbsent(key, _ =>
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") === vecId)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray)
+  }
+
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each
     * band's exact bucket plus every bucket whose key differs in ≤ flips
     * hyperplane bits — the adjacent buckets a near-neighbor most likely

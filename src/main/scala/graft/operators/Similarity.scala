@@ -259,10 +259,12 @@ object Similarity {
   def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ver = AnnIndex.corpusVersion(spark, dir)
-    val q = withVec(spark, dir).where(col("vec_id") === 0L)
-      .select(col("v").as("qv0"))
-    // bounded collect: the ONE query row (its LUT is driver math)
-    val qv = q.head().getSeq[Double](0).toArray
+    // the query vector is index metadata (pure function of corpus
+    // version × vec id) — cached like queryBands, so a probe-per-query
+    // workload pays no 1-row re-fetch job; the re-rank's query frame is
+    // the same literal (zero corpus scans outside the candidate plan)
+    val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
+    val q = Seq(Tuple1(qv.toSeq)).toDF("qv0")
     val lutDf = Seq(Tuple1(
       PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
     val ids = PqIndex.store(spark, dir, ver)
@@ -283,12 +285,13 @@ object Similarity {
 
   /** IVF-PQ retrieve + exact re-rank — the two compressions composed
     * (the FAISS `IVFPQ` shape): candidates come from the CLUSTER-
-    * PARTITIONED PQ store ([[AnnIndex.ensureIvfPq]]) so the scan is
-    * dynamic-partition-pruned to the query's nprobe nearest cells like
-    * [[simAnnIvf]], AND each scanned row is the 8-byte ADC-scored code
-    * like [[simAnnPq]] — at 100 TB the candidate read is ~n^(3/4)/64 of
-    * the exact probe's bytes, the only tier here that shrinks BOTH the
-    * row count and the row width with corpus size. Top-
+    * PARTITIONED PQ store ([[AnnIndex.ensureIvfPq]]) whose scan is
+    * STATICALLY pruned to the query's nprobe nearest cells (literal
+    * partition predicates from driver-side pivot scoring — see
+    * [[ivfPqCandidates]]), AND each scanned row is the 8-byte ADC-scored
+    * code like [[simAnnPq]] — at 100 TB the candidate read is
+    * ~n^(3/4)/64 of the exact probe's bytes, the only tier here that
+    * shrinks BOTH the row count and the row width with corpus size. Top-
     * [[PqIndex.rerank]] ADC candidates re-score exactly through the
     * In()-pushed bounded-collect discipline.
     *
@@ -300,8 +303,10 @@ object Similarity {
     * (quantization misses), both query-time.
     */
   def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val q = withVec(spark, dir).where(col("vec_id") === 0L)
-      .select(col("v").as("qv0"))
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val q = Seq(Tuple1(
+      AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
     val ids = ivfPqCandidates(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     withVec(spark, dir)
@@ -314,27 +319,35 @@ object Similarity {
 
   /** The IVF-PQ candidate plan [[simAnnIvfPq]] bounded-collects from —
     * exposed so PlanSpec can pin its shape: the code-store scan must be
-    * dynamic-partition-pruned to the probed cells, contain no corpus
-    * re-encode (`pq_encode` is ingest-time work in
+    * STATICALLY partition-pruned to the probed cells (literal predicates
+    * on the partition column — no probe join in the plan at all),
+    * contain no corpus re-encode (`pq_encode` is ingest-time work in
     * [[AnnIndex.ensureIvfPq]]) and no coarse re-assignment.
+    *
+    * Probe selection is driver math over the CACHED codebook and the
+    * CACHED query vector (k·d mult-adds — the identical `cosine_sim`
+    * accumulation the distributed 1-row pivot plan would broadcast-
+    * schedule, so the probed set matches [[simAnnIvf]]'s bit-for-bit);
+    * turning it into literal `cluster IN (…)` predicates is the
+    * [[AnnIndex.queryBands]] discipline applied to IVF — the scan prunes
+    * at planning time instead of carrying a BroadcastExchange + DPP
+    * subquery per probe.
     */
   private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ver = AnnIndex.corpusVersion(spark, dir)
-    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
-    val q = withVec(spark, dir).where(col("vec_id") === 0L)
-      .select(col("v").as("qv0"))
-    // bounded collect: the ONE query row (its LUT is driver math)
-    val qv = q.head().getSeq[Double](0).toArray
+    val cents = AnnIndex.centroids(spark, dir, ver)
+    val nprobe = AnnIndex.probeCount(cents.size)
+    // cached query vector (see simAnnPq); the LUT is driver math
+    val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
     val lutDf = Seq(Tuple1(
       PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
-    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(q))
-      .select(col("pivot_id"), expr("cosine_sim(pv, qv0)").as("psim"))
-      .orderBy(desc("psim"), asc("pivot_id"))
-      .limit(nprobe)
-      .select(col("pivot_id").cast("int").as("cluster"))
+    val probed = cents.zipWithIndex
+      .map { case (pv, i) => (i, AnnIndex.cosArr(qv, pv)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
     AnnIndex.ivfPq(spark, dir, ver)
-      .join(broadcast(probe), Seq("cluster"))
+      .where(col("cluster").isin(probed: _*))
       .where(col("vec_id") =!= 0L)
       .crossJoin(broadcast(lutDf)) // 1-row LUT: zero fan
       .select(col("vec_id"),
@@ -690,6 +703,14 @@ object Similarity {
     val ivfCells = AnnIndex.ivf(spark, dir, ver)
       .groupBy(lit("ivf").as("index"), col("cluster").cast("bigint").as("cell"))
       .agg(count(lit(1)).as("n"))
+    // the PQ-coded family must mirror the raw inverted file's cells
+    // (one coarseAssign, shared version identity) — auditing it
+    // separately is the point: a divergent card means a stale or
+    // miswired code store, caught here instead of as silent recall loss
+    val ivfPqCells = AnnIndex.ivfPq(spark, dir, ver)
+      .groupBy(lit("ivfpq").as("index"),
+        col("cluster").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n"))
     val lshGeom = AnnIndex.lshGeom(spark, dir, ver)
     val lshCells = AnnIndex.lshBands(spark, dir, ver)
       // flatten (band_id, band_key) into one cell coordinate: band_key is
@@ -698,7 +719,7 @@ object Similarity {
         (col("band_id").cast("bigint") * (1L << lshGeom.bandBits) +
           col("band_key")).as("cell"))
       .agg(count(lit(1)).as("n"))
-    ivfCells.unionByName(lshCells)
+    ivfCells.unionByName(ivfPqCells).unionByName(lshCells)
       // cell cards are index GEOMETRY (≤ pivots + bands·2^bandBits rows,
       // corpus-size-independent) — one coalesced partition satisfies the
       // family rollup's clustering requirement, no third exchange

@@ -249,6 +249,47 @@ object Streams {
     layoutAppendSink(
       annIngest(vectors, codebook), path, checkpointDir, Seq("cluster"))
 
+  /** Streaming IVF-PQ ingestion — the incremental build path of the
+    * PQ-coded inverted file ([[graft.operators.AnnIndex.ensureIvfPq]]):
+    * each arriving embedding is coarse-assigned by the SAME dispatch as
+    * [[annIngest]] (the codebook shape picks flat vs two-level, so
+    * streamed and batch-built rows land in identical cells) and
+    * product-quantized MAP-SIDE by the native `pq_encode` against the
+    * broadcast flattened codebooks — zero shuffle, no state, no
+    * watermark. Output rows are (vec_id, codes, cluster): m bytes plus
+    * two ids per vector, never the vector payload — the narrowest ingest
+    * stream of the three index families.
+    * The PQ codebooks must be the batch-trained ones for the layout's
+    * corpus version ([[graft.operators.PqIndex.codebooks]]); retraining
+    * either codebook is a batch re-index concern, exactly as for
+    * [[annIngest]]: write the new index version, restart the stream.
+    */
+  def pqIngest(
+      vectors: DataFrame, codebook: DataFrame,
+      pqCodebooks: Array[Double]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cb = Seq(Tuple1(pqCodebooks.toSeq)).toDF("cbs")
+    annIngest(vectors, codebook)
+      .crossJoin(broadcast(cb)) // 1-row codebook: zero fan
+      .select(col("vec_id"),
+        expr(s"pq_encode(v, cbs, ${graft.operators.PqIndex.M}, " +
+          s"${graft.operators.PqIndex.Ksub})").as("codes"),
+        col("cluster"))
+  }
+
+  /** Parquet sink for [[pqIngest]]: cluster-partitioned append growing
+    * the PQ-coded inverted file in place — probes keep statically pruning
+    * to their probed cells while new codes stream in. Same resolved-frame
+    * invalidation and small-file compaction notes as [[lshIngestSink]].
+    */
+  def pqIngestSink(
+      vectors: DataFrame, codebook: DataFrame, pqCodebooks: Array[Double],
+      path: String, checkpointDir: String) =
+    layoutAppendSink(
+      pqIngest(vectors, codebook, pqCodebooks),
+      path, checkpointDir, Seq("cluster"))
+
   /** Streaming LSH index ingestion — the incremental build path of the
     * banded-signature index ([[graft.operators.AnnIndex.ensureLsh]]): each
     * arriving embedding is banded MAP-SIDE with the exact transform the

@@ -402,10 +402,17 @@ class DedupSimilaritySpec extends SparkSpec {
     import graft.operators.AnnIndex
     val card = Similarity.indexHealth(spark, sf).collect()
       .map(r => r.getAs[String]("index") -> r).toMap
-    assert(card.keySet == Set("ivf", "lsh"))
+    assert(card.keySet == Set("ivf", "ivfpq", "lsh"))
     val n = Tables.embeddings(spark, sf).count()
     assert(card("ivf").getAs[Long]("n_entries") == n,
       "IVF inverts every corpus vector exactly once")
+    assert(card("ivfpq").getAs[Long]("n_entries") == n,
+      "the PQ-coded inverted file also covers every corpus vector once")
+    // same coarseAssign + version identity → identical cell structure;
+    // a divergence here is a stale/miswired code store
+    for (f <- Seq("n_cells", "min_cell", "max_cell"))
+      assert(card("ivfpq").getAs[Long](f) == card("ivf").getAs[Long](f),
+        s"ivfpq $f must mirror the raw inverted file")
     assert(card("lsh").getAs[Long]("n_entries") == n * AnnIndex.LshBands,
       "LSH stores one signature row per (vector, band)")
     assert(card("ivf").getAs[Long]("n_cells") <= AnnIndex.centroids(spark, sf).size)

@@ -179,7 +179,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "probe list and query must broadcast")
   }
 
-  test("ivfPq candidate scan is partition-pruned and never re-encodes the corpus") {
+  test("ivfPq candidate scan is statically partition-pruned and never re-encodes the corpus") {
     val p = plan(Similarity.ivfPqCandidates(spark, sf))
     // encoding is ingest-time work (AnnIndex.ensureIvfPq); a probe that
     // contains pq_encode or a coarse re-assignment is rebuilding the
@@ -188,11 +188,17 @@ class PlanSpec extends SparkSpec {
       "candidate plan must not re-encode the corpus")
     assert(!p.contains("array_max(transform"),
       "candidate plan must not re-assign the corpus to cells")
-    assert(p.contains("dynamicpruningexpression"),
-      "code-store scan must be partition-pruned to the probed cells")
+    // probe selection is driver math over the cached codebook, so the
+    // probed cells are LITERAL predicates on the partition column —
+    // static pruning at planning time, no probe join or DPP subquery
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partFilters.exists(l => l.contains("cluster") && l.contains("IN (")),
+      s"code-store scan must statically prune on cluster; got $partFilters")
+    assert(!p.contains("dynamicpruningexpression"),
+      "static literal pruning should make a DPP subquery unnecessary")
     assert(p.contains("graft_ann"), "probe must read the materialized index")
     assert(p.contains("pq_adc"), "candidates must be ADC-scored codes")
-    assert(p.contains("BroadcastExchange"), "probe list and LUT must broadcast")
   }
 
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {

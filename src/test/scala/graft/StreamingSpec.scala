@@ -274,6 +274,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ ingest encodes and cells exactly like the batch build would") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.PqIndex
+    implicit val sqlCtx = spark.sqlContext
+    // 8-dim vectors (dsub=1 at M=8); flat 2-pivot coarse codebook
+    val pivots = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("pivot_id", "pv")
+    val codebook = pivots.groupBy()
+      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    // PQ codebooks trained on the same vectors — what the batch build of
+    // this layout's corpus version would have trained
+    val pqcbs = PqIndex.train(vecs.map(_._2.clone()).toArray)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("pq_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_ckpt").toString
+    val q = Streams.pqIngestSink(
+      mem.toDF().toDF("vec_id", "v"), codebook, pqcbs, out, ckpt).start()
+    try {
+      mem.addData(vecs.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Array[Byte]]("codes").toSeq, r.getAs[Long]("cluster"))))
+        .toMap
+      // batch reference: same encode + same coarse assignment
+      val cb = Seq(Tuple1(pqcbs.toSeq)).toDF("cbs")
+      val batch = graft.operators.AnnIndex.assign(
+        vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v"), codebook)
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+          expr(s"pq_encode(v, cbs, ${PqIndex.M}, ${PqIndex.Ksub})").as("codes"),
+          col("cluster"))
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Array[Byte]]("codes").toSeq, r.getAs[Long]("cluster"))))
+        .toMap
+      assert(streamed == batch,
+        "streamed (codes, cell) must equal the batch encode + assignment")
+      // the partition layout IS the PQ-coded inverted file
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("cluster=")).map(_.getName)
+      assert(parts.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest dispatches two-level for a hierarchical codebook, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
