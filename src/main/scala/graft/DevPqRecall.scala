@@ -18,7 +18,7 @@ object DevPqRecall {
     val cbs = PqIndex.codebooks(spark, dir, ver)
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    for (qid <- 0L until 5L) {
+    for (qid <- 0L until graft.operators.Similarity.BatchQueries.toLong) {
       val qv = emb.where(col("vec_id") === qid).head().getSeq[Double](1).toArray
       val lutDf = Seq(Tuple1(PqIndex.lut(qv, cbs).toSeq)).toDF("lut")
       val adcRank = PqIndex.store(spark, dir, ver)

@@ -622,6 +622,27 @@ object AnnIndex {
     else math.max(-1.0, math.min(1.0, dotArr(a, b) / d))
   }
 
+  /** Bit-exact replica of the native `cosine_sim`
+    * ([[graft.plans.VectorExpressions]] CosineSim.compute): UNCLAMPED,
+    * NaN on a zero-norm input. [[cosArr]]'s clamp-and-zero conditioning
+    * is right for the radius proofs it serves, but driver-side probe
+    * selection that must match a distributed `cosine_sim` ranking
+    * bit-for-bit (the IVF-PQ probe vs [[graft.operators.Similarity
+    * .simAnnIvf]]'s) needs the native's exact semantics — under the
+    * clamp a zero-norm pivot scores 0.0 while the native's NaN sorts
+    * GREATEST in a descending order, a silent probed-set divergence.
+    * Same per-accumulator index order as the native, so the doubles are
+    * identical, not just close.
+    */
+  private[graft] def cosRawArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   private[graft] def pivotGroups(
       cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
     val k = cents.size
@@ -1002,14 +1023,28 @@ object AnnIndex {
   }
 
   /** As [[ensureIvf]] with the corpus version precomputed by the caller. */
-  def ensureIvf(spark: SparkSession, dir: String, fp: String): String = {
-    val cb = centroids(spark, dir, fp)
+  /** 4-byte hex identity of the coarse assignment both inverted-file
+    * families fold into their on-disk versions: centroid BYTES (a
+    * pivot-build change or retrain must invalidate) + the effective
+    * assignment geometry (cells assigned flat vs two-level-at-p-probes
+    * differ on boundary vectors) + any family-specific extra. ONE fold
+    * shared by [[ensureIvf]] and [[ensureIvfPq]] so the two artifacts'
+    * version identities cannot silently desynchronize — the health
+    * card's cells-must-mirror audit depends on it.
+    */
+  private def coarseCbHash(
+      spark: SparkSession, dir: String, fp: String,
+      extra: Array[Byte] = Array.empty): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    cb.foreach(_.foreach(x => md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
-    // the assignment geometry is part of the index identity: cells
-    // assigned flat vs two-level-at-p-probes differ on boundary vectors
+    centroids(spark, dir, fp).foreach(_.foreach(x =>
+      md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
     md.update(assignTag(spark, dir, fp).getBytes("UTF-8"))
-    val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
+    md.update(extra)
+    md.digest().take(4).map("%02x".format(_)).mkString
+  }
+
+  def ensureIvf(spark: SparkSession, dir: String, fp: String): String = {
+    val cbHash = coarseCbHash(spark, dir, fp)
     ensureBuilt(spark, indexRoot(spark),
       s"ivf_${dirFamily(dir)}", s"${fp}_$cbHash",
       retiredPrefixes = Seq(s"ivf_${Integer.toHexString(dir.hashCode)}")) { staging =>
@@ -1058,21 +1093,25 @@ object AnnIndex {
     * ~n^(3/4)/64 of the bytes an exact probe would; the exact re-rank
     * touches only the final re-rank pool by id.
     *
-    * The version folds the IVF codebook hash + effective assignment
-    * geometry (cells must match the probe's pivot scoring — same rule as
-    * [[ensureIvf]]) AND the PQ geometry (a code built under a different
-    * m×ksub layout must never be scored by this lut shape). The PQ
-    * codebooks themselves are a deterministic function of the corpus
-    * version ([[PqIndex.codebooks]]), so the fingerprint covers them.
+    * The version folds the shared coarse identity ([[coarseCbHash]]:
+    * centroid bytes + effective assignment geometry — cells must match
+    * the probe's pivot scoring, same rule as [[ensureIvf]]) PLUS the PQ
+    * geometry AND the trained PQ codebook BYTES: the codebooks are a
+    * deterministic function of the corpus version today, but a training
+    * change (iterations, sample size, seeding) would alter them under an
+    * unchanged fingerprint — stale on-disk codes scored against freshly
+    * trained centroids is exactly the silent-garbage class the centroid
+    * fold exists to prevent, so the codes' identity is hashed, not
+    * assumed.
     */
   def ensureIvfPq(spark: SparkSession, dir: String, fp: String): String = {
-    val cb = centroids(spark, dir, fp)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    cb.foreach(_.foreach(x =>
-      md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
-    md.update(assignTag(spark, dir, fp).getBytes("UTF-8"))
-    md.update(s"pq${PqIndex.M}x${PqIndex.Ksub}".getBytes("UTF-8"))
-    val cbHash = md.digest().take(4).map("%02x".format(_)).mkString
+    val pqcbBytes = {
+      val cbs = PqIndex.codebooks(spark, dir, fp)
+      val bb = java.nio.ByteBuffer.allocate(8 * cbs.length)
+      cbs.foreach(bb.putDouble)
+      s"pq${PqIndex.M}x${PqIndex.Ksub}".getBytes("UTF-8") ++ bb.array()
+    }
+    val cbHash = coarseCbHash(spark, dir, fp, pqcbBytes)
     ensureBuilt(spark, indexRoot(spark),
       s"ivfpq_${dirFamily(dir)}", s"${fp}_$cbHash") { staging =>
       import spark.implicits._

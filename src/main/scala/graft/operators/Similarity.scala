@@ -304,10 +304,13 @@ object Similarity {
     */
   def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one corpus-version resolution per probe, threaded through the
+    // candidate plan (each resolution is a metadata listing on an
+    // unmanaged store — the round-7 triple-listing lesson)
     val ver = AnnIndex.corpusVersion(spark, dir)
     val q = Seq(Tuple1(
       AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
-    val ids = ivfPqCandidates(spark, dir)
+    val ids = ivfPqCandidates(spark, dir, ver)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     withVec(spark, dir)
       .where(col("vec_id").isin(ids: _*))
@@ -325,26 +328,34 @@ object Similarity {
     * [[AnnIndex.ensureIvfPq]]) and no coarse re-assignment.
     *
     * Probe selection is driver math over the CACHED codebook and the
-    * CACHED query vector (k·d mult-adds — the identical `cosine_sim`
-    * accumulation the distributed 1-row pivot plan would broadcast-
-    * schedule, so the probed set matches [[simAnnIvf]]'s bit-for-bit);
+    * CACHED query vector ([[AnnIndex.cosRawArr]] — the BIT-EXACT
+    * `cosine_sim` accumulation the distributed 1-row pivot plan would
+    * broadcast-schedule, ordered with the same NaN-greatest descending
+    * semantics, so the probed set matches [[simAnnIvf]]'s even on
+    * degenerate zero-norm pivots);
     * turning it into literal `cluster IN (…)` predicates is the
     * [[AnnIndex.queryBands]] discipline applied to IVF — the scan prunes
     * at planning time instead of carrying a BroadcastExchange + DPP
     * subquery per probe.
     */
-  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame =
+    ivfPqCandidates(spark, dir, AnnIndex.corpusVersion(spark, dir))
+
+  /** As [[ivfPqCandidates]] with the corpus version precomputed. */
+  private[graft] def ivfPqCandidates(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
     import spark.implicits._
-    val ver = AnnIndex.corpusVersion(spark, dir)
     val cents = AnnIndex.centroids(spark, dir, ver)
     val nprobe = AnnIndex.probeCount(cents.size)
     // cached query vector (see simAnnPq); the LUT is driver math
     val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
     val lutDf = Seq(Tuple1(
       PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
+    // IEEE total order: NaN sorts greatest, matching Spark's desc()
     val probed = cents.zipWithIndex
-      .map { case (pv, i) => (i, AnnIndex.cosArr(qv, pv)) }
-      .sortBy { case (i, s) => (-s, i) }
+      .map { case (pv, i) => (i, AnnIndex.cosRawArr(qv, pv)) }
+      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
       .take(nprobe).map(_._1)
     AnnIndex.ivfPq(spark, dir, ver)
       .where(col("cluster").isin(probed: _*))

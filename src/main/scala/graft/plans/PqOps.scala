@@ -167,7 +167,14 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
       s"pq_adc: lut length ${lut.numElements()} != m*ksub = ${m * ksub}")
     var s = 0.0; var j = 0
     while (j < m) {
-      s += lut.getDouble(j * ksub + (codes(j) & 0xFF))
+      val c = codes(j) & 0xFF
+      // loud, not garbage: for ksub < 256 a code byte >= ksub would read
+      // a NEIGHBORING subspace's table entry (ArrayData.getDouble is not
+      // bounds-checked on unsafe arrays) — a code encoded under a wider
+      // geometry must never silently mis-score
+      require(c < ksub,
+        s"pq_adc: code $c in subspace $j >= ksub=$ksub — codes built under a different geometry")
+      s += lut.getDouble(j * ksub + c)
       j += 1
     }
     s

@@ -154,6 +154,52 @@ class AnnPqSpec extends SparkSpec {
       "IVF-PQ must equal the uncompressed IVF probe at this corpus size")
   }
 
+  test("driver probe scoring is bit-exact with native cosine_sim, NaN ordering included") {
+    import spark.implicits._
+    // includes a ZERO-NORM vector: the native scores it NaN (sorts
+    // GREATEST under desc), and the driver replica must agree — the
+    // clamped cosArr would score it 0.0 and silently probe a different
+    // cell set than simAnnIvf on a corpus that seeds a degenerate pivot
+    val rnd = new scala.util.Random(91)
+    val vecs = Seq.fill(20)(Array.fill(8)(rnd.nextGaussian())) :+
+      Array.fill(8)(0.0)
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val native = vecs.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq, q.toSeq) }
+      .toDF("id", "v", "qv")
+      .select(col("id"), expr("cosine_sim(v, qv)").as("s"))
+    val rows = native.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for ((v, i) <- vecs.zipWithIndex) {
+      val driver = AnnIndex.cosRawArr(q, v)
+      assert(java.lang.Double.doubleToRawLongBits(driver) ==
+        java.lang.Double.doubleToRawLongBits(rows(i)),
+        s"vec $i: driver $driver != native ${rows(i)} (bitwise)")
+    }
+    // and the full ordering replica: Spark (desc s, asc id) ==
+    // the production sort (IEEE total order reversed, then id)
+    val sparkOrder = native.orderBy(desc("s"), asc("id"))
+      .collect().map(_.getInt(0)).toSeq
+    val driverOrder = vecs.zipWithIndex
+      .map { case (v, i) => (i, AnnIndex.cosRawArr(q, v)) }
+      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
+      .map(_._1)
+    assert(driverOrder == sparkOrder,
+      "driver probe ordering must replicate Spark's desc-with-NaN-greatest")
+  }
+
+  test("pq_adc refuses codes built under a wider geometry instead of mis-scoring") {
+    val e = intercept[Exception] {
+      // subspace-1 value 0.8 encodes to code 1 (centroids [0.0],[0.8]);
+      // scoring that code against ksub=1 would silently read the next
+      // subspace's table entry without the check
+      spark.range(1).selectExpr(
+        "pq_adc(pq_encode(array(3d, 4d), array(0.6d, 0.0d, 0.0d, 0.8d), 2, 2), " +
+          "array(0.25d, 0.75d), 1)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a miswired codebook fails loudly instead of mis-encoding") {
     val e = intercept[Exception] {
       spark.range(1).selectExpr(
