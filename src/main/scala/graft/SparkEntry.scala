@@ -125,6 +125,7 @@ object SparkEntry {
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     "q_sim_ann_pq"      -> (Similarity.simAnnPq _),
     "q_sim_ann_ivfpq"   -> (Similarity.simAnnIvfPq _),
+    "q_sim_ann_ivfpq_batch" -> (Similarity.simAnnIvfPqBatch _),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_embed_dim_stats" -> (Similarity.embedDimStats _),
     "q_embed_outliers"  -> (Similarity.embedOutliers _),

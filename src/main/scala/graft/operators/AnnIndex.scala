@@ -1249,17 +1249,39 @@ object AnnIndex {
     */
   def queryVector(
       spark: SparkSession, dir: String, vecId: Long,
-      version: String): Array[Double] = {
-    val prefix = s"${spark.sparkContext.applicationId}|$dir|$vecId|"
-    val key = s"$prefix$version"
-    if (queryVecCache.keySet.removeIf(k => k.startsWith(prefix) && k != key))
-      Tables.invalidate(dir)
+      version: String): Array[Double] =
+    queryVectors(spark, dir, Seq(vecId), version)(vecId)
+
+  /** As [[queryVector]] for a SET of ids: the cache misses are fetched
+    * in ONE bounded job (In()-pushed scan) instead of one 1-row job per
+    * id — what the batched probes call with their K query ids.
+    */
+  def queryVectors(
+      spark: SparkSession, dir: String, vecIds: Seq[Long],
+      version: String): Map[Long, Array[Double]] = {
+    val appId = spark.sparkContext.applicationId
+    def prefix(id: Long) = s"$appId|$dir|$id|"
+    def key(id: Long) = s"${prefix(id)}$version"
+    // no short-circuit: EVERY id's superseded entries must be dropped,
+    // not just the first detected one's
+    val superseded = vecIds.distinct.map { id =>
+      queryVecCache.keySet.removeIf(k =>
+        k.startsWith(prefix(id)) && k != key(id))
+    }.contains(true)
+    if (superseded) Tables.invalidate(dir)
     if (queryVecCache.size > 4096) queryVecCache.clear()
-    queryVecCache.computeIfAbsent(key, _ =>
-      Tables.embeddings(spark, dir)
-        .where(col("vec_id") === vecId)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray)
+    val missing = vecIds.distinct.filterNot(id => queryVecCache.containsKey(key(id)))
+    if (missing.nonEmpty) {
+      val fetched = Tables.embeddings(spark, dir)
+        .where(col("vec_id").isin(missing: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val absent = missing.filterNot(fetched.contains)
+      require(absent.isEmpty, s"query vectors not in corpus: $absent")
+      fetched.foreach { case (id, v) => queryVecCache.put(key(id), v) }
+    }
+    vecIds.distinct.map(id => id -> queryVecCache.get(key(id))).toMap
   }
 
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each

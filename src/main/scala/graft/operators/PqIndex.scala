@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{SessionCache, Tables}
 
 import java.util.concurrent.ConcurrentHashMap
 
@@ -166,21 +165,18 @@ object PqIndex {
     }
   }
 
-  /** The PQ serving store: (vec_id, codes BINARY(m)) — built once per
-    * (session, corpus version) by ONE corpus pass through the native
-    * `pq_encode`; the codebook rides the plan as a one-row broadcast
-    * (the repo's 1-row crossJoin idiom — zero fan).
+  /** The PQ serving store: (vec_id, codes BINARY(m)) — a VIEW over the
+    * on-disk PQ-coded inverted file ([[AnnIndex.ensureIvfPq]]) with the
+    * cell column dropped: the flat-ADC tier and the cell-pruned IVF-PQ
+    * tier serve from ONE family (the codes are identical by
+    * construction — same codebooks, same `pq_encode`). Earlier this was
+    * its own SessionCache artifact, which paid a full corpus pass per
+    * SESSION; the on-disk family costs that pass once per corpus
+    * VERSION and persists across JVMs, and unifying them means a stale
+    * code store cannot exist in one tier but not the other.
     */
   def store(spark: SparkSession, dir: String, version: String): DataFrame =
-    SessionCache.cached(spark, "pq_store", dir, version) {
-      import spark.implicits._
-      val cb = Seq(Tuple1(codebooks(spark, dir, version).toSeq)).toDF("cbs")
-      Tables.spread(Tables.embeddings(spark, dir))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id"),
-          expr(s"pq_encode(v, cbs, $M, $Ksub)").as("codes"))
-    }
+    AnnIndex.ivfPq(spark, dir, version).select(col("vec_id"), col("codes"))
 
   /** Per-query ADC lookup table (driver math — m·ksub doubles):
     * lut[j][c] = dot(normalized query subvector j, centroid (j, c)).

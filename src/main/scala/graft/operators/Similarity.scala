@@ -320,6 +320,81 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batched IVF-PQ: [[BatchQueries]] queries against the PQ-coded
+    * inverted file in ONE candidate job — the [[simAnnBatch]] shape on
+    * the compressed store. All probe selection is driver math (cached
+    * codebook × K cached query vectors, [[AnnIndex.cosRawArr]]), so the
+    * scan is STATICALLY pruned to the UNION of the probed cells, each
+    * cell read once even when several queries probe it; rows fan per
+    * probing query via a broadcast (qid, cluster) frame, ADC-score
+    * against a broadcast (qid, lut) frame (m table adds per row — no
+    * vector math), and per-qid WindowGroupLimit keeps the top re-rank
+    * pool. The exact re-rank touches only the collected ≤ K·pool
+    * candidate ids through the In()-pushed point-fetch.
+    * At 100 TB: K probes × fixed floor × repeated cell reads become one
+    * job whose scan cost is the probed-cell union at 8 bytes/row —
+    * ~n^(3/4)/64 of what [[simAnnBatch]]'s raw-vector union reads.
+    */
+  def simAnnIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val qids = 0L until BatchQueries.toLong
+    // ONE bounded job fetches all K query vectors on a cold cache
+    val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
+    val cand = ivfPqBatchCandidates(spark, dir, ver, qvs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairDf = cand.toSeq.toDF("qid", "vec_id") // ≤ K·pool rows
+    val allIds = cand.map(_._2).distinct.toSeq
+    val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
+    withVec(spark, dir)
+      .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
+      .join(broadcast(pairDf), Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .where(col("rank") <= 10)
+      .transform(Present.cardSort(_, col("qid"), col("rank")))
+  }
+
+  /** The batched candidate plan [[simAnnIvfPqBatch]] bounded-collects
+    * from — exposed for PlanSpec: one statically-pruned scan of the
+    * probed-cell UNION, broadcast (qid, cluster) fan + broadcast
+    * (qid, lut) ADC scoring, per-qid WindowGroupLimit pool; no
+    * re-encode, no re-assignment, no DPP subquery.
+    */
+  private[graft] def ivfPqBatchCandidates(
+      spark: SparkSession, dir: String, ver: String,
+      qvs: Map[Long, Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val cents = AnnIndex.centroids(spark, dir, ver)
+    val nprobe = AnnIndex.probeCount(cents.size)
+    val cbs = PqIndex.codebooks(spark, dir, ver)
+    val qids = qvs.keys.toSeq.sorted
+    def probedOf(qv: Array[Double]): Seq[Int] = cents.zipWithIndex
+      .map { case (pv, i) => (i, AnnIndex.cosRawArr(qv, pv)) }
+      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
+      .take(nprobe).map(_._1)
+    val probePairs = qids.flatMap(q => probedOf(qvs(q)).map(c => (q, c)))
+    val probeDf = probePairs.toDF("qid", "cluster")
+    val lutDf = qids.map(q => (q, PqIndex.lut(qvs(q), cbs).toSeq))
+      .toDF("qid", "lut")
+    val cellUnion = probePairs.map(_._2).distinct
+    AnnIndex.ivfPq(spark, dir, ver)
+      .where(col("cluster").isin(cellUnion: _*)) // static prune: the union
+      .where(col("vec_id") >= BatchQueries)
+      .join(broadcast(probeDf), Seq("cluster")) // fan per probing query
+      .join(broadcast(lutDf), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("adc"), asc("vec_id"))))
+      .where(col("pr") <= PqIndex.rerank(spark))
+      .select("qid", "vec_id")
+  }
+
   /** The IVF-PQ candidate plan [[simAnnIvfPq]] bounded-collects from —
     * exposed so PlanSpec can pin its shape: the code-store scan must be
     * STATICALLY partition-pruned to the probed cells (literal predicates

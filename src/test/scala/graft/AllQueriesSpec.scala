@@ -33,7 +33,9 @@ class AllQueriesSpec extends SparkSpec {
       "q_sim_ann_pq",
       // IVF-PQ composes the two engine-state approximations; AnnPqSpec
       // pins candidates ⊆ probed cells + recall floors vs both parents
-      "q_sim_ann_ivfpq")
+      "q_sim_ann_ivfpq",
+      // batched form of the same composition (q_sim_ann_batch class)
+      "q_sim_ann_ivfpq_batch")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

@@ -154,6 +154,19 @@ class AnnPqSpec extends SparkSpec {
       "IVF-PQ must equal the uncompressed IVF probe at this corpus size")
   }
 
+  test("batched IVF-PQ equals the uncompressed batched IVF probe at this corpus size") {
+    // same invariant as the single-query tier: while the per-qid ADC
+    // pool covers the probed rows, the PQ layer loses nothing beyond
+    // the cell-probe choice — measured identical (qid, vec_id, sim)
+    // tuples at sf0.001/0.01/0.1
+    val ivf = Similarity.simAnnBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pq = Similarity.simAnnIvfPqBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pq == ivf,
+      "batched IVF-PQ must reproduce the batched IVF probe here")
+  }
+
   test("driver probe scoring is bit-exact with native cosine_sim, NaN ordering included") {
     import spark.implicits._
     // includes a ZERO-NORM vector: the native scores it NaN (sorts

@@ -193,12 +193,32 @@ class PlanSpec extends SparkSpec {
     // static pruning at planning time, no probe join or DPP subquery
     val partFilters = p.linesIterator
       .filter(_.contains("PartitionFilters")).toSeq
-    assert(partFilters.exists(l => l.contains("cluster") && l.contains("IN (")),
+    assert(partFilters.exists(l => l.contains("cluster") &&
+      (l.contains("IN (") || l.contains("INSET"))),
       s"code-store scan must statically prune on cluster; got $partFilters")
     assert(!p.contains("dynamicpruningexpression"),
       "static literal pruning should make a DPP subquery unnecessary")
     assert(p.contains("graft_ann"), "probe must read the materialized index")
     assert(p.contains("pq_adc"), "candidates must be ADC-scored codes")
+  }
+
+  test("batched ivfPq candidate scan: one statically-pruned scan, broadcast fans, no DPP") {
+    val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+    val qvs = graft.operators.AnnIndex.queryVectors(
+      spark, sf, 0L until Similarity.BatchQueries.toLong, ver)
+    val p = plan(Similarity.ivfPqBatchCandidates(spark, sf, ver, qvs))
+    assert(!p.contains("pq_encode"), "must not re-encode the corpus")
+    assert(!p.contains("array_max(transform"), "must not re-assign cells")
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partFilters.exists(l => l.contains("cluster") &&
+      (l.contains("IN (") || l.contains("INSET"))),
+      s"scan must statically prune to the probed-cell union; got $partFilters")
+    assert(!p.contains("dynamicpruningexpression"), "no DPP subquery needed")
+    assert(!p.contains("SortMergeJoin"),
+      "probe fan and LUT attach must broadcast, never shuffle the scan")
+    assert(p.contains("pq_adc") && p.contains("WindowGroupLimit"),
+      "ADC scoring + per-qid pool must survive optimization")
   }
 
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
