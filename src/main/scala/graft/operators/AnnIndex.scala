@@ -1136,6 +1136,40 @@ object AnnIndex {
   def ivfPq(spark: SparkSession, dir: String, version: String): DataFrame =
     resolvedFrame(spark, ensureIvfPq(spark, dir, version), IvfPqSchema)
 
+  /** Read schema for the int8 quantized store. */
+  private val Int8Schema = "vec_id BIGINT, scale DOUBLE, qv ARRAY<TINYINT>"
+
+  /** Ensure the int8 symmetric-quantized serving store exists on disk
+    * for the corpus at `dir`; returns its path. Was a per-SESSION
+    * artifact — the last corpus-PAYLOAD-sized one — which re-encoded
+    * the corpus once per JVM; as a corpus-version-keyed family it
+    * costs that pass once per corpus VERSION and persists across
+    * restarts, the same promotion the PQ store got. Unlike the
+    * inverted files the version is the corpus fingerprint alone: the
+    * quantization has NO trained state (scale is derived per row), so
+    * there is no codebook identity to fold.
+    *
+    * Quantization: symmetric per-vector scale max|x|/127 (all-zero
+    * vectors take scale=1 so the store never divides by zero) —
+    * [[graft.operators.Similarity.quantizeEmbed]] is the
+    * reconstruction-error audit of this exact arithmetic.
+    */
+  def ensureInt8(spark: SparkSession, dir: String, fp: String): String =
+    ensureBuilt(spark, indexRoot(spark), s"int8_${dirFamily(dir)}", fp) {
+      staging =>
+        val v = col("embedding").cast("array<double>")
+        val m = array_max(transform(v, x => abs(x))) / lit(127.0)
+        val scale = when(m === 0.0, lit(1.0)).otherwise(m)
+        Tables.spread(Tables.embeddings(spark, dir))
+          .select(col("vec_id"), scale.as("scale"),
+            transform(v, x => round(x / scale).cast("tinyint")).as("qv"))
+          .write.mode("overwrite").parquet(staging)
+    }
+
+  /** The int8 store as a DataFrame (see [[Int8Schema]]). */
+  def int8(spark: SparkSession, dir: String, version: String): DataFrame =
+    resolvedFrame(spark, ensureInt8(spark, dir, version), Int8Schema)
+
   /** The banded-signature transform — key-only output, shared verbatim by
     * the batch index build and the streaming ingester
     * ([[graft.streaming.Streams.lshIngestSink]]) so batch and streamed

@@ -184,20 +184,16 @@ object Similarity {
   /** The int8 serving store behind [[simAnnInt8]] — (vec_id, scale, qv)
     * with qv = round(v/scale) as TINYINT, scale = max|x|/127 per vector
     * (the symmetric quantization [[quantizeEmbed]] audits). Built once
-    * per (session, corpus version); 4× smaller than the f32 table, which
+    * per CORPUS VERSION as an on-disk family ([[AnnIndex.ensureInt8]] —
+    * promoted from a per-session artifact so a restarted JVM reads the
+    * store instead of re-encoding the corpus); 4× smaller than the f32
+    * table, which
     * at 100 TB is the difference between a serving tier that fits in
     * cluster memory and one that doesn't. All-zero vectors quantize with
     * scale=1 so the store never divides by zero.
     */
   private def int8Store(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "int8_store", dir) {
-      val v = col("embedding").cast("array<double>")
-      val m = array_max(transform(v, x => abs(x))) / lit(127.0)
-      val scale = when(m === 0.0, lit(1.0)).otherwise(m)
-      Tables.spread(Tables.embeddings(spark, dir))
-        .select(col("vec_id"), scale.as("scale"),
-          transform(v, x => round(x / scale).cast("tinyint")).as("qv"))
-    }
+    AnnIndex.int8(spark, dir, AnnIndex.corpusVersion(spark, dir))
 
   /** Quantized retrieve + exact re-rank — the standard int8 serving
     * pattern: score the whole corpus on the 4×-smaller int8 store

@@ -608,4 +608,32 @@ class AnnIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("int8 store is an on-disk corpus-version family with the exact quantization") {
+    import org.apache.spark.sql.functions._
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val path = AnnIndex.ensureInt8(spark, sf, ver)
+    assert(new java.io.File(
+      path.stripPrefix("file:"), "_SUCCESS").exists,
+      "store must be a completed version-keyed build")
+    val store = AnnIndex.int8(spark, sf, ver)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(store.count() == emb.count())
+    // spot-check the arithmetic against an inline recompute: symmetric
+    // scale max|x|/127, zero-norm rows take scale=1
+    val raw = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    store.where(col("vec_id") < 5).collect().foreach { r =>
+      val v = raw(r.getLong(0))
+      val expScale = math.max(v.map(math.abs).max / 127.0,
+        if (v.forall(_ == 0.0)) 1.0 else 0.0)
+      assert(r.getDouble(1) == (if (expScale == 0.0) 1.0 else expScale))
+      val qv = r.getSeq[Byte](2)
+      // Spark round() is HALF_UP (math.rint would be half-even)
+      v.zip(qv).foreach { case (x, q) =>
+        assert(BigDecimal(x / r.getDouble(1))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte == q) }
+    }
+  }
 }
