@@ -16,7 +16,8 @@ class ShuffleAuditSpec extends SparkSpec {
   test("answer-sized-shuffle queries move card bytes, sim_topk moves zero") {
     val names = Seq(
       "q_sim_topk", "q_join_agg", "q_rollup_revenue",
-      "q_sim_ann_ivf", "q_dedup_minhash")
+      "q_sim_ann_ivf", "q_dedup_minhash",
+      "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch")
     val audited = ShuffleAudit.measure(spark, sf, names)
     // measure drops queries that THROW — name them here instead of dying
     // on a bare key-not-found below
@@ -45,6 +46,19 @@ class ShuffleAuditSpec extends SparkSpec {
     // band join on ids — candidate doc ids, never text or signatures
     assert(audited("q_dedup_minhash").shuffleBytes < 64 * 1024,
       s"q_dedup_minhash shuffle ${audited("q_dedup_minhash").shuffleBytes}")
+
+    // both single-query PQ tiers are map-side ADC + TakeOrdered over
+    // broadcast LUTs and statically pruned scans: zero bytes moved
+    for (q <- Seq("q_sim_ann_pq", "q_sim_ann_ivfpq"))
+      assert(audited(q).shuffleBytes == 0L,
+        s"$q shuffled ${audited(q).shuffleBytes} bytes — the ADC scan " +
+          "must not move corpus data")
+
+    // the batched fan shuffles only (qid, vec_id, adc) candidate rows
+    // bounded by the probed-cell union × K — card-sized like its raw
+    // batch sibling (measured ~10.6 KB at sf0.01)
+    assert(audited("q_sim_ann_ivfpq_batch").shuffleBytes < 64 * 1024,
+      s"q_sim_ann_ivfpq_batch shuffle ${audited("q_sim_ann_ivfpq_batch").shuffleBytes}")
   }
 
   test("text pair-search BUILDS shuffle keys, never text (artifact-era seam gates)") {
