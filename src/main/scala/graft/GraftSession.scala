@@ -26,6 +26,7 @@ object GraftSession {
         graft.plans.IvfArgmaxTwo.inject(ext)
         graft.plans.PqEncode.inject(ext)
         graft.plans.PqAdc.inject(ext)
+        graft.plans.PqReconErr.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

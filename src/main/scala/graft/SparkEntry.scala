@@ -122,6 +122,7 @@ object SparkEntry {
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     "q_index_health"    -> (Similarity.indexHealth _),
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
+    "q_quantize_pq"     -> (Similarity.quantizePq _),
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
     "q_sim_ann_pq"      -> (Similarity.simAnnPq _),
     "q_sim_ann_ivfpq"   -> (Similarity.simAnnIvfPq _),

@@ -87,6 +87,46 @@ object Similarity {
       .transform(Present.cardSort(_, col("label")))
   }
 
+  /** PQ distortion card — the [[quantizeEmbed]] audit for the 64× tier:
+    * per label, the average/max L2 reconstruction error of the
+    * product-quantized codes against the NORMALIZED vectors (unit norm,
+    * so the error is already relative). The number a deployment reads
+    * before flipping retrieval to [[simAnnPq]]/[[simAnnIvfPq]], and the
+    * drift detector afterwards: a corpus whose distribution moved away
+    * from the trained codebooks shows up here as a rising error, not as
+    * silent recall loss.
+    *
+    * The kernel (`pq_recon_err`) fuses encode + error in ONE pass over
+    * the embeddings scan — no codes column, no join against the store —
+    * and shares the argmin with `pq_encode` (PqKernel), so it can never
+    * audit a different quantizer than the store uses. rows-only: the
+    * error is a function of the trained codebooks (the q_sim_ann_ivf
+    * class). Determinism: per-vector error folds in subspace order;
+    * per-label avg routes rounded per-vector values through DECIMAL.
+    * Scale: map-only corpus scan + label-sized hash agg, zero shuffle
+    * beyond the card partials — the quantizeEmbed discipline.
+    */
+  def quantizePq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val cb = Seq(Tuple1(
+      PqIndex.codebooks(spark, dir, ver).toSeq)).toDF("cbs")
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cb)) // 1-row codebook: zero fan
+      .select(col("label"),
+        round(sqrt(expr(
+          s"pq_recon_err(v, cbs, ${PqIndex.M}, ${PqIndex.Ksub})")), 6)
+          .as("rel_err"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("rel_err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_rel_err"),
+        round(max("rel_err"), 6).as("max_rel_err"))
+      .transform(Present.cardSort(_, col("label")))
+  }
+
   /** Per-dimension embedding-health card — mean/std/min/max and the
     * near-zero fraction for each of the 64 dimensions. The QA table for
     * an embedding store: a dimension whose std collapsed is dead (an

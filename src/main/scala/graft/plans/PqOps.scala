@@ -51,6 +51,32 @@ private object PqKernel {
     }
     best.toByte
   }
+
+  /** The MINIMUM squared distance of the same argmin [[encodeSub]] runs —
+    * i.e. the subspace's reconstruction error for the code it picks.
+    * Kept as a twin loop (not a tupled return) so neither hot path boxes;
+    * the argmin rule (strict <, lower code wins ties) must stay identical
+    * to [[encodeSub]]'s or the audit would price codes the encoder never
+    * emits.
+    */
+  def encodeSubErr(
+      vn: Array[Double], cbs: ArrayData,
+      j: Int, dsub: Int, ksub: Int): Double = {
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < ksub) {
+      val base = (j * ksub + c) * dsub
+      var dist = 0.0; var t = 0
+      while (t < dsub) {
+        val diff = vn(j * dsub + t) - cbs.getDouble(base + t)
+        dist += diff * diff
+        t += 1
+      }
+      if (dist < bestD) bestD = dist
+      c += 1
+    }
+    bestD
+  }
 }
 
 /** `pq_encode(v, cbs, m, ksub)` — normalize `v`, split into `m`
@@ -196,4 +222,80 @@ object PqAdc {
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1),
         PqEncode.intLit(children(2), "pq_adc ksub"))))
+}
+
+/** `pq_recon_err(v, cbs, m, ksub)` — fused audit kernel: normalize `v`,
+  * run the EXACT `pq_encode` argmin per subspace, and return the squared
+  * L2 reconstruction error of the decoded codes against the normalized
+  * vector (Σ_j min-dist²_j) — the distortion the PQ serving tiers trade
+  * for the 64× store, in one corpus pass with no codes column and no
+  * join: the audit recomputes the encode by construction, so it can
+  * never silently audit a different quantizer than the store uses
+  * (both call [[PqKernel]]).
+  */
+case class PqReconErr(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_recon_err"
+  // null for an empty vector even with non-null inputs
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _))
+      if m > 0 && ksub > 0 && ksub <= 256 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_recon_err expects (array<double>, array<double>) with 0 < ksub <= 256 and m > 0")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqReconErr =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData, cbs: ArrayData): Any = {
+    val d = v.numElements()
+    if (d == 0) return null
+    require(d % m == 0,
+      s"pq_recon_err: vector dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    require(cbs.numElements() == m * ksub * dsub,
+      s"pq_recon_err: codebook length ${cbs.numElements()} != m*ksub*dsub = ${m * ksub * dsub}")
+    val vn = new Array[Double](d)
+    var nrm = 0.0; var i = 0
+    while (i < d) { val x = v.getDouble(i); vn(i) = x; nrm += x * x; i += 1 }
+    if (nrm > 0.0) {
+      val inv = 1.0 / math.sqrt(nrm)
+      i = 0
+      while (i < d) { vn(i) *= inv; i += 1 }
+    }
+    var err = 0.0
+    var j = 0
+    while (j < m) {
+      err += PqKernel.encodeSubErr(vn, cbs, j, dsub, ksub)
+      j += 1
+    }
+    err
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("pqReconErr", this, classOf[PqReconErr].getName)
+      val r = ctx.freshName("r")
+      s"""Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }""".stripMargin
+    })
+}
+
+object PqReconErr {
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("pq_recon_err"),
+      new ExpressionInfo(classOf[PqReconErr].getName, "pq_recon_err"),
+      (children: Seq[Expression]) => PqReconErr(children(0), children(1),
+        PqEncode.intLit(children(2), "pq_recon_err m"),
+        PqEncode.intLit(children(3), "pq_recon_err ksub"))))
 }

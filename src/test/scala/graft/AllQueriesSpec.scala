@@ -35,7 +35,9 @@ class AllQueriesSpec extends SparkSpec {
       // pins candidates ⊆ probed cells + recall floors vs both parents
       "q_sim_ann_ivfpq",
       // batched form of the same composition (q_sim_ann_batch class)
-      "q_sim_ann_ivfpq_batch")
+      "q_sim_ann_ivfpq_batch",
+      // distortion audit of the trained PQ codebooks (H: k-means state)
+      "q_quantize_pq")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

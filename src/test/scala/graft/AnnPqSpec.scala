@@ -221,6 +221,57 @@ class AnnPqSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("quantizePq card: native recon error equals a driver recompute; sane bounds") {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val cbs = PqIndex.codebooks(spark, sf, ver)
+    val dsub = 64 / PqIndex.M
+    // driver recompute of the fused kernel on a sample of rows
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbDf = Seq(Tuple1(cbs.toSeq)).toDF("cbs")
+    val native = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cbDf))
+      .select(col("vec_id"), expr(
+        s"pq_recon_err(v, cbs, ${PqIndex.M}, ${PqIndex.Ksub})").as("err"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, v) <- rows) {
+      val vn = PqIndex.normalize(v)
+      val expected = (0 until PqIndex.M).map { j =>
+        (0 until PqIndex.Ksub).map { c =>
+          val base = (j * PqIndex.Ksub + c) * dsub
+          (0 until dsub).map { t =>
+            val diff = vn(j * dsub + t) - cbs(base + t); diff * diff }.sum
+        }.min
+      }.sum
+      assert(native(id) == expected, s"vec $id: ${native(id)} != $expected")
+      // measured ~0.1–0.4 on this corpus; 4.0 is a ×10-class regression
+      // bound (the theoretical worst case is 4m — unit subspace norms
+      // both sides — so this is empirical-with-margin, not a law)
+      assert(native(id) >= 0.0 && native(id) <= 4.0,
+        s"reconstruction error out of the regression bound: ${native(id)}")
+    }
+    // a vector whose subvectors ARE centroids reconstructs exactly
+    val zeroErr = spark.sql(
+      "SELECT pq_recon_err(array(0.6d, 0.8d), array(0.6d, 0.8d, 0.0d, 1.0d), 1, 2)")
+      .head().getDouble(0)
+    assert(zeroErr == 0.0, s"exact-centroid vector must have zero error, got $zeroErr")
+    // and the card itself: one row per label, errors within the bound
+    val card = Similarity.quantizePq(spark, sf).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0)
+      val avg = r.getAs[Double]("avg_rel_err")
+      val mx = r.getAs[Double]("max_rel_err")
+      assert(avg >= 0.0 && avg <= mx && mx <= 2.0,
+        s"label ${r.get(0)}: avg $avg max $mx")
+    }
+  }
+
   test("pq kernels stay codegen-compilable with non-nullable children") {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
