@@ -99,7 +99,9 @@ object Similarity {
     * The kernel (`pq_recon_err`) fuses encode + error in ONE pass over
     * the embeddings scan — no codes column, no join against the store —
     * and shares the argmin with `pq_encode` (PqKernel), so it can never
-    * audit a different quantizer than the store uses. rows-only: the
+    * audit a different quantizer than the store uses. Unpriceable rows
+    * (empty/non-finite embeddings, which the encoder maps to code 0)
+    * surface as `n_bad` rather than skewing the averages. rows-only: the
     * error is a function of the trained codebooks (the q_sim_ann_ivf
     * class). Determinism: per-vector error folds in subspace order;
     * per-label avg routes rounded per-vector values through DECIMAL.
@@ -121,8 +123,13 @@ object Similarity {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
+        // rows the quantizer cannot price (empty/non-finite embeddings —
+        // the kernel returns null): surfaced, never silently averaged
+        // away. avg divides by the PRICED count so one garbage row
+        // cannot deflate the distortion estimate it gates on.
+        (count(lit(1)) - count(col("rel_err"))).as("n_bad"),
         round(sum(col("rel_err").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("avg_rel_err"),
+          count(col("rel_err")), 6).as("avg_rel_err"),
         round(max("rel_err"), 6).as("max_rel_err"))
       .transform(Present.cardSort(_, col("label")))
   }

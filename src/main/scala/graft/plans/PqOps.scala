@@ -77,6 +77,38 @@ private object PqKernel {
     }
     bestD
   }
+
+  /** Validate-and-normalize prologue shared by [[PqEncode]] and
+    * [[PqReconErr]] — ONE copy of the geometry requires and the norm
+    * semantics (zero-norm vectors pass through raw), so the audit can
+    * never drift from the encoder on what a malformed input means.
+    * Returns null for an empty vector (the expressions' null contract);
+    * throws on a geometry mismatch. A non-finite element survives into
+    * the result un-normalized (nrm is NaN/Inf, the guard skips): the
+    * encoder then deterministically emits code 0 per subspace (every
+    * NaN comparison is false) and the audit surfaces the row as
+    * unpriceable — see [[PqReconErr]].
+    */
+  def normalizedOrNull(
+      v: ArrayData, cbs: ArrayData, m: Int, ksub: Int,
+      name: String): Array[Double] = {
+    val d = v.numElements()
+    if (d == 0) return null
+    require(d % m == 0,
+      s"$name: vector dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    require(cbs.numElements() == m * ksub * dsub,
+      s"$name: codebook length ${cbs.numElements()} != m*ksub*dsub = ${m * ksub * dsub}")
+    val vn = new Array[Double](d)
+    var nrm = 0.0; var i = 0
+    while (i < d) { val x = v.getDouble(i); vn(i) = x; nrm += x * x; i += 1 }
+    if (nrm > 0.0) {
+      val inv = 1.0 / math.sqrt(nrm)
+      i = 0
+      while (i < d) { vn(i) *= inv; i += 1 }
+    }
+    vn
+  }
 }
 
 /** `pq_encode(v, cbs, m, ksub)` — normalize `v`, split into `m`
@@ -111,21 +143,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   def compute(v: ArrayData, cbs: ArrayData): Any = {
-    val d = v.numElements()
-    if (d == 0) return null
-    require(d % m == 0,
-      s"pq_encode: vector dim $d not divisible by m=$m subspaces")
-    val dsub = d / m
-    require(cbs.numElements() == m * ksub * dsub,
-      s"pq_encode: codebook length ${cbs.numElements()} != m*ksub*dsub = ${m * ksub * dsub}")
-    val vn = new Array[Double](d)
-    var nrm = 0.0; var i = 0
-    while (i < d) { val x = v.getDouble(i); vn(i) = x; nrm += x * x; i += 1 }
-    if (nrm > 0.0) {
-      val inv = 1.0 / math.sqrt(nrm)
-      i = 0
-      while (i < d) { vn(i) *= inv; i += 1 }
-    }
+    val vn = PqKernel.normalizedOrNull(v, cbs, m, ksub, "pq_encode")
+    if (vn == null) return null
+    val dsub = vn.length / m
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -231,14 +251,17 @@ object PqAdc {
   * for the 64× store, in one corpus pass with no codes column and no
   * join: the audit recomputes the encode by construction, so it can
   * never silently audit a different quantizer than the store uses
-  * (both call [[PqKernel]]).
+  * (both call [[PqKernel]]). Returns null for an empty OR non-finite
+  * vector — the encoder emits a deterministic code 0 for the latter, so
+  * the audit's null (surfaced as `n_bad` on the card) is the one place
+  * a garbage embedding becomes visible before it serves.
   */
 case class PqReconErr(left: Expression, right: Expression, m: Int, ksub: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_recon_err"
-  // null for an empty vector even with non-null inputs
+  // null for an empty or non-finite vector even with non-null inputs
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -257,28 +280,21 @@ case class PqReconErr(left: Expression, right: Expression, m: Int, ksub: Int)
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   def compute(v: ArrayData, cbs: ArrayData): Any = {
-    val d = v.numElements()
-    if (d == 0) return null
-    require(d % m == 0,
-      s"pq_recon_err: vector dim $d not divisible by m=$m subspaces")
-    val dsub = d / m
-    require(cbs.numElements() == m * ksub * dsub,
-      s"pq_recon_err: codebook length ${cbs.numElements()} != m*ksub*dsub = ${m * ksub * dsub}")
-    val vn = new Array[Double](d)
-    var nrm = 0.0; var i = 0
-    while (i < d) { val x = v.getDouble(i); vn(i) = x; nrm += x * x; i += 1 }
-    if (nrm > 0.0) {
-      val inv = 1.0 / math.sqrt(nrm)
-      i = 0
-      while (i < d) { vn(i) *= inv; i += 1 }
-    }
+    val vn = PqKernel.normalizedOrNull(v, cbs, m, ksub, "pq_recon_err")
+    if (vn == null) return null
+    val dsub = vn.length / m
     var err = 0.0
     var j = 0
     while (j < m) {
       err += PqKernel.encodeSubErr(vn, cbs, j, dsub, ksub)
       j += 1
     }
-    err
+    // a non-finite input (NaN/Inf element) has no defined distortion —
+    // every subspace distance is NaN, bestD stays +Infinity. Return null
+    // so the card can COUNT these rows (n_bad) instead of an Infinity
+    // that decimal-cast aggregation would silently drop from the avg
+    // while the divisor still counted the row.
+    if (java.lang.Double.isFinite(err)) err else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -231,6 +231,8 @@ class AnnPqSpec extends SparkSpec {
       .where(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.nonEmpty,
+      "fixture ids drifted: vec_id < 10 matched nothing, the equality loop would be vacuous")
     val cbDf = Seq(Tuple1(cbs.toSeq)).toDF("cbs")
     val native = graft.sources.Tables.embeddings(spark, sf)
       .where(col("vec_id") < 10)
@@ -260,11 +262,22 @@ class AnnPqSpec extends SparkSpec {
       "SELECT pq_recon_err(array(0.6d, 0.8d), array(0.6d, 0.8d, 0.0d, 1.0d), 1, 2)")
       .head().getDouble(0)
     assert(zeroErr == 0.0, s"exact-centroid vector must have zero error, got $zeroErr")
-    // and the card itself: one row per label, errors within the bound
+    // a non-finite vector is UNPRICEABLE → null (never an Infinity a
+    // decimal aggregation would silently drop from the card's avg while
+    // still counting the row in the divisor)
+    Seq("cast('NaN' AS double), 0.8d", "cast('Infinity' AS double), 0.8d").foreach { bad =>
+      val r = spark.sql(
+        s"SELECT pq_recon_err(array($bad), array(0.6d, 0.8d, 0.0d, 1.0d), 1, 2)").head()
+      assert(r.isNullAt(0), s"non-finite vector ($bad) must price as null")
+    }
+    // and the card itself: one row per label, errors within the bound,
+    // zero unpriceable rows on the real corpus
     val card = Similarity.quantizePq(spark, sf).collect()
     assert(card.nonEmpty)
     card.foreach { r =>
       assert(r.getAs[Long]("n_vecs") > 0)
+      assert(r.getAs[Long]("n_bad") == 0L,
+        s"label ${r.get(0)}: ${r.getAs[Long]("n_bad")} unpriceable embeddings in a clean corpus")
       val avg = r.getAs[Double]("avg_rel_err")
       val mx = r.getAs[Double]("max_rel_err")
       assert(avg >= 0.0 && avg <= mx && mx <= 2.0,
@@ -285,6 +298,14 @@ class AnnPqSpec extends SparkSpec {
            |  array(0.25d, 0.75d), 1) AS s""".stripMargin)
         .head.getDouble(0)
       assert(r == 1.0)
+      // the fused audit kernel shares the doGenCode pattern (manual
+      // `isNull = true` under nullSafeCodeGen) — pin it under the same
+      // non-nullable-children regime or a nullability refactor would
+      // generate `false = true;` and only this kernel would miss it
+      val e = spark.range(1).selectExpr(
+        "pq_recon_err(array(cast(id AS double) + 0.6d, 0.8d), array(0.6d, 0.8d, 0.0d, 1.0d), 1, 2) AS e")
+        .head.getDouble(0)
+      assert(e == 0.0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
