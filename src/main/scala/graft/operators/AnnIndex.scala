@@ -1157,14 +1157,26 @@ object AnnIndex {
   def ensureInt8(spark: SparkSession, dir: String, fp: String): String =
     ensureBuilt(spark, indexRoot(spark), s"int8_${dirFamily(dir)}", fp) {
       staging =>
-        val v = col("embedding").cast("array<double>")
-        val m = array_max(transform(v, x => abs(x))) / lit(127.0)
-        val scale = when(m === 0.0, lit(1.0)).otherwise(m)
-        Tables.spread(Tables.embeddings(spark, dir))
-          .select(col("vec_id"), scale.as("scale"),
-            transform(v, x => round(x / scale).cast("tinyint")).as("qv"))
+        int8Quantize(
+          Tables.spread(Tables.embeddings(spark, dir))
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v")))
           .write.mode("overwrite").parquet(staging)
     }
+
+  /** The symmetric int8 quantization transform — shared bit-for-bit by
+    * the batch store build ([[ensureInt8]]) and the streaming ingester
+    * ([[graft.streaming.Streams.int8Ingest]]) so streamed and
+    * batch-built rows carry identical (scale, qv). Input needs
+    * (vec_id, v: array<double>). Per-vector scale = max|x|/127;
+    * all-zero vectors take scale=1 so the store never divides by zero.
+    */
+  private[graft] def int8Quantize(vectors: DataFrame): DataFrame = {
+    val m = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    val scale = when(m === 0.0, lit(1.0)).otherwise(m)
+    vectors.select(col("vec_id"), scale.as("scale"),
+      transform(col("v"), x => round(x / scale).cast("tinyint")).as("qv"))
+  }
 
   /** The int8 store as a DataFrame (see [[Int8Schema]]). */
   def int8(spark: SparkSession, dir: String, version: String): DataFrame =
@@ -1304,18 +1316,24 @@ object AnnIndex {
     }.contains(true)
     if (superseded) Tables.invalidate(dir)
     if (queryVecCache.size > 4096) queryVecCache.clear()
-    val missing = vecIds.distinct.filterNot(id => queryVecCache.containsKey(key(id)))
-    if (missing.nonEmpty) {
-      val fetched = Tables.embeddings(spark, dir)
+    // hold the hit values locally: a concurrent caller's size-triggered
+    // clear() between our put and a final cache read must not turn a
+    // just-fetched vector into a null in the returned map
+    val hits = vecIds.distinct.flatMap(id =>
+      Option(queryVecCache.get(key(id))).map(id -> _)).toMap
+    val missing = vecIds.distinct.filterNot(hits.contains)
+    val fetched = if (missing.isEmpty) Map.empty[Long, Array[Double]] else {
+      val got = Tables.embeddings(spark, dir)
         .where(col("vec_id").isin(missing: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-      val absent = missing.filterNot(fetched.contains)
+      val absent = missing.filterNot(got.contains)
       require(absent.isEmpty, s"query vectors not in corpus: $absent")
-      fetched.foreach { case (id, v) => queryVecCache.put(key(id), v) }
+      got.foreach { case (id, v) => queryVecCache.put(key(id), v) }
+      got
     }
-    vecIds.distinct.map(id => id -> queryVecCache.get(key(id))).toMap
+    hits ++ fetched
   }
 
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each
