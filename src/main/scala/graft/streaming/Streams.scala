@@ -290,6 +290,30 @@ object Streams {
       pqIngest(vectors, codebook, pqCodebooks),
       path, checkpointDir, Seq("cluster"))
 
+  /** Streaming int8 ingestion — the incremental build path of the int8
+    * serving store ([[graft.operators.AnnIndex.ensureInt8]]): each
+    * arriving embedding is symmetric-quantized MAP-SIDE by the exact
+    * transform the batch build uses
+    * ([[graft.operators.AnnIndex.int8Quantize]] — per-row scale, zero
+    * shuffle, no state, no watermark), so streamed rows are
+    * bit-identical to what a batch rebuild would write. Output rows are
+    * (vec_id, scale, qv): d+16 bytes per vector, 4× narrower than the
+    * raw stream. Unlike the IVF/PQ/LSH ingesters there is NO geometry
+    * or codebook identity to pin — the transform is a pure per-row
+    * function — so any stream may append to any int8 layout without a
+    * version guard.
+    */
+  def int8Ingest(vectors: DataFrame): DataFrame =
+    graft.operators.AnnIndex.int8Quantize(vectors)
+
+  /** Parquet sink for [[int8Ingest]]: unpartitioned append (the int8
+    * tier is a flat scan — no partition key to prune on), one coalesced
+    * file per micro-batch through the shared idempotent batch ledger.
+    */
+  def int8IngestSink(
+      vectors: DataFrame, path: String, checkpointDir: String) =
+    layoutAppendSink(int8Ingest(vectors), path, checkpointDir, Seq.empty)
+
   /** Streaming LSH index ingestion — the incremental build path of the
     * banded-signature index ([[graft.operators.AnnIndex.ensureLsh]]): each
     * arriving embedding is banded MAP-SIDE with the exact transform the

@@ -326,6 +326,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming int8 ingest quantizes exactly like the batch store build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))) :+
+      (10L, Array.fill(8)(0.0)) // all-zero row: scale must land at 1
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("int8_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("int8_ckpt").toString
+    val q = Streams.int8IngestSink(
+      mem.toDF().toDF("vec_id", "v"), out, ckpt).start()
+    try {
+      mem.addData(vecs.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Double]("scale"), r.getAs[Seq[Byte]]("qv").toList)))
+        .toMap
+      val streamed = asMap(spark.read.parquet(out).collect())
+      val batch = asMap(graft.operators.AnnIndex.int8Quantize(
+        vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v"))
+        .collect())
+      assert(streamed == batch,
+        "streamed (scale, qv) must equal the batch quantization")
+      assert(streamed(10L)._1 == 1.0)
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest dispatches two-level for a hierarchical codebook, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
