@@ -254,7 +254,11 @@ object Layout {
     * healthy directory) and rewritten through DYNAMIC partition overwrite,
     * repartitioned by the partition columns so each rewritten directory
     * commits exactly one file. Cost is O(overfull partitions), never
-    * O(index) — a quiet layout is a listing and a no-op.
+    * O(index) — a quiet layout is a listing and a no-op. UNPARTITIONED
+    * layouts (the int8 ingest sink's) compact too: the root is the single
+    * leaf, rewritten to [[CompactTargetBytes]]-sized files through a
+    * hidden staging dir + data-file swap (dynamic overwrite has no
+    * partitions to swap there).
     *
     * Concurrency: run from the layout's OWN maintenance turn (e.g. every
     * N-th `foreachBatch` of the sink that owns it, where no concurrent
@@ -271,6 +275,11 @@ object Layout {
     * partition (relative dir, files/bytes before, files after). Resolved
     * ANN frames for `path` are invalidated so same-JVM probes re-list.
     */
+  /** Target output-file size for the unpartitioned compaction branch —
+    * the partitioned branch sizes by one-file-per-partition instead.
+    */
+  private val CompactTargetBytes: Double = (128L << 20).toDouble
+
   def compactPartitions(
       spark: SparkSession,
       path: String,
@@ -305,18 +314,46 @@ object Layout {
       // uniform across the layout by construction of partitionBy writes
       val partCols = overfull.head._1.stripPrefix(rootStr).split('/')
         .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-      require(partCols.nonEmpty,
-        s"$path is not a partitioned layout — nothing to prune on")
-      val slice = spark.read
-        .option("basePath", rootStr)
-        .parquet(overfull.map(_._1): _*)
-      slice
-        .repartition(partCols.map(col): _*)
-        .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCols: _*)
-        .parquet(rootStr)
+      if (partCols.isEmpty) {
+        // UNPARTITIONED layout (the int8 ingest sink): the root is the
+        // single leaf, dynamic overwrite has nothing to swap, and a plain
+        // self-overwrite cannot read and replace the same path — so
+        // compact through a hidden staging dir and swap the data files
+        // in. A crash mid-swap can leave the layout half-swapped, which
+        // is acceptable for exactly the partitioned path's reason: these
+        // are DERIVED artifacts, rebuildable from their corpus.
+        require(overfull.forall(_._1 == rootStr),
+          s"$path holds data files in unpartitioned subdirectories — " +
+            "not a layout this compactor understands")
+        val staging =
+          new org.apache.hadoop.fs.Path(root, "_graft_compact_staging")
+        fs.delete(staging, true)
+        val inputs = fs.listStatus(root)
+          .filter(st => st.isFile && isData(st.getPath.getName))
+          .map(_.getPath)
+        val nOut = math.max(1L, math.ceil(
+          overfull.head._2._2.toDouble / CompactTargetBytes).toLong).toInt
+        spark.read.parquet(inputs.map(_.toString): _*)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(staging.toString)
+        inputs.foreach(f => fs.delete(f, false))
+        fs.listStatus(staging)
+          .filter(st => st.isFile && isData(st.getPath.getName))
+          .foreach(st => fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+        fs.delete(staging, true)
+      } else {
+        val slice = spark.read
+          .option("basePath", rootStr)
+          .parquet(overfull.map(_._1): _*)
+        slice
+          .repartition(partCols.map(col): _*)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(rootStr)
+      }
       graft.operators.AnnIndex.invalidateResolved(path)
       spark.catalog.refreshByPath(path)
       // refreshByPath recaches DATASETS only; the process-wide shared

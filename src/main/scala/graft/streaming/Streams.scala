@@ -309,6 +309,9 @@ object Streams {
   /** Parquet sink for [[int8Ingest]]: unpartitioned append (the int8
     * tier is a flat scan — no partition key to prune on), one coalesced
     * file per micro-batch through the shared idempotent batch ledger.
+    * File accretion is bounded by the same maintenance pass as the
+    * partitioned sinks — [[graft.sources.Layout.compactPartitions]]
+    * compacts the root as the single leaf.
     */
   def int8IngestSink(
       vectors: DataFrame, path: String, checkpointDir: String) =

@@ -228,4 +228,39 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compactPartitions(spark, root).isEmpty)
     assert(fileCounts() == after)
   }
+
+  test("compactPartitions collapses an unpartitioned streamed layout (int8 sink shape)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lay_cmp_flat").toString
+    // simulate the int8 ingest sink: N micro-batches, one file each,
+    // landing at the layout ROOT (no partition dirs)
+    (0 until 6).foreach { b =>
+      (0 until 10).map(i =>
+        (b * 10L + i, 0.01 * (b + 1), Seq.fill(4)((i % 5).toByte)))
+        .toDF("vec_id", "scale", "qv")
+        .coalesce(1)
+        .write.mode("append").parquet(root)
+    }
+    def dataFiles(): Array[String] = new java.io.File(root).listFiles()
+      .map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+        n.endsWith(".parquet"))
+    def snap(): Array[(Long, Double, Seq[Byte])] = spark.read.parquet(root)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("scale"),
+        r.getAs[Seq[Byte]]("qv").toList: Seq[Byte]))
+      .sortBy(_._1)
+    val before = snap()
+    assert(dataFiles().length == 6, "setup must accrete one file per batch")
+    val report = Layout.compactPartitions(spark, root).collect()
+    assert(report.length == 1 && report.head.getAs[String]("partition") == "")
+    assert(report.head.getAs[Int]("files_before") == 6)
+    assert(report.head.getAs[Int]("files_after") == 1)
+    assert(dataFiles().length == 1)
+    // no staging residue, not one row lost or duplicated
+    assert(!new java.io.File(root, "_graft_compact_staging").exists)
+    assert(snap().sameElements(before))
+    // quiet layout → no-op
+    assert(Layout.compactPartitions(spark, root).isEmpty)
+  }
 }
