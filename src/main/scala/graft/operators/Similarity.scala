@@ -820,12 +820,18 @@ object Similarity {
     * re-clusters / re-seeds hyperplanes from this card — the ANN analog
     * of [[graft.operators.Relational]]'s table-profile cards.
     *
-    * Scale: reads ONLY the two materialized key-only index artifacts
-    * (warm path: zero corpus scan — spec-pinned); each aggregates its
-    * partition columns with map-side combine, so the shuffle carries
-    * ≤ cells rows. Determinism: counts are exact; avg is one double
-    * division; rows-only (the oracle cannot replay k-means or the
-    * hyperplane draw).
+    * The flat int8 store rides the card as a single cell (no geometry
+    * to audit, but its COVERAGE reconciles against the inverted files'
+    * n_entries right on the card — a stale family is a row mismatch
+    * here, not silent missing serving rows).
+    *
+    * Scale: reads ONLY the materialized index artifacts (warm path:
+    * zero corpus scan — spec-pinned); each cell-structured family
+    * aggregates its partition columns with map-side combine, so the
+    * shuffle carries ≤ cells rows; the int8 leg is a count-only scan
+    * that prunes to zero columns (row-group metadata). Determinism:
+    * counts are exact; avg is one double division; rows-only (the
+    * oracle cannot replay k-means or the hyperplane draw).
     */
   def indexHealth(spark: SparkSession, dir: String): DataFrame = {
     val ver = AnnIndex.corpusVersion(spark, dir)
@@ -848,7 +854,17 @@ object Similarity {
         (col("band_id").cast("bigint") * (1L << lshGeom.bandBits) +
           col("band_key")).as("cell"))
       .agg(count(lit(1)).as("n"))
+    // the int8 store is FLAT — no cells — but its coverage belongs on
+    // the same card: a stale store (corpus grew, family not rebuilt)
+    // would otherwise surface only as missing serving rows at query
+    // time. As the single "cell" its n_entries reconciles against the
+    // inverted files' on the card itself — still without scanning the
+    // corpus (the count prunes to zero columns: row-group metadata).
+    val int8Row = AnnIndex.int8(spark, dir, ver)
+      .groupBy(lit("int8").as("index"), lit(0L).as("cell"))
+      .agg(count(lit(1)).as("n"))
     ivfCells.unionByName(ivfPqCells).unionByName(lshCells)
+      .unionByName(int8Row)
       // cell cards are index GEOMETRY (≤ pivots + bands·2^bandBits rows,
       // corpus-size-independent) — one coalesced partition satisfies the
       // family rollup's clustering requirement, no third exchange

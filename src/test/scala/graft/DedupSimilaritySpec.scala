@@ -402,8 +402,14 @@ class DedupSimilaritySpec extends SparkSpec {
     import graft.operators.AnnIndex
     val card = Similarity.indexHealth(spark, sf).collect()
       .map(r => r.getAs[String]("index") -> r).toMap
-    assert(card.keySet == Set("ivf", "ivfpq", "lsh"))
+    assert(card.keySet == Set("int8", "ivf", "ivfpq", "lsh"))
     val n = Tables.embeddings(spark, sf).count()
+    // the flat int8 store rides the card as a single cell: coverage
+    // reconciles against the inverted files without a corpus scan
+    assert(card("int8").getAs[Long]("n_entries") == n,
+      "the int8 serving store covers every corpus vector once")
+    assert(card("int8").getAs[Long]("n_cells") == 1L)
+    assert(card("int8").getAs[Double]("skew") == 1.0)
     assert(card("ivf").getAs[Long]("n_entries") == n,
       "IVF inverts every corpus vector exactly once")
     assert(card("ivfpq").getAs[Long]("n_entries") == n,
