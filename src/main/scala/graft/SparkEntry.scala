@@ -121,6 +121,7 @@ object SparkEntry {
     "q_topic_terms"     -> (TextAnalysis.topicTerms _),
     "q_cluster_profile" -> (Similarity.clusterProfile _),
     "q_index_health"    -> (Similarity.indexHealth _),
+    "q_tier_advisor"    -> (Similarity.tierAdvisor _),
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
     "q_quantize_pq"     -> (Similarity.quantizePq _),
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),

@@ -255,6 +255,11 @@ object Similarity {
     * re-ranked scores are exact cosine, so the output matches
     * [[simTopK]] whenever the int8 recall holds (spec-asserted).
     */
+  /** int8 tier exact re-rank pool size ([[simAnnInt8]]'s candidate
+    * collect) — a named constant so the tier-advisor card prices the
+    * same pool the serving path uses. */
+  val Int8Rerank = 50
+
   def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
     val q = withVec(spark, dir).where(col("vec_id") === 0L)
       .select(col("v").as("qv0"))
@@ -266,7 +271,7 @@ object Similarity {
           "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)"), 6)
           .as("asim"))
       .orderBy(desc("asim"), asc("vec_id"))
-      .limit(50)
+      .limit(Int8Rerank)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     withVec(spark, dir)
       .where(col("vec_id").isin(ids: _*))
@@ -833,6 +838,58 @@ object Similarity {
     * counts are exact; avg is one double division; rows-only (the
     * oracle cannot replay k-means or the hyperplane draw).
     */
+  /** Tier-advisor card — the deployment-rule table (SCALING.md "LSH →
+    * IVF envelope") computed for THIS corpus and its projected growth:
+    * for n = corpus × {1, 10, 10², 10³, 10⁴} and every serving tier,
+    * the rows one top-10 probe touches, the bytes it reads
+    * SEQUENTIALLY, the rows it fetches RANDOMLY (LSH candidate
+    * join-backs; the int8/PQ exact re-rank pools), and the modeled
+    * cost in raw-row-equivalents: seq_bytes/raw_row_bytes + R ×
+    * rand_rows, with R = `spark.graft.ann.randomCostFactor` (default
+    * 10 — memory-resident store; ~100 SSD parquet, ~1000 object store
+    * — the access-pattern asymmetry the envelope table documents).
+    * `chosen` marks the cheapest tier per n. The card prices IO ONLY:
+    * recall is its sibling `q_ann_recall`'s measured job, and exact
+    * is the one tier whose recall is 1 by construction.
+    *
+    * Scale: pure driver math over the cached corpus count, the cached
+    * query dimension, and the published law functions
+    * ([[AnnIndex.lshProbeCandidates]] / [[AnnIndex.ivfProbeRows]]) —
+    * the steady-state plan is a LocalTableScan: zero corpus scans,
+    * zero shuffle, nothing that grows with the corpus.
+    */
+  def tierAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val n0 = AnnIndex.corpusCount(spark, dir, ver)
+    val d = AnnIndex.queryVector(spark, dir, 0L, ver).length
+    val r = spark.conf.get("spark.graft.ann.randomCostFactor", "10").toDouble
+    val rawRow = 8.0 + 4.0 * d // vec_id + f32 payload
+    def tiers(n: Long): Seq[(String, Double, Double, Double)] = {
+      val lshCand = AnnIndex.lshProbeCandidates(n)
+      val ivfRows = AnnIndex.ivfProbeRows(n)
+      Seq( // (tier, probe_rows, seq_bytes, rand_rows)
+        ("exact", n.toDouble, n * rawRow, 0.0),
+        ("int8", n.toDouble, n * (16.0 + d), Int8Rerank.toDouble),
+        ("lsh", lshCand, lshCand * 24.0, lshCand),
+        ("ivf", ivfRows, ivfRows * rawRow, 0.0),
+        ("ivfpq", ivfRows, ivfRows * (8.0 + PqIndex.M),
+          PqIndex.DefaultRerank.toDouble))
+    }
+    val rows = for {
+      mult <- Seq(1L, 10L, 100L, 1000L, 10000L)
+      n = n0 * mult
+      scored = tiers(n).map { case (t, pr, sb, rr) =>
+        (t, pr, sb, rr, sb / rawRow + r * rr) }
+      best = scored.map(_._5).min
+      (t, pr, sb, rr, c) <- scored
+    } yield (n, t, math.round(pr), math.round(sb / 1024.0),
+      math.round(rr), math.round(c), c == best)
+    rows.toDF("n", "tier", "probe_rows", "seq_kb", "rand_rows",
+        "cost_rows", "chosen")
+      .transform(Present.cardSort(_, col("n"), col("cost_rows"), col("tier")))
+  }
+
   def indexHealth(spark: SparkSession, dir: String): DataFrame = {
     val ver = AnnIndex.corpusVersion(spark, dir)
     val ivfCells = AnnIndex.ivf(spark, dir, ver)

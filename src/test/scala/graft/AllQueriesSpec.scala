@@ -37,7 +37,10 @@ class AllQueriesSpec extends SparkSpec {
       // batched form of the same composition (q_sim_ann_batch class)
       "q_sim_ann_ivfpq_batch",
       // distortion audit of the trained PQ codebooks (H: k-means state)
-      "q_quantize_pq")
+      "q_quantize_pq",
+      // tier cost card over engine geometry laws (S: prices the
+      // engine's own index families; no cross-engine referent exists)
+      "q_tier_advisor")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

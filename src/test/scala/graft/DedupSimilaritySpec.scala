@@ -437,6 +437,59 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tierAdvisor: reconciles with the law functions; one chosen per n; R moves only the random tiers") {
+    import graft.sources.Tables
+    import graft.operators.AnnIndex
+    def cardOf(): Map[(Long, String), org.apache.spark.sql.Row] =
+      Similarity.tierAdvisor(spark, sf).collect()
+        .map(r => (r.getAs[Long]("n"), r.getAs[String]("tier")) -> r).toMap
+    val card = cardOf()
+    val n0 = Tables.embeddings(spark, sf).count()
+    assert(card.size == 25, "5 tiers x 5 projected corpus sizes")
+    assert(card.keys.map(_._1).toSet ==
+      Set(1L, 10L, 100L, 1000L, 10000L).map(_ * n0))
+    // the card prices the PUBLISHED laws, not a private re-derivation
+    for (n <- card.keys.map(_._1)) {
+      assert(card((n, "lsh")).getAs[Long]("probe_rows") ==
+        math.round(AnnIndex.lshProbeCandidates(n)))
+      assert(card((n, "ivf")).getAs[Long]("probe_rows") ==
+        math.round(AnnIndex.ivfProbeRows(n)))
+      assert(card((n, "exact")).getAs[Long]("probe_rows") == n)
+      // exactly one cheapest tier marked per n
+      assert(Seq("exact", "int8", "lsh", "ivf", "ivfpq")
+        .count(t => card((n, t)).getAs[Boolean]("chosen")) == 1)
+    }
+    // the int8 tier prices the serving path's own re-rank pool
+    assert(card((n0, "int8")).getAs[Long]("rand_rows") ==
+      Similarity.Int8Rerank.toLong)
+    // per-tier cost is monotone in corpus size — except LSH, whose
+    // adaptive-regime law is a SAWTOOTH (each band-bit step halves
+    // bucket width; AnnIndexSpec pins those regimes); its card rows
+    // are already reconciled against the law above
+    for (t <- Seq("exact", "int8", "ivf", "ivfpq")) {
+      val cs = card.toSeq.filter(_._1._2 == t).sortBy(_._1._1)
+        .map(_._2.getAs[Long]("cost_rows"))
+      assert(cs.zip(cs.tail).forall(p => p._1 <= p._2), s"$t not monotone: $cs")
+    }
+    // raising R (memory -> object store) must raise the random-fetch
+    // tiers' modeled cost and leave the sequential tiers' unchanged
+    val prev = spark.conf.getOption("spark.graft.ann.randomCostFactor")
+    spark.conf.set("spark.graft.ann.randomCostFactor", "1000")
+    try {
+      val cardHi = cardOf()
+      for (n <- card.keys.map(_._1)) {
+        assert(cardHi((n, "lsh")).getAs[Long]("cost_rows") >
+          card((n, "lsh")).getAs[Long]("cost_rows"))
+        for (t <- Seq("exact", "ivf"))
+          assert(cardHi((n, t)).getAs[Long]("cost_rows") ==
+            card((n, t)).getAs[Long]("cost_rows"))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.ann.randomCostFactor", v)
+      case None => spark.conf.unset("spark.graft.ann.randomCostFactor")
+    }
+  }
+
   test("dupInflation: histogram reconciles with dedupExact; surplus exact on an injected corpus") {
     import graft.sources.Tables
     val hist = Dedup.dupInflation(spark, sf).collect()

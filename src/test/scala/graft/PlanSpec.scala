@@ -589,6 +589,13 @@ class PlanSpec extends SparkSpec {
       "only the final card-sized order-by may sort")
   }
 
+  test("tierAdvisor steady state is a local scan — no parquet reads at all") {
+    val p = plan(graft.operators.Similarity.tierAdvisor(spark, sf))
+    assert(!p.toLowerCase.contains("parquet"),
+      s"the tier card is driver math over cached stats; plan scans:\n${p.take(1500)}")
+    assert(p.contains("LocalTableScan"), p.take(1500))
+  }
+
   test("indexHealth reads only the key-only index artifacts — no corpus scan") {
     val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
     assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
