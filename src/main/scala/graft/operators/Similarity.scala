@@ -619,13 +619,13 @@ object Similarity {
   }
 
   /** ANN self-audit: recall@10 of EVERY approximate tier ([[simAnnIvf]],
-    * [[simAnnLsh]], [[simAnnPq]], [[simAnnIvfPq]]) against the exact
-    * [[simTopK]] for the same query — the
+    * [[simAnnLsh]], [[simAnnInt8]], [[simAnnPq]], [[simAnnIvfPq]])
+    * against the exact [[simTopK]] for the same query — the
     * number a retrieval deployment tracks to decide nprobe / band count /
     * re-rank pool before trading accuracy for scan cost. rows-only:
     * composes rows-only/oracle plans whose own correctness is already
     * gated. Scale: all inputs are 10-row frames (each already the bounded
-    * output of a pruned plan); the overlap joins and the 4-row union are
+    * output of a pruned plan); the overlap joins and the 5-row union are
     * driver-trivial by construction. (Measured dead ends, for the record:
     * collecting the exact ids into an isin() filter and checkpointing the
     * exact frame both cost MORE than the inlined subtree — the 10-row
@@ -641,6 +641,7 @@ object Similarity {
           round(col("hits") / 10.0, 6).as("recall_at_10"))
     recallOf("ivf", simAnnIvf(spark, dir))
       .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
+      .unionByName(recallOf("int8", simAnnInt8(spark, dir)))
       .unionByName(recallOf("pq", simAnnPq(spark, dir)))
       .unionByName(recallOf("ivfpq", simAnnIvfPq(spark, dir)))
       .transform(Present.cardSort(_, col("method")))

@@ -203,6 +203,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val tiers = Map(
       "ivf" -> ids(Similarity.simAnnIvf(spark, sf)),
       "lsh" -> ids(Similarity.simAnnLsh(spark, sf)),
+      "int8" -> ids(Similarity.simAnnInt8(spark, sf)),
       "pq" -> ids(Similarity.simAnnPq(spark, sf)),
       "ivfpq" -> ids(Similarity.simAnnIvfPq(spark, sf)))
     val card = Similarity.annRecall(spark, sf).collect()
