@@ -125,6 +125,7 @@ object SparkEntry {
     "q_quantize_embed"  -> (Similarity.quantizeEmbed _),
     "q_quantize_pq"     -> (Similarity.quantizePq _),
     "q_sim_ann_int8"    -> (Similarity.simAnnInt8 _),
+    "q_sim_ann_int8_batch" -> (Similarity.simAnnInt8Batch _),
     "q_sim_ann_pq"      -> (Similarity.simAnnPq _),
     "q_sim_ann_ivfpq"   -> (Similarity.simAnnIvfPq _),
     "q_sim_ann_ivfpq_batch" -> (Similarity.simAnnIvfPqBatch _),
@@ -965,6 +966,41 @@ object SparkEntry {
         |       round(list_cosine_similarity(e.v, q.qv0), 6) AS sim
         |FROM e JOIN cand USING (vec_id), q
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q_sim_ann_int8_batch" ->
+      // the q_sim_ann_int8 two-stage pipeline, K queries at once: same
+      // quantized stage-1 arithmetic, per-qid pools, exact re-rank
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         (CASE WHEN m = 0 THEN 1.0 ELSE m END) AS scale
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127
+        |            AS m
+        |        FROM e)),
+        |cand AS (
+        |  SELECT q.qid, s.vec_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(s.v, x -> round(x / s.scale) * s.scale),
+        |           q.qv), 6) AS asim
+        |  FROM s CROSS JOIN q WHERE s.vec_id >= 5),
+        |pool AS (
+        |  SELECT qid, vec_id
+        |  FROM (SELECT qid, vec_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY asim DESC, vec_id ASC) AS pr
+        |        FROM cand)
+        |  WHERE pr <= 50)
+        |SELECT qid, rank, vec_id, sim
+        |FROM (SELECT p.qid, e.vec_id,
+        |             round(list_cosine_similarity(e.v, q.qv), 6) AS sim,
+        |             row_number() OVER (PARTITION BY p.qid
+        |               ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+        |                 DESC, e.vec_id ASC) AS rank
+        |      FROM pool p JOIN e USING (vec_id) JOIN q ON p.qid = q.qid)
+        |WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_top_passages" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

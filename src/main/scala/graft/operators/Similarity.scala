@@ -281,6 +281,54 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batched int8 retrieve — [[BatchQueries]] queries against the int8
+    * store in ONE scan (the [[simBatchTopK]] shape on the 4×-smaller
+    * store): the store scan fans each row across the broadcast K-query
+    * frame, dequantized scoring (`qv·scale`, the exact [[simAnnInt8]]
+    * arithmetic), per-qid WindowGroupLimit keeps the [[Int8Rerank]]
+    * pool, and the exact re-rank touches only the collected
+    * ≤ K·[[Int8Rerank]] candidate ids via the In()-pushed point-fetch.
+    * Unlike the trained-codebook batch tiers this one is
+    * ORACLE-CHECKED: symmetric quantization is pure arithmetic, so
+    * DuckDB replays the whole two-stage pipeline bit-for-bit.
+    * At 100 TB: K queries cost one (d+16)-bytes/row store scan instead
+    * of K f32 corpus scans — the standard quantized batch-serving
+    * pattern.
+    */
+  def simAnnInt8Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val qids = 0L until BatchQueries.toLong
+    val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
+    // query frame under a name the store's own `qv` cannot collide with
+    val qsD = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qvd")
+    val cand = AnnIndex.int8(spark, dir, ver)
+      .where(col("vec_id") >= BatchQueries)
+      .crossJoin(broadcast(qsD))
+      .select(col("qid"), col("vec_id"),
+        round(expr(
+          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qvd)"),
+          6).as("asim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))))
+      .where(col("pr") <= Int8Rerank)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairDf = cand.toSeq.toDF("qid", "vec_id") // ≤ K·Int8Rerank rows
+    val allIds = cand.map(_._2).distinct.toSeq
+    val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
+    withVec(spark, dir)
+      .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
+      .join(broadcast(pairDf), Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .where(col("rank") <= 10)
+      .transform(Present.cardSort(_, col("qid"), col("rank")))
+  }
+
   /** Product-quantized retrieve + exact re-rank — the compression tier
     * past [[simAnnInt8]]: candidates come from a scan of the 8-byte-code
     * PQ store ([[graft.operators.PqIndex]], 64× smaller than the f64

@@ -214,6 +214,35 @@ class DedupSimilaritySpec extends SparkSpec {
     card.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("batched int8 equals one-at-a-time int8 semantics and tracks batched exact") {
+    val batch = Similarity.simAnnInt8Batch(spark, sf).collect()
+    val exact = Similarity.simBatchTopK(spark, sf).collect()
+    val qids = (0L until Similarity.BatchQueries.toLong)
+    assert(batch.map(_.getAs[Long]("qid")).distinct.sorted.toSeq == qids)
+    val byQ = batch.groupBy(_.getAs[Long]("qid"))
+    val exactByQ = exact.groupBy(_.getAs[Long]("qid"))
+    qids.foreach { q =>
+      val b = byQ(q)
+      // re-ranked scores are exact cosine: identical on shared ids
+      val exSims = exactByQ(q)
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+      b.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        if (exSims.contains(id)) assert(exSims(id) == r.getAs[Double]("sim"))
+      }
+      // int8 recall: the dequantized pool should recover most of the
+      // true top-10 (the single-query spec's bar, per query here)
+      assert(b.map(_.getAs[Long]("vec_id")).toSet
+        .intersect(exSims.keySet).size >= 8, s"qid $q recall too low")
+      assert(b.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rank")).toSeq ==
+        (1 to b.length))
+    }
+    // NOTE: no qid-0 equality with the single-query path — the batch
+    // excludes ALL K query ids from candidates (the simBatchTopK
+    // convention) while the single-query path excludes only its own,
+    // so the candidate sets legitimately differ on ids 1..K-1.
+  }
+
   test("batched ANN agrees with batched exact retrieval per query") {
     val exact = Similarity.simBatchTopK(spark, sf).collect()
     val ann = Similarity.simAnnBatch(spark, sf).collect()
