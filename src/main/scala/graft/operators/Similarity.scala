@@ -242,6 +242,12 @@ object Similarity {
   private def int8Store(spark: SparkSession, dir: String): DataFrame =
     AnnIndex.int8(spark, dir, AnnIndex.corpusVersion(spark, dir))
 
+  /** int8 tier exact re-rank pool size ([[simAnnInt8]]'s candidate
+    * collect, [[simAnnInt8Batch]]'s per-qid pool) — a named constant so
+    * the tier-advisor card prices the same pool the serving paths use.
+    */
+  val Int8Rerank = 50
+
   /** Quantized retrieve + exact re-rank — the standard int8 serving
     * pattern: score the whole corpus on the 4×-smaller int8 store
     * (map-side dequantize `x*scale`, TakeOrdered top-50 candidates),
@@ -255,11 +261,6 @@ object Similarity {
     * re-ranked scores are exact cosine, so the output matches
     * [[simTopK]] whenever the int8 recall holds (spec-asserted).
     */
-  /** int8 tier exact re-rank pool size ([[simAnnInt8]]'s candidate
-    * collect) — a named constant so the tier-advisor card prices the
-    * same pool the serving path uses. */
-  val Int8Rerank = 50
-
   def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
     val q = withVec(spark, dir).where(col("vec_id") === 0L)
       .select(col("v").as("qv0"))
@@ -300,19 +301,7 @@ object Similarity {
     val ver = AnnIndex.corpusVersion(spark, dir)
     val qids = 0L until BatchQueries.toLong
     val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
-    // query frame under a name the store's own `qv` cannot collide with
-    val qsD = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qvd")
-    val cand = AnnIndex.int8(spark, dir, ver)
-      .where(col("vec_id") >= BatchQueries)
-      .crossJoin(broadcast(qsD))
-      .select(col("qid"), col("vec_id"),
-        round(expr(
-          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qvd)"),
-          6).as("asim"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))))
-      .where(col("pr") <= Int8Rerank)
-      .select("qid", "vec_id")
+    val cand = int8BatchCandidates(spark, dir, ver, qvs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val pairDf = cand.toSeq.toDF("qid", "vec_id") // ≤ K·Int8Rerank rows
     val allIds = cand.map(_._2).distinct.toSeq
@@ -327,6 +316,32 @@ object Similarity {
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
       .transform(Present.cardSort(_, col("qid"), col("rank")))
+  }
+
+  /** The batched candidate plan [[simAnnInt8Batch]] bounded-collects
+    * from — exposed for PlanSpec: ONE int8-store scan fans across the
+    * broadcast query frame, dequantized scoring, per-qid
+    * WindowGroupLimit pool. The f32 corpus is never read and the store
+    * is never re-quantized here.
+    */
+  private[graft] def int8BatchCandidates(
+      spark: SparkSession, dir: String, ver: String,
+      qvs: Map[Long, Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val qids = qvs.keys.toSeq.sorted
+    // query frame under a name the store's own `qv` cannot collide with
+    val qsD = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qvd")
+    AnnIndex.int8(spark, dir, ver)
+      .where(col("vec_id") >= BatchQueries)
+      .crossJoin(broadcast(qsD))
+      .select(col("qid"), col("vec_id"),
+        round(expr(
+          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qvd)"),
+          6).as("asim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))))
+      .where(col("pr") <= Int8Rerank)
+      .select("qid", "vec_id")
   }
 
   /** Product-quantized retrieve + exact re-rank — the compression tier

@@ -221,6 +221,22 @@ class PlanSpec extends SparkSpec {
       "ADC scoring + per-qid pool must survive optimization")
   }
 
+  test("batched int8 candidate scan: one store scan, broadcast fan, group-limited pools") {
+    val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+    val qvs = graft.operators.AnnIndex.queryVectors(
+      spark, sf, 0L until Similarity.BatchQueries.toLong, ver)
+    val p = plan(Similarity.int8BatchCandidates(spark, sf, ver, qvs))
+    assert(p.contains("graft_ann"), "must read the materialized int8 store")
+    assert(!p.contains("embeddings.parquet"),
+      "candidate stage never touches the f32 corpus")
+    assert(!p.contains("array_max(transform"),
+      "must read stored codes, not re-quantize the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "the K-query fan must broadcast, never shuffle the store scan")
+    assert(p.contains("WindowGroupLimit"),
+      "per-qid pools must group-limit map-side before the exchange")
+  }
+
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
     val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
     // corpus signatures are computed once per corpus version
