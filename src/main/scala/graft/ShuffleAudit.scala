@@ -43,7 +43,7 @@ object ShuffleAudit {
     "q_dedup_incremental", "q_dedup_embed", "q_dedup_simhash_pairs",
     "q_dedup_clusters",
     "q_sim_topk", "q_sim_ann_ivf", "q_sim_ann_lsh",
-    "q_sim_ann_batch", "q_sim_ann_int8",
+    "q_sim_ann_batch", "q_sim_ann_int8", "q_sim_ann_int8_batch",
     "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch",
     "q_domain_cap", "q_corpus_filter", "q_decontaminate",
     "q_text_tfidf", "q_pack_sequences", "q_heavy_hitters",

@@ -17,7 +17,8 @@ class ShuffleAuditSpec extends SparkSpec {
     val names = Seq(
       "q_sim_topk", "q_join_agg", "q_rollup_revenue",
       "q_sim_ann_ivf", "q_dedup_minhash",
-      "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch")
+      "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch",
+      "q_sim_ann_int8_batch")
     val audited = ShuffleAudit.measure(spark, sf, names)
     // measure drops queries that THROW — name them here instead of dying
     // on a bare key-not-found below
@@ -59,6 +60,12 @@ class ShuffleAuditSpec extends SparkSpec {
     // batch sibling (measured ~10.6 KB at sf0.01)
     assert(audited("q_sim_ann_ivfpq_batch").shuffleBytes < 64 * 1024,
       s"q_sim_ann_ivfpq_batch shuffle ${audited("q_sim_ann_ivfpq_batch").shuffleBytes}")
+
+    // the int8 batch fan is group-limited map-side (WindowGroupLimit):
+    // the only exchange carries ≤ K·Int8Rerank·parts (qid, vec_id, asim)
+    // rows, never the store scan
+    assert(audited("q_sim_ann_int8_batch").shuffleBytes < 256 * 1024,
+      s"q_sim_ann_int8_batch shuffle ${audited("q_sim_ann_int8_batch").shuffleBytes}")
   }
 
   test("text pair-search BUILDS shuffle keys, never text (artifact-era seam gates)") {
