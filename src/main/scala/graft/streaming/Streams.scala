@@ -227,16 +227,26 @@ object Streams {
     * [[graft.sources.Layout.appendPartitionedIdempotent]] — the log would
     * make batch-built files in the same layout invisible to readers and
     * break [[graft.sources.Layout.compactPartitions]]).
+    *
+    * `maintainEvery` wires the layout's OWN maintenance turn (the
+    * concurrency point compactPartitions' scaladoc prescribes): every
+    * N-th COMMITTED batch runs the compaction pass between appends,
+    * where no concurrent append can race the rewrite because this sink
+    * is the layout's only writer. 0 (default) leaves maintenance to an
+    * external job; replayed (ledger-skipped) batches never re-compact.
+    * A quiet layout's turn is one listing and a no-op.
     */
   private def layoutAppendSink(
       df: DataFrame, path: String, checkpointDir: String,
-      partCols: Seq[String]) =
+      partCols: Seq[String], maintainEvery: Int = 0) =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Layout.appendPartitionedIdempotent(
+        val appended = graft.sources.Layout.appendPartitionedIdempotent(
           batch, batchId, path, s"$checkpointDir/graft_batch_ledger", partCols)
+        if (appended && maintainEvery > 0 && batchId % maintainEvery == 0)
+          graft.sources.Layout.compactPartitions(batch.sparkSession, path)
         ()
       }
 
@@ -245,9 +255,10 @@ object Streams {
     */
   def annIngestSink(
       vectors: DataFrame, codebook: DataFrame,
-      path: String, checkpointDir: String) =
+      path: String, checkpointDir: String, maintainEvery: Int = 0) =
     layoutAppendSink(
-      annIngest(vectors, codebook), path, checkpointDir, Seq("cluster"))
+      annIngest(vectors, codebook), path, checkpointDir, Seq("cluster"),
+      maintainEvery)
 
   /** Streaming IVF-PQ ingestion — the incremental build path of the
     * PQ-coded inverted file ([[graft.operators.AnnIndex.ensureIvfPq]]):
@@ -285,10 +296,10 @@ object Streams {
     */
   def pqIngestSink(
       vectors: DataFrame, codebook: DataFrame, pqCodebooks: Array[Double],
-      path: String, checkpointDir: String) =
+      path: String, checkpointDir: String, maintainEvery: Int = 0) =
     layoutAppendSink(
       pqIngest(vectors, codebook, pqCodebooks),
-      path, checkpointDir, Seq("cluster"))
+      path, checkpointDir, Seq("cluster"), maintainEvery)
 
   /** Streaming int8 ingestion — the incremental build path of the int8
     * serving store ([[graft.operators.AnnIndex.ensureInt8]]): each
@@ -314,8 +325,10 @@ object Streams {
     * compacts the root as the single leaf.
     */
   def int8IngestSink(
-      vectors: DataFrame, path: String, checkpointDir: String) =
-    layoutAppendSink(int8Ingest(vectors), path, checkpointDir, Seq.empty)
+      vectors: DataFrame, path: String, checkpointDir: String,
+      maintainEvery: Int = 0) =
+    layoutAppendSink(int8Ingest(vectors), path, checkpointDir, Seq.empty,
+      maintainEvery)
 
   /** Streaming LSH index ingestion — the incremental build path of the
     * banded-signature index ([[graft.operators.AnnIndex.ensureLsh]]): each
@@ -386,16 +399,19 @@ object Streams {
   def lshIngestSink(
       vectors: DataFrame,
       path: String, checkpointDir: String,
-      geom: graft.operators.AnnIndex.LshGeom) =
+      geom: graft.operators.AnnIndex.LshGeom,
+      maintainEvery: Int = 0) =
     lshIngestGeom(vectors, geom).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AnnIndex.assertLshGeomMarker(
           batch.sparkSession, path, geom)
-        graft.sources.Layout.appendPartitionedIdempotent(
+        val appended = graft.sources.Layout.appendPartitionedIdempotent(
           batch, batchId, path, s"$checkpointDir/graft_batch_ledger",
           Seq("band_id", "band_key"))
+        if (appended && maintainEvery > 0 && batchId % maintainEvery == 0)
+          graft.sources.Layout.compactPartitions(batch.sparkSession, path)
         ()
       }
 
@@ -421,9 +437,10 @@ object Streams {
     */
   def dedupBandIngestSink(
       docs: DataFrame,
-      path: String, checkpointDir: String) =
+      path: String, checkpointDir: String, maintainEvery: Int = 0) =
     layoutAppendSink(
-      dedupBandIngest(docs), path, checkpointDir, Seq("band_id"))
+      dedupBandIngest(docs), path, checkpointDir, Seq("band_id"),
+      maintainEvery)
 
   /** Streaming training-shard ingestion — the incremental path of the
     * [[graft.operators.Sampling.writeTrainingShards]] layout: each
@@ -446,9 +463,10 @@ object Streams {
     */
   def shardIngestSink(
       docs: DataFrame, idCol: String,
-      path: String, checkpointDir: String) =
+      path: String, checkpointDir: String, maintainEvery: Int = 0) =
     layoutAppendSink(
-      shardIngest(docs, idCol), path, checkpointDir, Seq("shard"))
+      shardIngest(docs, idCol), path, checkpointDir, Seq("shard"),
+      maintainEvery)
 
   /** Running trend state per (run, metric): the six sufficient statistics
     * behind [[graft.operators.Tracking.metricTrend]] plus the derived

@@ -355,6 +355,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainEvery runs the compaction turn between appends; rows survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("int8_mnt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("int8_mnt_ckpt").toString
+    val q = Streams.int8IngestSink(
+      mem.toDF().toDF("vec_id", "v"), out, ckpt, maintainEvery = 1).start()
+    def dataFiles(): Int = new java.io.File(out).listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        f.getName.endsWith(".parquet"))
+    try {
+      // 6 micro-batches, one file each; the turn fires after every
+      // committed append and compacts once the root exceeds the default
+      // maxFilesPerDir=4: b0..b3 accrete 1..4 files (no-op turns), b4's
+      // append makes 5 -> its turn collapses to 1, b5 appends -> 2
+      (0 until 6).foreach { i =>
+        mem.addData((i.toLong, Seq.fill(4)(i * 0.1)))
+        q.processAllAvailable()
+      }
+      assert(dataFiles() == 2,
+        s"expected compacted 2 files after 6 maintained appends, got ${dataFiles()}")
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.map(_.getAs[Long]("vec_id")).sorted.toSeq == (0L until 6L),
+        "maintenance must not lose or duplicate a row")
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest dispatches two-level for a hierarchical codebook, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
