@@ -174,6 +174,14 @@ object PqIndex {
     * SESSION; the on-disk family costs that pass once per corpus
     * VERSION and persists across JVMs, and unifying them means a stale
     * code store cannot exist in one tier but not the other.
+    *
+    * Trade, stated plainly: a flat scan of the cluster-partitioned
+    * layout opens one file per cell — √n files ([[AnnIndex.pivotCount]]
+    * cells, ~2K at 4M vectors; 65K only at the multi-billion-vector
+    * pivot cap). Fine for the mid-scale corpora the flat-ADC tier
+    * serves; a corpus big enough for the file count to hurt is one the
+    * cell-PRUNED IVF-PQ tier serves anyway (opening ≤ nprobe of those
+    * files), which is the point of sharing the layout.
     */
   def store(spark: SparkSession, dir: String, version: String): DataFrame =
     AnnIndex.ivfPq(spark, dir, version).select(col("vec_id"), col("codes"))
