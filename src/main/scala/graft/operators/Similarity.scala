@@ -268,8 +268,12 @@ object Similarity {
       .where(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(expr(
-          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)"), 6)
+        // fused native dequantize+cosine (plans/VectorExpressions
+        // CosineSimQ8) — bit-identical to the
+        // cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)
+        // HOF chain it replaces (spec + property pinned); ArrayTransform
+        // is CodegenFallback and boxed n*d lambda evals per probe
+        round(expr("cosine_sim_q8(qv, scale, qv0)"), 6)
           .as("asim"))
       .orderBy(desc("asim"), asc("vec_id"))
       .limit(Int8Rerank)
@@ -335,9 +339,8 @@ object Similarity {
       .where(col("vec_id") >= BatchQueries)
       .crossJoin(broadcast(qsD))
       .select(col("qid"), col("vec_id"),
-        round(expr(
-          "cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qvd)"),
-          6).as("asim"))
+        // same fused native as simAnnInt8's stage 1 (bit-identical pin)
+        round(expr("cosine_sim_q8(qv, scale, qvd)"), 6).as("asim"))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))))
       .where(col("pr") <= Int8Rerank)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -58,11 +58,73 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_q8"),
+      new ExpressionInfo(classOf[CosineSimQ8].getName, "cosine_sim_q8"),
+      (children: Seq[Expression]) =>
+        CosineSimQ8(children(0), children(1), children(2))))
+  }
+}
+
+/** `cosine_sim_q8(qv, scale, q)` — cosine of an int8-quantized vector
+  * (array<tinyint> codes + per-row double scale, the
+  * [[graft.operators.AnnIndex.int8Quantize]] layout) against an
+  * `array<double>` query, dequantizing INSIDE the fused primitive loop.
+  *
+  * Replaces `cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), q)`
+  * on the int8 serving paths: Spark's ArrayTransform is CodegenFallback
+  * and boxes one lambda eval per ELEMENT — n·d boxed calls per probe on
+  * the store scan, the exact overhead class the repo's other native
+  * kernels exist to remove. Arithmetic is the HOF chain verbatim —
+  * per element xv = (double)code * scale, then the [[CosineSim]]
+  * accumulation order — so results are bit-identical (spec + property
+  * pinned) and the DuckDB oracle, which replays the dequantized math,
+  * still hash-matches. The HOF form stays in the specs as the reference.
+  */
+case class CosineSimQ8(qv: Expression, scale: Expression, q: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = qv
+  override def second: Expression = scale
+  override def third: Expression = q
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_q8"
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CosineSimQ8 =
+    copy(qv = f, scale = s, q = t)
+
+  override def nullSafeEval(a: Any, s: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], s.asInstanceOf[Double],
+      b.asInstanceOf[ArrayData])
+
+  def compute(x: ArrayData, scale: Double, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getByte(i).toDouble * scale
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s, b) => {
+      val ref = ctx.addReferenceObj("cosineQ8Expr", this, classOf[CosineSimQ8].getName)
+      s"${ev.value} = $ref.compute($a, $s, $b);"
+    })
 }
 
 /** `hyperplane_bits(v, nbits, seed)` — random-hyperplane LSH signature of an

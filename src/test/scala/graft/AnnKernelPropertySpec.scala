@@ -323,4 +323,30 @@ class AnnKernelPropertySpec extends AnyFunSuite {
         ((withLoser == argmaxFlat(v, pvs)) :| "antipodal pivot changed the winner")
     })
   }
+
+  test("cosine_sim_q8: bit-identical to dequantize-then-cosine over arbitrary codes") {
+    import graft.plans.{CosineSim, CosineSimQ8}
+    import org.apache.spark.sql.types.ByteType
+    val bChild = BoundReference(0, ArrayType(ByteType), nullable = false)
+    val genCase = for {
+      d <- Gen.choose(1, 96)
+      codes <- Gen.listOfN(d, Gen.choose(-127, 127).map(_.toByte))
+      scale <- Gen.oneOf(Gen.choose(1e-6, 10.0), Gen.const(1.0))
+      q <- Gen.listOfN(d, Gen.choose(-3.0, 3.0))
+    } yield (codes, scale, q)
+    check("q8=hof", Prop.forAll(genCase) { case (codes, scale, q) =>
+      val fused = CosineSimQ8(bChild, dChild, dChild).compute(
+        new GenericArrayData(codes.toArray), scale, darr(q))
+      val deq = codes.map(_.toDouble * scale)
+      val ref = CosineSim(dChild, dChild).compute(darr(deq), darr(q))
+      (java.lang.Double.doubleToLongBits(fused) ==
+        java.lang.Double.doubleToLongBits(ref)) :| s"$fused != $ref"
+    })
+    // length mismatch folds over min(n) on both forms; zero vectors are
+    // NaN on both (0/0) — covered by the generator when q is all-zero?
+    // pin the edge explicitly instead of relying on generator luck
+    val z = CosineSimQ8(bChild, dChild, dChild).compute(
+      new GenericArrayData(Array[Byte](0, 0)), 1.0, darr(Seq(1.0, 2.0)))
+    assert(z.isNaN, "all-zero codes must score NaN (0/0), as the HOF form does")
+  }
 }

@@ -214,6 +214,27 @@ class DedupSimilaritySpec extends SparkSpec {
     card.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("cosine_sim_q8 equals the dequantize HOF chain bit-for-bit on the real store") {
+    import org.apache.spark.sql.functions._
+    val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+    val store = graft.operators.AnnIndex.int8(spark, sf, ver)
+    val q = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>").as("qv0"))
+    val both = store.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr("cosine_sim_q8(qv, scale, qv0)").as("fused"),
+        expr("cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)")
+          .as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: fused ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
   test("batched int8 equals one-at-a-time int8 semantics and tracks batched exact") {
     val batch = Similarity.simAnnInt8Batch(spark, sf).collect()
     val exact = Similarity.simBatchTopK(spark, sf).collect()
