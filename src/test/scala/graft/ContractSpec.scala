@@ -77,6 +77,16 @@ class ContractSpec extends SparkSpec {
       assert(plan.linesIterator.exists(l =>
         l.contains("cosine_sim") && l.trim.matches("""[+:-]*\s*\*\(\d+\).*""")),
         s"cosine projection not in a codegen stage:\n${plan.take(1500)}")
+      // the fused int8 kernel must keep the store-scan stage compiled
+      // too — the transform() chain it replaced was CodegenFallback
+      val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+      val qvs = graft.operators.AnnIndex.queryVectors(
+        spark, sf, 0L until graft.operators.Similarity.BatchQueries.toLong, ver)
+      val q8 = graft.operators.Similarity.int8BatchCandidates(spark, sf, ver, qvs)
+        .queryExecution.executedPlan.toString
+      assert(q8.linesIterator.exists(l =>
+        l.contains("cosine_sim_q8") && l.trim.matches("""[+:-]*\s*\*\(\d+\).*""")),
+        s"q8 projection not in a codegen stage:\n${q8.take(1500)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
