@@ -692,25 +692,40 @@ object Similarity {
     * composes rows-only/oracle plans whose own correctness is already
     * gated. Scale: all inputs are 10-row frames (each already the bounded
     * output of a pruned plan); the overlap joins and the 5-row union are
-    * driver-trivial by construction. (Measured dead ends, for the record:
-    * collecting the exact ids into an isin() filter and checkpointing the
-    * exact frame both cost MORE than the inlined subtree — the 10-row
+    * driver-trivial by construction, and since r14 the whole card is a
+    * once-per-(session, corpus version, probe-conf) SessionCache artifact
+    * — steady state reads 5 rows, zero probes (PlanSpec-pinned).
+    * (Measured dead ends inside the BUILD, for the record: collecting
+    * the exact ids into an isin() filter and checkpointing the exact
+    * frame both cost MORE than the inlined subtree — the 10-row
     * materialization forfeits TakeOrderedAndProject and the construction-
     * time work serializes ahead of the probe plans.)
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = simTopK(spark, dir).select("vec_id")
-    def recallOf(method: String, approx: DataFrame): DataFrame =
-      approx.select("vec_id").join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(method).as("method"),
-          round(col("hits") / 10.0, 6).as("recall_at_10"))
-    recallOf("ivf", simAnnIvf(spark, dir))
-      .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
-      .unionByName(recallOf("int8", simAnnInt8(spark, dir)))
-      .unionByName(recallOf("pq", simAnnPq(spark, dir)))
-      .unionByName(recallOf("ivfpq", simAnnIvfPq(spark, dir)))
-      .transform(Present.cardSort(_, col("method")))
+    // the card is a pure function of (corpus version, assignment
+    // geometry, PQ re-rank pool) — the cluster_profile precedent (r13
+    // verdict #5): six probe subtrees per invocation become a
+    // once-per-(session, corpus version) build, and a dashboard polling
+    // the card reads the 5-row artifact. Conf knobs that change the
+    // answer fold into the key (the r13 ADVICE cap-key discipline);
+    // Int8Rerank and LshProbeFlips are compile-time constants.
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    val key = s"ann_recall_${AnnIndex.assignTag(spark, dir, ver)}" +
+      s"_r${PqIndex.rerank(spark)}"
+    SessionCache.cached(spark, key, dir, ver) {
+      val exact = simTopK(spark, dir).select("vec_id")
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        approx.select("vec_id").join(exact, Seq("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"),
+            round(col("hits") / 10.0, 6).as("recall_at_10"))
+      recallOf("ivf", simAnnIvf(spark, dir))
+        .unionByName(recallOf("lsh", simAnnLsh(spark, dir)))
+        .unionByName(recallOf("int8", simAnnInt8(spark, dir)))
+        .unionByName(recallOf("pq", simAnnPq(spark, dir)))
+        .unionByName(recallOf("ivfpq", simAnnIvfPq(spark, dir)))
+        .transform(Present.cardSort(_, col("method")))
+    }
   }
 
   /** Embedding-domain cluster profile: per IVF cell — population, dominant

@@ -612,6 +612,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LocalTableScan"), p.take(1500))
   }
 
+  test("annRecall steady state reads the cached 5-row card — no probes, no scans") {
+    graft.operators.Similarity.annRecall(spark, sf).collect() // build once
+    val p = plan(graft.operators.Similarity.annRecall(spark, sf))
+    assert(!p.toLowerCase.contains("parquet"),
+      s"steady-state recall card must not re-run the probe subtrees:\n${p.take(1500)}")
+  }
+
   test("indexHealth reads only the key-only index artifacts — no corpus scan") {
     val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
     assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
