@@ -973,7 +973,22 @@ object Similarity {
   }
 
   def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    // the 4-row card is a pure function of (corpus version, assignment
+    // geometry) — same SessionCache precedent as the recall card: a
+    // polling dashboard reads the artifact; the family scans run once
+    // per (session, corpus version)
     val ver = AnnIndex.corpusVersion(spark, dir)
+    SessionCache.cached(spark,
+      s"index_health_${AnnIndex.assignTag(spark, dir, ver)}", dir, ver) {
+      indexHealthBuild(spark, dir, ver)
+    }
+  }
+
+  /** The card build behind [[indexHealth]] — exposed for PlanSpec: reads
+    * ONLY the materialized index artifacts, never the corpus.
+    */
+  private[graft] def indexHealthBuild(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
     val ivfCells = AnnIndex.ivf(spark, dir, ver)
       .groupBy(lit("ivf").as("index"), col("cluster").cast("bigint").as("cell"))
       .agg(count(lit(1)).as("n"))

@@ -619,10 +619,15 @@ class PlanSpec extends SparkSpec {
       s"steady-state recall card must not re-run the probe subtrees:\n${p.take(1500)}")
   }
 
-  test("indexHealth reads only the key-only index artifacts — no corpus scan") {
-    val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
-    assert(p.contains("graft_ann"), "both sides must scan the materialized indexes")
-    assert(!p.contains("embeddings.parquet"),
+  test("indexHealth build reads only the index artifacts; steady state reads the card") {
+    val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+    val b = plan(graft.operators.Similarity.indexHealthBuild(spark, sf, ver))
+    assert(b.contains("graft_ann"), "build must scan the materialized indexes")
+    assert(!b.contains("embeddings.parquet"),
       "the card aggregates index keys; the corpus is never rescanned")
+    graft.operators.Similarity.indexHealth(spark, sf).collect() // build once
+    val p = plan(graft.operators.Similarity.indexHealth(spark, sf))
+    assert(!p.toLowerCase.contains("parquet"),
+      s"steady-state health card must not re-scan the index families:\n${p.take(1500)}")
   }
 }
