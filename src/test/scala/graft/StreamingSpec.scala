@@ -274,6 +274,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintained PARTITIONED sink compacts hot cells between appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val pivots = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("pivot_id", "pv")
+    val codebook = pivots.groupBy()
+      .agg(array_sort(collect_list(struct(col("pivot_id"), col("pv")))).as("pvs"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = java.nio.file.Files.createTempDirectory("ann_mnt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_mnt_ckpt").toString
+    val q = Streams.annIngestSink(
+      mem.toDF().toDF("vec_id", "v"), codebook, out, ckpt,
+      maintainEvery = 1).start()
+    def cellFiles(): Int = new java.io.File(out, "cluster=0").listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        f.getName.endsWith(".parquet"))
+    try {
+      // every batch hits cell 0 → 1 file per batch there; the turn
+      // compacts the dir once it exceeds the default maxFilesPerDir=4
+      (0 until 6).foreach { i =>
+        mem.addData((100L + i, Seq(0.9, 0.1 * (i % 3))))
+        q.processAllAvailable()
+      }
+      assert(cellFiles() == 2,
+        s"expected cell 0 compacted to 2 files after 6 maintained appends, got ${cellFiles()}")
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.map(_.getAs[Long]("vec_id")).sorted.toSeq ==
+        (100L until 106L), "maintenance must not lose or duplicate a row")
+      // discovery may re-infer the partition column's width after the
+      // compaction rewrite — compare numerically, not by boxed type
+      assert(rows.forall(_.getAs[Number]("cluster").longValue == 0L))
+    } finally q.stop()
+  }
+
   test("streaming PQ ingest encodes and cells exactly like the batch build would") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
