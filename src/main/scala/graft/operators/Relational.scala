@@ -155,12 +155,16 @@ object Relational {
     * lifted onto the star schema (SURVEY.md §7.2).
     * Money math in DECIMAL(18,2)→exact sum→DOUBLE, so the result is identical
     * under any partitioning/summation order.
-    * Scale: customer and orders are dimension-sized → `broadcast()` both, so
-    * the 600k-row (→100 TB) lineitem fact is joined map-side with zero fact
-    * shuffle; the only shuffle is the 5-group aggregate with map-side
-    * partials. At extreme orders-cardinality, drop the orders broadcast and
-    * let AQE pick a shuffled hash join with the o_orderstatus filter pushed
-    * below it.
+    * Scale: REGIME-ADAPTIVE, no forced hints. Orders and customer grow with
+    * the corpus, so an unconditional `broadcast()` on either is a hard job
+    * failure past the 8 GB broadcast limit at ~100× scale. Instead the join
+    * is left declarative: below `autoBroadcastJoinThreshold` the planner
+    * (and AQE, post-filter) picks a broadcast hash join — zero fact shuffle,
+    * pinned in PlanSpec at bench scale — and past it the SAME plan degrades
+    * to a keyed sort-merge/shuffled-hash join whose exchanges carry only the
+    * pruned (key, segment) / (key, rev) columns, with the o_orderstatus
+    * filter still pushed below the join (over-threshold regime also pinned
+    * in PlanSpec, mirroring q_antijoin_absent's discipline).
     */
   def joinAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
@@ -173,8 +177,8 @@ object Relational {
         (col("l_extendedprice").cast("decimal(18,2)") *
           (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
             col("l_discount").cast("decimal(18,2)"))).as("rev"))
-    li.join(broadcast(ords), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         sum("rev").cast("double").as("revenue"),

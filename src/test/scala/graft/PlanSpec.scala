@@ -25,12 +25,59 @@ class PlanSpec extends SparkSpec {
   }
 
   test("joinAgg broadcasts both dimension sides and prunes the fact scan") {
+    // NO hints in the operator (r14 verdict #1): at bench scale the
+    // planner's own size estimate (orders.parquet ≪ autoBroadcastJoinThreshold)
+    // must still pick both broadcasts — this pin proves the hint removal
+    // cost nothing in the regime where broadcast is right.
     val p = plan(Relational.joinAgg(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "both dimension joins must be broadcast — no fact-table shuffle")
     assert(!p.contains("SortMergeJoin"))
     // lineitem scan reads only the 3 needed columns
     assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("joinAgg over the broadcast threshold degrades to keyed shuffle joins") {
+    // at ~100× scale orders/customer no longer fit the 8 GB broadcast limit;
+    // the scaladoc's claim (Relational.joinAgg) is that the SAME declarative
+    // plan then degrades to keyed sort-merge/shuffled-hash joins whose
+    // exchanges carry only the pruned columns — not a nested loop, and not a
+    // forced broadcast that would hard-fail the job. Force the regime and
+    // pin the shape, exactly as antijoinAbsent does.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.joinAgg(spark, sf)
+      val p = plan(df)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        s"over-threshold joins must be keyed shuffle joins, plan was:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "no broadcast may survive with the threshold disabled")
+      // the o_orderstatus filter stays pushed below the join, at the scan
+      assert(p.contains("EqualTo(o_orderstatus,F)"),
+        "status filter must stay pushed into the orders scan under SMJ")
+      // exchanges stay narrow: each scan reads only the needed columns
+      assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+        "lineitem scan must stay pruned to 3 columns under SMJ")
+      assert(p.contains("struct<c_custkey:bigint,c_mktsegment:string>"),
+        "customer scan must stay pruned to 2 columns under SMJ")
+      // and the answer is identical to the broadcast regime's
+      val smjRows = df.collect()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      val bhjRows = Relational.joinAgg(spark, sf).collect()
+      assert(smjRows.toSeq == bhjRows.toSeq,
+        "both regimes must return the identical 5-segment card")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("card finals sort locally — no range exchange, no sampling pass") {
