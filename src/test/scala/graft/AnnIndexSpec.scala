@@ -588,6 +588,73 @@ class AnnIndexSpec extends SparkSpec {
       "index cells must equal a fresh two-level dispatch")
   }
 
+  test("recall@10 in the two-level regime: probes-mode assignment costs no recall vs exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // r14 verdict #2: probes-mode two-level assignment agrees ~92% with the
+    // flat argmax on uniform-random codebooks, and the defense ("assignment
+    // is a partitioning choice; query-time nprobe recovers it") was an
+    // argument without a number — no recall measurement existed on a corpus
+    // ABOVE the 64-pivot threshold. This fixture IS that measurement:
+    // 6,000 vectors → k = 77 > TwoLevelMinPivots, clustered with enough
+    // noise (0.35 σ on unit centers) that true neighbors straddle cell
+    // boundaries — the regime where a wrong coarse assignment would
+    // actually surface as lost neighbors. Both assignment modes build
+    // their own inverted file (assignTag keys the store), both serve the
+    // same 5-query batch, and recall@10 is scored against the exact
+    // brute-force top-10.
+    val rnd = new scala.util.Random(47)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(100)(unit(Array.fill(16)(rnd.nextGaussian())))
+    val corpus = Files.createTempDirectory("ann_twolevel_recall").toString
+    (0L until 6000L).map { i =>
+      val c = centers(rnd.nextInt(100))
+      (i, unit(c.map(_ + 0.35 * rnd.nextGaussian())).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    val ver = AnnIndex.corpusVersion(spark, corpus)
+    assert(AnnIndex.centroids(spark, corpus, ver).size > AnnIndex.TwoLevelMinPivots,
+      "fixture must sit in the two-level dispatch regime")
+
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactTop = topIds(Similarity.simBatchTopK(spark, corpus))
+    assert(exactTop.size == Similarity.BatchQueries && exactTop.values.forall(_.size == 10))
+
+    def recallUnder(mode: String): Map[Long, Double] = {
+      spark.conf.set("spark.graft.ann.assignMode", mode)
+      try {
+        val approx = topIds(Similarity.simAnnBatch(spark, corpus))
+        exactTop.map { case (q, ids) =>
+          q -> ids.intersect(approx.getOrElse(q, Set.empty)).size / 10.0 }
+      } finally spark.conf.unset("spark.graft.ann.assignMode")
+    }
+    val probes = recallUnder("probes")
+    val exactMode = recallUnder("exact")
+    def mean(m: Map[Long, Double]) = m.values.sum / m.size
+    info(s"two-level recall@10 per qid — probes: ${probes.toSeq.sortBy(_._1)}, " +
+      s"exact: ${exactMode.toSeq.sortBy(_._1)} " +
+      s"(mean probes=${mean(probes)}, exact=${mean(exactMode)})")
+    // the measured consequence, pinned both ways (numbers in BASELINE.md):
+    // probes-mode assignment must not sag below exact-mode assignment by
+    // more than one neighbor in ten on mean recall...
+    assert(mean(probes) >= mean(exactMode) - 0.1,
+      s"probes-mode recall ${mean(probes)} sags >0.1 below exact-mode ${mean(exactMode)}")
+    // ...and carries absolute floors in this geometry (measured 2026-08-15:
+    // mean probes=0.88 vs exact=0.86 — probes-mode slightly ABOVE, its
+    // different cell boundaries happen to keep one more straddling
+    // neighbor; the shared ~0.87 residual is the nprobe width tradeoff,
+    // not the assignment mode)
+    assert(mean(probes) >= 0.8,
+      s"probes-mode mean recall@10 ${mean(probes)} below the measured-regime floor")
+    probes.foreach { case (q, r) =>
+      assert(r >= 0.5, s"qid=$q probes-mode recall@10 $r below floor") }
+  }
+
   test("flipMasks: combinatorial generation equals the key-space scan, sized C(bits,f)") {
     for (bits <- Seq(4, 10, 20); flips <- Seq(1, 2)) {
       val got = AnnIndex.flipMasks(bits, flips)
