@@ -123,7 +123,7 @@ object Analytics {
         s"""SELECT o_orderstatus, o_orderpriority,
            |       count(*) AS n_orders,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-           |FROM parquet.`$dir/orders.parquet`
+           |FROM ${Tables.sqlRef(spark, dir, "orders")}
            |GROUP BY CUBE (o_orderstatus, o_orderpriority)
            |""".stripMargin),
       col("o_orderstatus"), col("o_orderpriority"))
@@ -156,8 +156,8 @@ object Analytics {
   def existsSubquery(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
       s"""SELECT o_orderkey, o_custkey, o_totalprice
-         |FROM parquet.`$dir/orders.parquet` o
-         |WHERE EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+         |FROM ${Tables.sqlRef(spark, dir, "orders")} o
+         |WHERE EXISTS (SELECT 1 FROM ${Tables.sqlRef(spark, dir, "lineitem")} l
          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
          |ORDER BY o_orderkey""".stripMargin)
 
@@ -173,9 +173,9 @@ object Analytics {
   def correlatedScalar(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
       s"""SELECT user_id, event_type, value AS last_value
-         |FROM parquet.`$dir/events.parquet` e
+         |FROM ${Tables.sqlRef(spark, dir, "events")} e
          |WHERE event_id = (SELECT max(event_id)
-         |                  FROM parquet.`$dir/events.parquet` e2
+         |                  FROM ${Tables.sqlRef(spark, dir, "events")} e2
          |                  WHERE e2.user_id = e.user_id
          |                    AND e2.event_type = e.event_type)
          |ORDER BY user_id, event_type""".stripMargin)

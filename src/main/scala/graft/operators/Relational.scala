@@ -206,7 +206,7 @@ object Relational {
         s"""SELECT c_mktsegment, o_orderstatus,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            |       count(*) AS n_orders
-           |FROM parquet.`$dir/orders.parquet` JOIN parquet.`$dir/customer.parquet`
+           |FROM ${Tables.sqlRef(spark, dir, "orders")} JOIN ${Tables.sqlRef(spark, dir, "customer")}
            |  ON o_custkey = c_custkey
            |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
            |""".stripMargin),

@@ -533,8 +533,15 @@ object Sampling {
       .select(col("lang"), col("doc_id"),
         coalesce(size(split(col("text"), " ")), lit(0)).as("tok"),
         floor(col("doc_id") / shardSize).as("shard"))
+    // the offsets frame is (lang × shards)-sized and about to be BROADCAST
+    // — i.e. driver-materialized wholesale — so running its prefix window
+    // over one coalesced partition costs nothing asymptotically beyond the
+    // broadcast itself and removes the window's hash exchange (one fewer
+    // AQE stage materialization per query: SinglePartition satisfies the
+    // window's ClusteredDistribution)
     val offsets = toks.groupBy("lang", "shard")
       .agg(sum("tok").as("shard_tok"))
+      .coalesce(1)
       .withColumn("offset", coalesce(
         sum("shard_tok").over(Window.partitionBy("lang").orderBy("shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
