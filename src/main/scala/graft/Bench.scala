@@ -29,13 +29,16 @@ object Bench {
   // waited_s=0 with low load says "clean window, believe the number".
   private def quietWait(threshold: Double, maxWaitS: Int): Double = {
     val t0 = System.nanoTime()
+    def elapsedS = (System.nanoTime() - t0) / 1e9
     var l = loadAvg()
-    while (l >= 0 && l > threshold &&
-        (System.nanoTime() - t0) / 1e9 < maxWaitS) {
-      Thread.sleep(5000)
+    while (l >= 0 && l > threshold && elapsedS < maxWaitS) {
+      // final sleep capped at the remaining budget so the wait can never
+      // overshoot maxWaitS by a full poll interval
+      val remainMs = ((maxWaitS - elapsedS) * 1000).toLong
+      Thread.sleep(math.max(1L, math.min(5000L, remainMs)))
       l = loadAvg()
     }
-    (System.nanoTime() - t0) / 1e9
+    elapsedS
   }
 
   def main(args: Array[String]): Unit = {
@@ -46,7 +49,15 @@ object Bench {
     // mostly measure our own 32-thread warm-up, not co-tenant pressure.
     // The quiet-wait runs before the snapshot deliberately: loadavg_before
     // then reads the window the laps ACTUALLY measured, post-wait.
-    val waitedS = quietWait(threshold = 1.0, maxWaitS = 90)
+    // quiet threshold scaled to the host: a fixed loadavg of 1.0 on a
+    // 32-CPU box means ~3% background utilization burns the full wait.
+    // 5% of cores (floor 1.0) keeps the intent — "nobody is seriously
+    // using this machine" — portable across core counts; env-tunable for
+    // a driver that knows better.
+    val quietThreshold = sys.env.get("GRAFT_BENCH_QUIET_LOAD")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(math.max(1.0, 0.05 * Runtime.getRuntime.availableProcessors()))
+    val waitedS = quietWait(threshold = quietThreshold, maxWaitS = 90)
     val load0 = loadAvg(); val steal0 = stealJiffies()
     // warm-up lap: amortize one-time JVM/codegen/classloading cost so the
     // timed laps measure steady-state query execution (the reference's
@@ -121,10 +132,15 @@ object Bench {
     // multiline AnalysisException message in errJson would otherwise split
     // the headline line and break the driver's json parse of the tail
     def jstr(s: String) = Verify.q(s)
+    // Locale.ROOT for every %-formatted numeric field: default-locale
+    // "%.3f" under a comma-decimal locale emits "12,3" and corrupts the
+    // JSON lines the driver parses
+    def num(fmt: String, v: Double) =
+      fmt.formatLocal(java.util.Locale.ROOT, v)
     // 4-decimal min-map: the headline line must FIT inside the driver's
     // ~2 KB stdout tail in its entirety; 66 × 17-digit doubles would not,
     // and sub-0.1 ms precision is pure noise on this VM anyway
-    val qs = mins.map { case (k, v) => s"${jstr(k)}:${"%.4f".format(v)}" }
+    val qs = mins.map { case (k, v) => s"${jstr(k)}:${num("%.4f", v)}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
@@ -155,8 +171,8 @@ object Bench {
     // map): in a many-failure run the per-query error messages could
     // otherwise push the two scalars out of the 2 KB window too.
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total,"n_errors":${errors.size}}""")
-    println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"waited_s":${"%.1f".format(waitedS)},"cpus":${Runtime.getRuntime.availableProcessors()}}""")
-    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${"%.3f".format(concWall)},"sequential_total":${"%.3f".format(total)},"overlap_x":${"%.2f".format(total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
+    println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"waited_s":${num("%.1f", waitedS)},"quiet_threshold":${num("%.2f", quietThreshold)},"cpus":${Runtime.getRuntime.availableProcessors()}}""")
+    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${num("%.3f", concWall)},"sequential_total":${num("%.3f", total)},"overlap_x":${num("%.2f", total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
     spark.stop()
   }
 }

@@ -41,4 +41,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Present {
   def cardSort(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Regime guard for forced-broadcast hints on DERIVED frames (the
+    * joinAgg discipline, for frames where leaving the join declarative
+    * doesn't work): Catalyst's size-only estimator prices an aggregate
+    * at a fraction of its CHILD's size, so a vocabulary/offsets frame
+    * derived from the corpus is estimated corpus-sized and would never
+    * auto-broadcast — the hint encodes our cardinality knowledge. But an
+    * UNGUARDED hint is a hard job failure past the 8 GB broadcast limit
+    * when the frame grows with corpus geometry. This bounds the hint to
+    * the regime where it is legal: callers pass their own byte estimate
+    * (rows × conservative row width) and compare against the session's
+    * `autoBroadcastJoinThreshold`, so `SET ...threshold=-1` disables the
+    * forced hints exactly as it disables the planner's own broadcasts,
+    * and past the threshold the caller degrades to a keyed shuffle join
+    * (PlanSpec pins both regimes per call site).
+    */
+  def fitsBroadcast(spark: org.apache.spark.sql.SparkSession, estBytes: Long): Boolean = {
+    val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+    t >= 0 && estBytes <= t
+  }
 }

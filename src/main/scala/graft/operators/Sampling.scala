@@ -14,6 +14,17 @@ import graft.sources.Tables
   */
 object Sampling {
 
+  /** [[packSequences]] broadcast-estimate envelope: offsets rows =
+    * populated (lang, shard) pairs ≤ shards × languages. Languages aren't
+    * counted (that would cost a corpus scan); 512 over-covers the full
+    * ISO-639 code space, and overestimating only moves the broadcast→
+    * shuffle crossover earlier — the safe direction. */
+  private val PackLangEnvelope = 512L
+
+  /** Broadcast bytes per offsets row (lang string + 2 longs + hash-relation
+    * entry overhead), priced conservatively. */
+  private val PackOffsetRowBytes = 64L
+
   /** Keep ~`fraction` of rows, decided by the key's hash bucket:
     * xxhash64(key, seed) mod 1e6 < fraction·1e6. Same key ⇒ same verdict
     * in every run and on every replica — which also makes the sample
@@ -519,9 +530,11 @@ object Sampling {
     *   1. shard by contiguous doc_id range; per-(lang, shard) token totals
     *      are one map-side aggregate (shard-count-sized frame);
     *   2. a window over that tiny frame turns totals into per-shard
-    *      offsets, broadcast back; the full-width window then partitions
-    *      by (lang, shard) — every reducer holds one shard's sliver, and
-    *      offset + within-shard prefix = the exact global prefix.
+    *      offsets, joined back (broadcast below the session threshold,
+    *      keyed shuffle past it — see the regime note in the body); the
+    *      full-width window then partitions by (lang, shard) — every
+    *      reducer holds one shard's sliver, and offset + within-shard
+    *      prefix = the exact global prefix.
     * Result identical to the naive global window (the oracle runs exactly
     * that), with no reducer ever seeing more than `shardSize` rows.
     */
@@ -533,20 +546,44 @@ object Sampling {
       .select(col("lang"), col("doc_id"),
         coalesce(size(split(col("text"), " ")), lit(0)).as("tok"),
         floor(col("doc_id") / shardSize).as("shard"))
-    // the offsets frame is (lang × shards)-sized and about to be BROADCAST
-    // — i.e. driver-materialized wholesale — so running its prefix window
-    // over one coalesced partition costs nothing asymptotically beyond the
-    // broadcast itself and removes the window's hash exchange (one fewer
-    // AQE stage materialization per query: SinglePartition satisfies the
-    // window's ClusteredDistribution)
-    val offsets = toks.groupBy("lang", "shard")
-      .agg(sum("tok").as("shard_tok"))
-      .coalesce(1)
-      .withColumn("offset", coalesce(
-        sum("shard_tok").over(Window.partitionBy("lang").orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("lang", "shard", "offset")
-    toks.join(broadcast(offsets), Seq("lang", "shard"))
+    // REGIME-ADAPTIVE offsets distribution (Present.fitsBroadcast): the
+    // offsets frame has one row per populated (lang, shard) pair — rows
+    // grow ∝ docs/shardSize, so an unconditional broadcast hard-fails at
+    // the 8 GB limit once the corpus is large enough. The estimate prices
+    // shards from the cached doc count times a deliberately HIGH language
+    // envelope (full ISO-639 code space; overestimating langs only
+    // degrades to the shuffle regime a little early, never broadcasts big):
+    val estShardRows =
+      (Tables.cachedCount(spark, dir, "documents") / shardSize + 1) *
+        PackLangEnvelope
+    val prefixWin = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetsAgg = toks.groupBy("lang", "shard").agg(sum("tok").as("shard_tok"))
+    val joined =
+      if (Present.fitsBroadcast(spark, estShardRows * PackOffsetRowBytes)) {
+        // broadcast regime: the frame is about to be driver-materialized
+        // wholesale anyway, so running its prefix window over one coalesced
+        // partition costs nothing asymptotically beyond the broadcast
+        // itself and removes the window's hash exchange (one fewer AQE
+        // stage materialization: SinglePartition satisfies the window's
+        // ClusteredDistribution)
+        val offsets = offsetsAgg.coalesce(1)
+          .withColumn("offset", coalesce(sum("shard_tok").over(prefixWin), lit(0L)))
+          .select("lang", "shard", "offset")
+        toks.join(broadcast(offsets), Seq("lang", "shard"))
+      } else {
+        // shuffle regime: the window keeps its natural per-lang hash
+        // exchange (per-lang shard lists are window-sized, not corpus-
+        // sized) and the join back is keyed on (lang, shard) — the
+        // documents side shuffles once, and the downstream per-(lang,
+        // shard) window reuses that exact clustering with no extra
+        // exchange
+        val offsets = offsetsAgg
+          .withColumn("offset", coalesce(sum("shard_tok").over(prefixWin), lit(0L)))
+          .select("lang", "shard", "offset")
+        toks.join(offsets, Seq("lang", "shard"))
+      }
+    joined
       .withColumn("prefix", col("offset") + coalesce(
         sum("tok").over(Window.partitionBy("lang", "shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

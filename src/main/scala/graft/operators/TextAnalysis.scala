@@ -15,6 +15,12 @@ import graft.sources.{SessionCache, Tables}
   */
 object TextAnalysis {
 
+  /** Conservative broadcast-bytes-per-row for the unigram log-prob table
+    * (token string + DECIMAL(18,6) + hash-relation entry overhead) — the
+    * [[Present.fitsBroadcast]] estimate behind [[lmScoredBuild]]'s regime
+    * switch. */
+  private val LpRowBytes = 96L
+
   private def words(text: Column): Column = split(text, " ")
 
   /** F9 — corpus statistics per language: doc count, total whitespace
@@ -358,6 +364,17 @@ object TextAnalysis {
 
   /** The uncached builder behind [[lmScored]] (PlanSpec pins ITS shape —
     * the cached consumers read a checkpoint leaf).
+    *
+    * Scale: the token→log-prob table is VOCABULARY-sized, and a Heaps-law
+    * vocabulary at 100 TB can reach 10⁸⁺ terms — an unconditional
+    * `broadcast(lp)` would hard-fail the job at the 8 GB broadcast limit.
+    * Regime-adaptive instead ([[Present.fitsBroadcast]]): the vocab frame
+    * is already an eager localCheckpoint, so its exact row count is one
+    * cheap job over in-memory partitions; below the session broadcast
+    * threshold the scoring join broadcasts (zero doc-term shuffle, the
+    * bench-scale plan), past it the SAME code degrades to a token-keyed
+    * shuffle join — each exchange carries only (token, c) / (token, lp)
+    * columns. Both regimes PlanSpec-pinned with answer equality.
     */
   private[graft] def lmScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
@@ -372,7 +389,12 @@ object TextAnalysis {
       .select(col("token"),
         round(log(col("cnt").cast("double") / col("tot").cast("double")), 6)
           .cast("decimal(18,6)").as("lp"))
-    docTerm.join(broadcast(lp), Seq("token"))
+    // ~96 B/row prices the broadcast hash relation conservatively:
+    // avg token string + 8 B decimal + map entry overhead
+    val lpSide =
+      if (Present.fitsBroadcast(spark, vocab.count() * LpRowBytes)) broadcast(lp)
+      else lp
+    docTerm.join(lpSide, Seq("token"))
       .groupBy("doc_id", "lang")
       .agg(sum("c").as("n_tokens"),
         sum(col("c") * col("lp")).as("lpsum"))

@@ -158,11 +158,27 @@ object Tables {
     * view pinned to a stale listing.
     */
   def sqlRef(s: SparkSession, d: String, name: String): String = {
-    val view = s"graft_${name}_${java.lang.Integer.toHexString(d.hashCode)}"
+    val view = s"graft_${name}_${dirTag(d)}"
     val df = if (name == "events") events(s, d) else apply(s, d, name)
     df.createOrReplaceTempView(view)
     view
   }
+
+  /** Collision-free dir suffix for [[sqlRef]] view names: 12 hex chars of
+    * SHA-256 over the path — the same discipline as the on-disk index
+    * version ids. `String.hashCode` (32-bit, trivially collidable) here
+    * would let two distinct sf dirs in one session silently alias each
+    * other's temp views — the string-collision bug class that bit the
+    * index-family naming (r11) and the cache-prefix eviction (r13).
+    * Memoized: sqlRef runs once per `spark.sql` query BUILD, so the digest
+    * (µs-scale) is off the per-build path after the first call per dir.
+    */
+  private val dirTags = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dirTag(d: String): String =
+    dirTags.computeIfAbsent(d, dir =>
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString)
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

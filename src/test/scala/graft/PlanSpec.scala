@@ -13,6 +13,24 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** Force the over-threshold regime (both the static planner threshold
+    * and AQE's runtime one) for the duration of `body` — how every
+    * "degrades to a keyed shuffle join at 100× scale" pin simulates the
+    * corpus outgrowing the broadcast limit. */
+  private def withBroadcastDisabled[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("filterEq pushes both equality predicates into the parquet scan") {
     val p = plan(Relational.filterEq(spark, sf))
     assert(p.contains("EqualTo(o_orderstatus,F)"))
@@ -356,6 +374,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast back")
   }
 
+  test("packSequences over the broadcast threshold degrades to a keyed shuffle join") {
+    // the offsets frame grows ∝ docs/shardSize — past the broadcast limit
+    // the regime guard (Present.fitsBroadcast) must swap the forced
+    // broadcast for a (lang, shard)-keyed shuffle join and keep the
+    // offsets prefix window on its natural per-lang hash exchange
+    val base = graft.operators.Sampling.packSequences(spark, sf).collect().toSeq
+    withBroadcastDisabled {
+      val df = graft.operators.Sampling.packSequences(spark, sf)
+      val p = plan(df)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+        s"over-threshold offsets join must be a keyed shuffle join:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "no broadcast may survive with the threshold disabled")
+      // the corpus-width running sum must STILL partition by (lang, shard)
+      p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(lang") &&
+          !l.contains("shard")).foreach { l =>
+        assert(l.contains("shard_tok"),
+          s"corpus-width window not shard-partitioned under shuffle regime: $l")
+      }
+      assert(df.collect().toSeq == base,
+        "both regimes must produce the identical packing manifest")
+    }
+  }
+
   test("dedupSimhashPairs never re-evaluates the fingerprint fold (no HOF in plan)") {
     val p = plan(graft.operators.Dedup.dedupSimhashPairs(spark, sf))
     // the fingerprint frame is a localCheckpoint artifact, so the compiled
@@ -573,6 +617,25 @@ class PlanSpec extends SparkSpec {
     // the vocab side is checkpointed so nothing triples
     assert("documents\\.parquet".r.findAllIn(p).size <= 2,
       "only the two deliberate passes may appear")
+  }
+
+  test("lm score builder over the broadcast threshold degrades to a token-keyed shuffle join") {
+    // a Heaps-law vocabulary at 100 TB outgrows the broadcast limit; the
+    // regime guard must swap the forced lp broadcast for a token-keyed
+    // shuffle join (the 1-row total frame stays a forced broadcast — a
+    // card-sized frame is always legal)
+    val base = graft.operators.TextAnalysis.lmScoredBuild(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    withBroadcastDisabled {
+      val df = graft.operators.TextAnalysis.lmScoredBuild(spark, sf)
+      val p = plan(df)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+        s"over-threshold token join must be a keyed shuffle join:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin"),
+        "the vocabulary log-prob table must not broadcast past the threshold")
+      assert(df.orderBy("doc_id").collect().toSeq == base,
+        "both regimes must produce identical per-doc scores")
+    }
   }
 
   test("lmQuality reads the session score artifact — no corpus scan per query") {

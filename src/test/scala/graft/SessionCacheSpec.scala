@@ -65,4 +65,27 @@ class SessionCacheSpec extends SparkSpec {
     assert(inner == 24 && outer == 24,
       s"each level must build exactly once per key (inner=$inner outer=$outer)")
   }
+
+  test("sqlRef view names are collision-free across dirs (SHA suffix, not hashCode)") {
+    // "Aa" and "BB" share a String.hashCode — under the old
+    // Integer.toHexString(d.hashCode) suffix these two dirs mapped to the
+    // SAME temp-view name, silently aliasing each other's corpus in one
+    // session (the r11/r13 string-collision bug class).
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlref")
+    val dirs = Seq("Aa", "BB").map { leaf =>
+      val d = base.resolve(leaf)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, "region.parquet"),
+        d.resolve("region.parquet"))
+      d.toString
+    }
+    assert(dirs(0).hashCode == dirs(1).hashCode,
+      "test premise: the two dirs must collide on String.hashCode")
+    val views = dirs.map(d => graft.sources.Tables.sqlRef(spark, d, "region"))
+    assert(views.distinct.size == 2,
+      s"colliding dirs must get distinct view names, got $views")
+    // and each view serves ITS dir's plan, not the other's
+    views.foreach(v => assert(spark.table(v).count() == 5))
+  }
 }
