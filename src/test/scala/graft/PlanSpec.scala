@@ -363,11 +363,9 @@ class PlanSpec extends SparkSpec {
     // whole-corpus-in-5-reducers skew the two-phase scan exists to avoid.
     // The offsets window (lang-only) is legal: it runs over the
     // shard-count-sized aggregate, below the broadcast join.
-    val fullWidth = p.linesIterator.filter(l =>
+    p.linesIterator.filter(l =>
       l.contains("Window") && l.contains("windowspecdefinition(lang") &&
-        !l.contains("shard"))
-    // any lang-only window must sit on the aggregated (shard_tok) frame
-    fullWidth.foreach { l =>
+        !l.contains("shard")).foreach { l =>
       assert(l.contains("shard_tok"),
         s"corpus-width window not shard-partitioned: $l")
     }
