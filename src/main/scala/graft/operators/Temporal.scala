@@ -56,7 +56,8 @@ object Temporal {
     * hash aggregate.
     * Scale: one shuffle on user_id; the window is a streaming scan per
     * group (lag/cumsum need no buffering). The streaming twin is
-    * `session_window` in Structured Streaming.
+    * [[graft.streaming.Streams.sessionWindows]] (`session_window`), with
+    * a StreamingSpec pin that replayed events converge to this card.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -85,6 +85,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows replayed out-of-order converges to the batch sessionize card") {
+    // the q_sessionize twin pin: the SAME events, replayed through the
+    // stream in two shuffled micro-batches, must close exactly the
+    // sessions the batch operator derives — same per-(user, start) event
+    // counts, with session_window's end = batch end + the 30-min gap
+    // (end-exclusive window vs the batch max(ts); gaps of exactly 30 min
+    // split in the stream and merge in batch by construction, so the
+    // fixture stays off that boundary).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200L
+    // three users, planted irregular sessions (gap <30m merges, >30m splits)
+    val planted = Seq(
+      // user 1: [t0, t0+1700] ×3, then [t0+4000, t0+4200] ×2
+      Event(10, ts(t0), 1, "a", 1.0),
+      Event(11, ts(t0 + 900), 1, "b", 1.0),
+      Event(12, ts(t0 + 1700), 1, "c", 1.0),
+      Event(13, ts(t0 + 4000), 1, "d", 1.0),
+      Event(14, ts(t0 + 4200), 1, "e", 1.0),
+      // user 2: one lone event
+      Event(20, ts(t0 + 120), 2, "a", 1.0),
+      // user 3: two sessions split by a 31-min gap
+      Event(30, ts(t0 + 60), 3, "a", 1.0),
+      Event(31, ts(t0 + 60 + 1860), 3, "b", 1.0))
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sess_conv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // shuffled within each micro-batch (out-of-order arrival inside the
+      // watermark), early half then late half across batches
+      val (early, late) = planted.partition(_.ts.getTime / 1000L < t0 + 2000)
+      mem.addData(scala.util.Random.shuffle(early): _*)
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(late): _*)
+      q.processAllAvailable()
+      // sentinel far ahead pushes the watermark so every session closes
+      mem.addData(Event(99, ts(t0 + 86400), 9, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_conv " +
+          "WHERE user_id < 9")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L) ->
+          (r.getTimestamp(2).getTime / 1000L, r.getLong(3))).toMap
+      // batch card over the identical rows
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sessconv").toString
+      planted.map(e => (e.event_id, e.ts.getTime / 1000L, e.user_id,
+          e.event_type, e.value))
+        .toDF("event_id", "ep", "user_id", "event_type", "value")
+        .select(col("event_id"), timestamp_seconds(col("ep")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      try {
+        val batch = graft.operators.Temporal.sessionize(spark, tmp).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(3).getTime / 1000L) ->
+            (r.getTimestamp(4).getTime / 1000L, r.getLong(2))).toMap
+        assert(streamed.keySet == batch.keySet,
+          s"same (user, session_start) set; streamed=$streamed batch=$batch")
+        batch.foreach { case (k, (bEnd, bN)) =>
+          val (sEnd, sN) = streamed(k)
+          assert(sN == bN, s"$k: event count $sN != batch $bN")
+          assert(sEnd == bEnd + 1800L,
+            s"$k: stream end $sEnd != batch end $bEnd + 30min")
+        }
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
