@@ -588,30 +588,31 @@ class AnnIndexSpec extends SparkSpec {
       "index cells must equal a fresh two-level dispatch")
   }
 
-  test("recall@10 in the two-level regime: probes-mode assignment costs no recall vs exact") {
+  // r14 verdict #2 → r15/r16 measurement: probes-mode two-level assignment
+  // agrees ~92% with the flat argmax on uniform-random codebooks, and the
+  // defense ("assignment is a partitioning choice; query-time nprobe
+  // recovers it") was an argument without a number — no recall measurement
+  // existed on a corpus ABOVE the 64-pivot threshold. This harness IS that
+  // measurement: n vectors → k = √n > TwoLevelMinPivots, clustered with
+  // enough per-dim noise that true neighbors straddle cell boundaries —
+  // the regime where a wrong coarse assignment would actually surface as
+  // lost neighbors. Both assignment modes build their own inverted file
+  // (assignTag keys the store), both serve the same 5-query batch, and
+  // recall@10 is scored against the exact brute-force top-10. Floors are
+  // shared across fixtures; per-fixture means live in BASELINE.md.
+  private def twoLevelRecallHarness(
+      d: Int, n: Long, nCenters: Int, noise: Double, label: String): Unit = {
     import spark.implicits._
     import graft.operators.Similarity
-    // r14 verdict #2: probes-mode two-level assignment agrees ~92% with the
-    // flat argmax on uniform-random codebooks, and the defense ("assignment
-    // is a partitioning choice; query-time nprobe recovers it") was an
-    // argument without a number — no recall measurement existed on a corpus
-    // ABOVE the 64-pivot threshold. This fixture IS that measurement:
-    // 6,000 vectors → k = 77 > TwoLevelMinPivots, clustered with enough
-    // noise (0.35 σ on unit centers) that true neighbors straddle cell
-    // boundaries — the regime where a wrong coarse assignment would
-    // actually surface as lost neighbors. Both assignment modes build
-    // their own inverted file (assignTag keys the store), both serve the
-    // same 5-query batch, and recall@10 is scored against the exact
-    // brute-force top-10.
     val rnd = new scala.util.Random(47)
     def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
     }
-    val centers = Seq.fill(100)(unit(Array.fill(16)(rnd.nextGaussian())))
-    val corpus = Files.createTempDirectory("ann_twolevel_recall").toString
-    (0L until 6000L).map { i =>
-      val c = centers(rnd.nextInt(100))
-      (i, unit(c.map(_ + 0.35 * rnd.nextGaussian())).map(_.toFloat).toSeq)
+    val centers = Seq.fill(nCenters)(unit(Array.fill(d)(rnd.nextGaussian())))
+    val corpus = Files.createTempDirectory(s"ann_twolevel_recall_$label").toString
+    (0L until n).map { i =>
+      val c = centers(rnd.nextInt(nCenters))
+      (i, unit(c.map(_ + noise * rnd.nextGaussian())).map(_.toFloat).toSeq)
     }.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
 
@@ -636,7 +637,8 @@ class AnnIndexSpec extends SparkSpec {
     val probes = recallUnder("probes")
     val exactMode = recallUnder("exact")
     def mean(m: Map[Long, Double]) = m.values.sum / m.size
-    info(s"two-level recall@10 per qid — probes: ${probes.toSeq.sortBy(_._1)}, " +
+    info(s"[$label d=$d n=$n] two-level recall@10 per qid — " +
+      s"probes: ${probes.toSeq.sortBy(_._1)}, " +
       s"exact: ${exactMode.toSeq.sortBy(_._1)} " +
       s"(mean probes=${mean(probes)}, exact=${mean(exactMode)})")
     // the measured consequence, pinned both ways (numbers in BASELINE.md):
@@ -653,6 +655,28 @@ class AnnIndexSpec extends SparkSpec {
       s"probes-mode mean recall@10 ${mean(probes)} below the measured-regime floor")
     probes.foreach { case (q, r) =>
       assert(r >= 0.5, s"qid=$q probes-mode recall@10 $r below floor") }
+  }
+
+  test("recall@10 in the two-level regime: probes-mode assignment costs no recall vs exact") {
+    // 16-d / 6,000 vectors → k = 77: the r15 fixture (measured 2026-08-15:
+    // mean probes=0.88 vs exact=0.86 — probes-mode slightly ABOVE, its
+    // different cell boundaries happen to keep one more straddling
+    // neighbor; the shared ~0.87 residual is the nprobe width tradeoff,
+    // not the assignment mode). Noise 0.35 σ/dim on unit centers.
+    twoLevelRecallHarness(d = 16, n = 6000L, nCenters = 100,
+      noise = 0.35, label = "d16")
+  }
+
+  test("recall@10 at testdata geometry (64-d, 20k vectors): probes-mode still costs no recall") {
+    // r15 verdict #4: the 16-d fixture proves the mechanism, but the
+    // driver corpus the engine actually serves is 64-d — re-pin the
+    // "probes-mode costs no recall" claim in that dimension, on a corpus
+    // 3× larger (k = √20000 = 141 pivots, deeper two-level tree). Per-dim
+    // noise scales 1/√(d/16) (0.35→0.175) so the noise NORM — what makes
+    // neighbors straddle cells — matches the 16-d fixture's hardness
+    // instead of swamping the cluster structure entirely.
+    twoLevelRecallHarness(d = 64, n = 20000L, nCenters = 200,
+      noise = 0.175, label = "d64")
   }
 
   test("flipMasks: combinatorial generation equals the key-space scan, sized C(bits,f)") {
