@@ -220,6 +220,11 @@ object Analytics {
       if (approx) approx_count_distinct(col(c), rsd = 0.05)
       else countDistinct(col(c))
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    // NO spread here (A/B'd r16): the single-file local scan runs the
+    // Expand in one task, but a round-robin repartition would shuffle the
+    // full row payload (props strings dominate) and measured SLOWER than
+    // the single-task expand. On a real multi-file corpus the scan
+    // parallelism comes free.
     val agg = Tables.events(spark, dir).agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
