@@ -255,9 +255,8 @@ object Sampling {
     * ≤ |sources| × 1e6 rows (trunc6-quantized quality), gated like the
     * other corpus-row-bounded artifacts.
     */
-  private def capHist(spark: SparkSession, dir: String): DataFrame = {
+  private def capHist(spark: SparkSession, dir: String, dfp: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfp = SessionCache.dirFingerprint(spark, dir)
     SessionCache.cachedBounded(spark, "cap_hist", dir, dfp,
       Tables.cachedCount(spark, dir, "documents", dfp)) {
       val v = keptVerdicts(spark, dir)
@@ -267,6 +266,30 @@ object Sampling {
       hist.withColumn("cum", sum("c").over(wCum))
     }
   }
+
+  /** [[capHist]]'s row count, cached per (app, corpus version) — ONE
+    * in-memory count over the checkpointed artifact per generation (the
+    * Dedup cachedLong discipline, family marker `caphist`), feeding the
+    * regime guard on the per-source card broadcasts: SOURCES grow with
+    * the corpus (web domains at 100 TB), so boundary/tie frames can't
+    * carry unconditional broadcast hints any more than the lm vocabulary
+    * could. Boundary/tie rows ≤ sources ≤ histogram rows, making this an
+    * upper bound in the safe direction.
+    */
+  private val capHistCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def capHistRows(
+      spark: SparkSession, dir: String, dfp: String, histC: => DataFrame): Long = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|caphist"
+    val key = s"$prefix|$dfp"
+    if (capHistCounts.keySet.removeIf(k => k.startsWith(s"$prefix|") && k != key))
+      Tables.invalidate(dir)
+    capHistCounts.computeIfAbsent(key, _ => histC.count())
+  }
+
+  /** Conservative broadcast bytes per per-source card row (source string
+    * + two numbers + hash-relation entry overhead). */
+  private val CapCardRowBytes = 64L
 
   // ≤1 boundary row per source: the quality the cap splits + how many of
   // that quality's docs still fit
@@ -317,7 +340,16 @@ object Sampling {
         col(scoreCol)).as("__cut"))
       .select(col("__g"), col("__cut.s").as("__q"),
         col("__cut.take").as("__take"))
-    val joined = df.join(broadcast(cutoff), col(groupCol) <=> col("__g"))
+    // cutoff is ≤1 row per GROUP, and the group domain can grow with the
+    // corpus (sources = web domains) — same regime guard as domainCap's
+    // card frames; the histogram is an eager checkpoint so the exact
+    // count is one in-memory pass (this combinator is a build-path API,
+    // not a bench query, so the count isn't cached)
+    val cutoffSide =
+      if (Present.fitsBroadcast(df.sparkSession, histC.count() * CapCardRowBytes))
+        broadcast(cutoff)
+      else cutoff
+    val joined = df.join(cutoffSide, col(groupCol) <=> col("__g"))
     val above = joined.where(col(scoreCol) > col("__q"))
     val wTie = Window.partitionBy(groupCol).orderBy(keyCol)
     val tieKept = joined.where(col(scoreCol) === col("__q"))
@@ -340,10 +372,20 @@ object Sampling {
 
   def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dfp = SessionCache.dirFingerprint(spark, dir)
     val v = keptVerdicts(spark, dir)
     // histogram-sized from here down (≤ |sources| × 1e6 rows)
-    val histC = capHist(spark, dir)
+    val histC = capHist(spark, dir, dfp)
     val boundary = capBoundary(histC, cap)
+    // REGIME GUARD (r16 self-audit): boundary/tie are ≤1 row per SOURCE,
+    // and sources grow with the corpus — web domains at 100 TB — so the
+    // hints are bounded to the broadcast-legal regime exactly like the lm
+    // vocabulary; past it the SAME plan degrades to source-keyed shuffle
+    // joins and the final card keeps a global sort instead of the
+    // single-partition cardSort (whose contract is answer-SIZED output).
+    val cardRegime = Present.fitsBroadcast(
+      spark, capHistRows(spark, dir, dfp, histC) * CapCardRowBytes)
+    def side(df: DataFrame) = if (cardRegime) broadcast(df) else df
     val perSrc = histC.groupBy("source").agg(
       sum("c").as("n_docs"),
       // buckets whose every doc ranks past the cap: dropped wholesale,
@@ -354,12 +396,12 @@ object Sampling {
       // the oracle's MIN(q) FILTER (rn <= cap)
       min(when(col("cum") - col("c") < cap, col("q"))).as("q_boundary"))
     val wTie = Window.partitionBy("source").orderBy("doc_id")
-    val tie = v.join(broadcast(boundary),
+    val tie = v.join(side(boundary),
         col("source") <=> col("__s") && col("q") === col("__q"))
       .withColumn("__rk", row_number().over(wTie))
       .where(col("__rk") > col("__take"))
       .groupBy("source").agg(sum("nw").as("tok_tie"))
-    perSrc.join(broadcast(tie), Seq("source"), "left")
+    val card = perSrc.join(side(tie), Seq("source"), "left")
       .select(
         col("source"),
         col("n_docs"),
@@ -368,7 +410,8 @@ object Sampling {
         (col("tok_below") + coalesce(col("tok_tie"), lit(0L)))
           .as("tokens_dropped"),
         col("q_boundary"))
-      .transform(Present.cardSort(_, col("source")))
+    if (cardRegime) Present.cardSort(card, col("source"))
+    else card.orderBy("source")
   }
 
   /** Training shard count for [[shuffleShards]] / [[writeTrainingShards]].

@@ -80,16 +80,21 @@ object Tracking {
     * ever emitted an 'error'.
     * Reference: manual 5-table cascade DELETE,
     * /root/reference/waddle/_dashboard_api.py:237-249.
-    * Scale: victims is a distinct-key set (small) → broadcast anti-join; the
-    * fact table never shuffles. The same victims frame anti-joins each child
-    * table — one broadcast reused across the cascade.
+    * Scale: REGIME-ADAPTIVE, no hint (r16 self-audit — victims is a
+    * distinct USER set, which grows with the corpus, so a forced
+    * broadcast is the same 8 GB-limit hazard joinAgg shed in r15):
+    * below the threshold the planner broadcasts the victim set and the
+    * fact table never shuffles (pinned at bench scale); past it the SAME
+    * plan degrades to a user-keyed shuffle anti-join whose exchanges
+    * carry only user_id, with the predicate still pushed to the scan
+    * (over-threshold regime PlanSpec-pinned, answer equality included).
     */
   def deleteCascade(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
     val victims = events
       .where(col("event_type") === "error" && col("value") > 150.0)
       .select("user_id").distinct()
-    events.join(broadcast(victims), Seq("user_id"), "left_anti")
+    events.join(victims, Seq("user_id"), "left_anti")
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }

@@ -136,6 +136,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"))
   }
 
+  test("deleteCascade broadcasts the victim set at bench scale, degrades keyed past the threshold") {
+    // r16 self-audit: victims is a distinct USER set — corpus-growing —
+    // so the operator carries no hint; this pins that the declarative
+    // plan still broadcasts in the regime where broadcast is right...
+    val df = graft.operators.Tracking.deleteCascade(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"),
+      s"bench-scale victim set must broadcast:\n${p.take(1500)}")
+    // ...and that past the threshold it degrades to a user-keyed shuffle
+    // anti-join with the predicate still pushed to the victims scan
+    val base = df.collect().toSeq
+    withBroadcastDisabled {
+      val over = graft.operators.Tracking.deleteCascade(spark, sf)
+      val po = plan(over)
+      assert("SortMergeJoin.*LeftAnti|ShuffledHashJoin.*LeftAnti".r.findFirstIn(po).nonEmpty,
+        s"over-threshold anti-join must be keyed, plan:\n${po.take(2000)}")
+      assert(!po.contains("BroadcastHashJoin") && !po.contains("BroadcastNestedLoopJoin"))
+      assert(po.contains("EqualTo(event_type,error)"),
+        "victim predicate must stay pushed into the scan under the keyed regime")
+      assert(over.collect().toSeq == base,
+        "both regimes must return the identical survivor set")
+    }
+  }
+
   test("antijoinAbsent over the broadcast threshold degrades to a keyed SMJ anti-join") {
     // at 100 TB the lineitem key set cannot broadcast (the sf0.1 build of
     // the hash set is already 600 k keys, ×3.4 under 10× data) — the
@@ -370,6 +394,24 @@ class PlanSpec extends SparkSpec {
         s"corpus-width window not shard-partitioned: $l")
     }
     assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast back")
+  }
+
+  test("domainCap over the broadcast threshold degrades to source-keyed shuffle joins") {
+    // boundary/tie are ≤1 row per source and sources grow with the corpus
+    // (web domains) — past the limit the guard must drop the hints AND the
+    // single-partition card sort (answer-sized no longer holds), keeping a
+    // global source sort instead
+    val base = graft.operators.Sampling.domainCap(spark, sf, 7).collect().toSeq
+    withBroadcastDisabled {
+      val df = graft.operators.Sampling.domainCap(spark, sf, 7)
+      val p = plan(df)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+        s"over-threshold card joins must be keyed:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+      assert(df.collect().toSeq == base,
+        "both regimes must produce the identical per-source card")
+    }
   }
 
   test("packSequences over the broadcast threshold degrades to a keyed shuffle join") {
