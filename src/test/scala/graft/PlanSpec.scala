@@ -396,6 +396,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "shard offsets must broadcast back")
   }
 
+  test("fitsBroadcast follows the session threshold, unit strings and -1 included") {
+    import graft.operators.Present
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+      assert(Present.fitsBroadcast(spark, 1024L * 1024))
+      assert(!Present.fitsBroadcast(spark, 1024L * 1024 + 1))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Present.fitsBroadcast(spark, 1L),
+        "disabled threshold must disable every guarded forced hint too")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("domainCap over the broadcast threshold degrades to source-keyed shuffle joins") {
     // boundary/tie are ≤1 row per source and sources grow with the corpus
     // (web domains) — past the limit the guard must drop the hints AND the
