@@ -325,6 +325,37 @@ class SamplingAggSpec extends SparkSpec {
       "keep set must be exactly the per-source quality-ranked cap")
   }
 
+  test("domainCap rebuilds its cached histogram after a corpus mutation") {
+    // the recurring bug class (bit in r13/r14): a fingerprint-keyed cache
+    // that detects a corpus mutation MUST drop the catalog's pinned file
+    // listing before recomputing — and the new cap_hist artifact + its
+    // cached row count both carry that discipline. Append a brand-new
+    // source and assert the card (and the regime-guard count behind it)
+    // see the post-mutation corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_caphist_mut").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.parquet(s"$tmp/documents.parquet")
+    try {
+      val before = Sampling.domainCap(spark, tmp, 7).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+      assert(!before.contains("mutant.example"))
+      // append: same texts under a NEW source, ids shifted clear
+      docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("source", lit("mutant.example"))
+        .write.mode("append").parquet(s"$tmp/documents.parquet")
+      val after = Sampling.domainCap(spark, tmp, 7).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+      assert(after.contains("mutant.example"),
+        s"post-append card must include the new source, got ${after.keySet}")
+      // pre-existing sources unchanged — the rebuild read a superset, not
+      // a stale or doubled listing
+      before.foreach { case (src, n) =>
+        assert(after(src) == n, s"$src: $n -> ${after(src)} (stale or doubled)")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("capGroups == naive top-cap under ties, bucket edges, and small groups") {
     import spark.implicits._
     // group a: tie bucket straddles the cap (three 2.0-scores, cap cuts
