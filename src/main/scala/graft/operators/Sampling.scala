@@ -327,6 +327,21 @@ object Sampling {
     val wCum = Window.partitionBy(groupCol).orderBy(desc(scoreCol))
     val histC = hist.withColumn("__cum", sum("__c").over(wCum))
       .localCheckpoint(true)
+    // the histogram is an eager checkpoint, so the exact row count for
+    // the cutoff's regime guard is one in-memory pass (this generic
+    // combinator is a build-path API, not a bench query — no count cache)
+    capGroupsFrom(df, histC, histC.count(), groupCol, scoreCol, keyCol, cap)
+  }
+
+  /** [[capGroups]] with the cumulative histogram (and its row count for
+    * the regime guard) supplied by the caller — how [[domainCapKeep]]
+    * reuses the session-cached [[capHist]] artifact instead of
+    * re-materializing its own checkpoint per call. `histC` must carry
+    * (groupCol, scoreCol, __c, __cum). */
+  private def capGroupsFrom(
+      df: DataFrame, histC: DataFrame, histRows: Long,
+      groupCol: String, scoreCol: String, keyCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // one CUTOFF row per group, ALWAYS: the lowest score contributing a
     // kept row, plus how many of that score's rows still fit (== the
     // whole bucket when it sits fully inside the cap)
@@ -342,11 +357,9 @@ object Sampling {
         col("__cut.take").as("__take"))
     // cutoff is ≤1 row per GROUP, and the group domain can grow with the
     // corpus (sources = web domains) — same regime guard as domainCap's
-    // card frames; the histogram is an eager checkpoint so the exact
-    // count is one in-memory pass (this combinator is a build-path API,
-    // not a bench query, so the count isn't cached)
+    // card frames
     val cutoffSide =
-      if (Present.fitsBroadcast(df.sparkSession, histC.count() * CapCardRowBytes))
+      if (Present.fitsBroadcast(df.sparkSession, histRows * CapCardRowBytes))
         broadcast(cutoff)
       else cutoff
     val joined = df.join(cutoffSide, col(groupCol) <=> col("__g"))
@@ -366,9 +379,17 @@ object Sampling {
     * quantization the histogram needs), NULL-text docs rank last via
     * quality −1.
     */
-  def domainCapKeep(spark: SparkSession, dir: String, cap: Int = 15): DataFrame =
-    capGroups(keptVerdicts(spark, dir), "source", "q", "doc_id", cap)
+  def domainCapKeep(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val histC = capHist(spark, dir, dfp)
+    capGroupsFrom(
+      keptVerdicts(spark, dir),
+      histC.select(col("source"), col("q"),
+        col("c").as("__c"), col("cum").as("__cum")),
+      capHistRows(spark, dir, dfp, histC),
+      "source", "q", "doc_id", cap)
       .select("doc_id")
+  }
 
   def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
