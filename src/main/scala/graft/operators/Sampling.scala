@@ -79,7 +79,19 @@ object Sampling {
     * string equals unsigned byte order of the digest; the first 3 hex
     * chars give the same 4096-bucket histogram the old bit-shift did.
     */
-  def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+  def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame =
+    balanceStrata(df, strataCol, keyCol, strataBoundary(df, strataCol, keyCol))
+
+  /** The boundary card [[balanceStrata]] broadcasts back — EXACTLY one row
+    * per stratum: the histogram bucket holding the floor_n-th smallest
+    * hash plus how many of that bucket's rows still fit. Split out so a
+    * corpus-keyed caller ([[sampleDocuments]]) can pin it as a session
+    * artifact: it is a pure function of (corpus, strataCol, keyCol), its
+    * build is the only whole-corpus aggregate in the balanced sample, and
+    * every probe of the same corpus version re-derives the identical card.
+    */
+  private[graft] def strataBoundary(
+      df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
     val hash = md5(col(keyCol).cast("string"))
     val bucket = substring(hash, 1, 3)
     val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
@@ -93,7 +105,7 @@ object Sampling {
     // the same one Present.cardSort makes). The corpus itself is
     // aggregated exactly once.
     val wCum = Window.partitionBy(strataCol).orderBy("__b")
-    val boundary = withB
+    withB
       .groupBy(col(strataCol), col("__b")).agg(count(lit(1)).as("__c"))
       .coalesce(1)
       .withColumn("__cum", sum("__c").over(wCum))
@@ -103,6 +115,16 @@ object Sampling {
         col("__cum") >= col("__floor_n"))
       .select(col(strataCol).as("__s"), col("__b").as("__bb"),
         (col("__floor_n") - (col("__cum") - col("__c"))).as("__take"))
+  }
+
+  /** [[balanceStrata]] with the boundary card supplied by the caller
+    * (freshly derived or a session artifact — same values either way). */
+  private[graft] def balanceStrata(
+      df: DataFrame, strataCol: String, keyCol: String,
+      boundary: DataFrame): DataFrame = {
+    val hash = md5(col(keyCol).cast("string"))
+    val bucket = substring(hash, 1, 3)
+    val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
 
     // one pass over the data: keep everything below the boundary bucket,
     // rank only inside it — (stratum, bucket) partitioning has no skew
@@ -122,11 +144,24 @@ object Sampling {
     * the md5 selection key makes the exact member set expressible as a
     * DuckDB window query, so the per-language card is hash-matched, not
     * rows-only (plus the invariants SamplingAggSpec pins).
+    *
+    * The boundary card (≤ 1 row per language) is a session artifact keyed
+    * on the corpus fingerprint: its build is the balanced sample's only
+    * whole-corpus aggregate, so caching it halves the corpus scans of
+    * every subsequent probe at any data size — the capHist / verdictFrame
+    * discipline. Correctness is unchanged (the card is a pure function of
+    * the corpus; a mutated dir fingerprints to a fresh artifact).
     */
-  def sampleDocuments(spark: SparkSession, dir: String): DataFrame =
-    balanceStrata(Tables.documents(spark, dir), "lang", "doc_id")
+  def sampleDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val boundary = SessionCache.cached(
+      spark, "balance_boundary_lang_doc_id", dir, dfp)(
+      strataBoundary(docs, "lang", "doc_id"))
+    balanceStrata(docs, "lang", "doc_id", boundary)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .transform(Present.cardSort(_, col("lang")))
+  }
 
   /** Deterministic train/val/test assignment — the split every training
     * pipeline needs, as a pure function of the row key so it is stable
@@ -186,11 +221,18 @@ object Sampling {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         coalesce(size(split(col("text"), " ")), lit(0)).cast("double").as("tok"))
-    val bounds = toks.groupBy("lang")
-      .agg(percentile(col("tok"),
-        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
-      .select(col("lang"), col("qs").getItem(0).as("q1"),
-        col("qs").getItem(1).as("q2"), col("qs").getItem(2).as("q3"))
+    // the quartile-edge card (≤ 1 row per language) is a session artifact:
+    // its exact-percentile build is one of this query's two corpus scans,
+    // and the edges are a pure function of the corpus — every probe of the
+    // same corpus version shares one build (the strataBoundary discipline)
+    val bounds = SessionCache.cached(spark, "length_bins_bounds", dir,
+      SessionCache.dirFingerprint(spark, dir)) {
+      toks.groupBy("lang")
+        .agg(percentile(col("tok"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("lang"), col("qs").getItem(0).as("q1"),
+          col("qs").getItem(1).as("q2"), col("qs").getItem(2).as("q3"))
+    }
     toks.join(broadcast(bounds), Seq("lang"))
       .withColumn("bin",
         when(col("tok") <= col("q1"), 0)
@@ -629,13 +671,27 @@ object Sampling {
     // shards from the cached doc count times a deliberately HIGH language
     // envelope (full ISO-639 code space; overestimating langs only
     // degrades to the shuffle regime a little early, never broadcasts big):
+    val dfp = SessionCache.dirFingerprint(spark, dir)
     val estShardRows =
-      (Tables.cachedCount(spark, dir, "documents") / shardSize + 1) *
+      (Tables.cachedCount(spark, dir, "documents", dfp) / shardSize + 1) *
         PackLangEnvelope
     val prefixWin = Window.partitionBy("lang").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsetsAgg = toks.groupBy("lang", "shard").agg(sum("tok").as("shard_tok"))
-    val joined =
+    // the per-(lang, shard) offsets frame is a session artifact keyed on
+    // (corpus version, shardSize) — budget-independent, like capHist is
+    // cap-independent: its build is one of the query's two corpus
+    // aggregates and the values are a pure function of the corpus, so
+    // every pack probe and bench lap shares one build. Rows ∝
+    // docs/shardSize, hence the cachedBounded gate (same envelope
+    // argument as estShardRows); past the ceiling the build is returned
+    // inline and the regime guard below already picks the keyed join.
+    // The artifact CONTENT is regime-independent — only the window's
+    // exchange shape differs — so a threshold change mid-session safely
+    // reuses it.
+    val offsets = SessionCache.cachedBounded(
+      spark, s"pack_offsets_s$shardSize", dir, dfp, estShardRows) {
+      val offsetsAgg =
+        toks.groupBy("lang", "shard").agg(sum("tok").as("shard_tok"))
       if (Present.fitsBroadcast(spark, estShardRows * PackOffsetRowBytes)) {
         // broadcast regime: the frame is about to be driver-materialized
         // wholesale anyway, so running its prefix window over one coalesced
@@ -646,22 +702,26 @@ object Sampling {
         // prefix scan was A/B'd here and LOST: the eager collect pays a
         // full scheduler round-trip at build time every lap, while this
         // branch stays inside the one AQE execution.)
-        val offsets = offsetsAgg.coalesce(1)
+        offsetsAgg.coalesce(1)
           .withColumn("offset", coalesce(sum("shard_tok").over(prefixWin), lit(0L)))
           .select("lang", "shard", "offset")
-        toks.join(broadcast(offsets), Seq("lang", "shard"))
       } else {
         // shuffle regime: the window keeps its natural per-lang hash
         // exchange (per-lang shard lists are window-sized, not corpus-
-        // sized) and the join back is keyed on (lang, shard) — the
-        // documents side shuffles once, and the downstream per-(lang,
-        // shard) window reuses that exact clustering with no extra
-        // exchange
-        val offsets = offsetsAgg
+        // sized)
+        offsetsAgg
           .withColumn("offset", coalesce(sum("shard_tok").over(prefixWin), lit(0L)))
           .select("lang", "shard", "offset")
-        toks.join(offsets, Seq("lang", "shard"))
       }
+    }
+    val joined =
+      if (Present.fitsBroadcast(spark, estShardRows * PackOffsetRowBytes))
+        toks.join(broadcast(offsets), Seq("lang", "shard"))
+      else
+        // the join back is keyed on (lang, shard) — the documents side
+        // shuffles once, and the downstream per-(lang, shard) window
+        // reuses that exact clustering with no extra exchange
+        toks.join(offsets, Seq("lang", "shard"))
     joined
       .withColumn("prefix", col("offset") + coalesce(
         sum("tok").over(Window.partitionBy("lang", "shard").orderBy("doc_id")

