@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{SessionCache, Tables}
 
 /** Run-tracking semantics re-expressed as pure DataFrame transforms
   * (SURVEY.md §2.3 J3/J4/J5, §2.4 A1, §2.5, §2.8 F1/F2).
@@ -338,8 +338,16 @@ object Tracking {
     */
   def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val bounds = ev.groupBy("event_type")
-      .agg(min("value").as("mn"), max("value").as("mx"))
+    // the per-key bounds card (≤ 1 row per event_type) is a session
+    // artifact: its build is one of this query's two fact scans and the
+    // bounds are a pure function of the corpus — every scaling probe of
+    // the same corpus version shares one build (the strataBoundary /
+    // length_bins_bounds discipline)
+    val bounds = SessionCache.cached(spark, "minmax_bounds", dir,
+      SessionCache.dirFingerprint(spark, dir)) {
+      ev.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"))
+    }
     ev.join(broadcast(bounds), Seq("event_type"))
       .withColumn("scaled",
         round((col("value") - col("mn")) /
