@@ -747,14 +747,23 @@ object Dedup {
     * unbounded grouping keys, band the sketches like [[dedupMinhash]]).
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // adaptive spread only: the shingle+minhash eval runs map-side inside
-    // the partial aggregate, so the only exchange a pre-split corpus needs
-    // is the 512 B/group sketch shuffle of the groupBy itself
-    val sketches = Tables.spread(Tables.documents(spark, dir))
-      .select(col("source"),
-        expr("minhash_sig(ngram_hashes(text, 3, 'word'))").as("sig"))
-      .groupBy("source")
-      .agg(expr("minhash_union(sig)").as("msig"))
+    // the per-source sketch card (512 B/source) is a session artifact —
+    // its build is the whole-corpus shingle+minhash pass, and the card is
+    // a pure function of the corpus version, so every overlap probe
+    // shares one build and steady state is |sources|² over the
+    // checkpointed card (the pair-artifact discipline, card-sized here).
+    // Adaptive spread inside the build only: the shingle+minhash eval
+    // runs map-side inside the partial aggregate, so the only exchange a
+    // pre-split corpus needs is the 512 B/group sketch shuffle of the
+    // groupBy itself
+    val sketches = SessionCache.cached(spark, "source_sketches", dir,
+      SessionCache.dirFingerprint(spark, dir)) {
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("source"),
+          expr("minhash_sig(ngram_hashes(text, 3, 'word'))").as("sig"))
+        .groupBy("source")
+        .agg(expr("minhash_union(sig)").as("msig"))
+    }
 
     val a = sketches.select(col("source").as("source_a"), col("msig").as("m_a"))
     val b = sketches.select(col("source").as("source_b"), col("msig").as("m_b"))
@@ -896,27 +905,51 @@ object Dedup {
     */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     // probes FIRST: a fingerprint change detected here invalidates the
-    // catalog's resolved plan (stale file listing), so the vecs frame
-    // below must be resolved AFTER them to see the post-mutation file set.
-    // ONE fingerprint resolution per query, shared by both probes.
+    // catalog's resolved plan (stale file listing), so the vecs frame in
+    // the build below must be resolved AFTER them to see the
+    // post-mutation file set. ONE fingerprint resolution per query,
+    // shared by both probes.
     val dfp = SessionCache.dirFingerprint(spark, dir)
-    val n = embedCount(spark, dir, dfp)
-    // skew-adaptive cap: pay the rank window only when the cached width
-    // probe proves some bucket actually exceeds the cap — a skew-free
-    // corpus plans the window-free broadcast self-join
+    val effectiveCap = embedEffectiveCap(spark, dir, dfp)
+    // the scored pair set is a SessionCache artifact like
+    // [[dedupSimhashPairs]]'s / [[minhashPairs]] — pair-count-sized
+    // (id_a, id_b, sim) rows; this was the LAST heavy pair search still
+    // re-banding and re-joining the corpus per evaluation. The effective
+    // cap folds into the key (a conf change or a skew-probe flip must
+    // not serve the other regime's pairs); band geometry is a pure
+    // function of n, which the corpus fingerprint already covers.
+    SessionCache.cached(spark, s"embed_pairs_c$effectiveCap", dir, dfp) {
+      embedPairsBuild(spark, dir, dfp, effectiveCap)
+    }
+      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
+      .limit(20)
+  }
+
+  /** Skew-adaptive embed cap: pay the rank window only when the cached
+    * width probe proves some bucket actually exceeds the cap — a
+    * skew-free corpus plans the window-free broadcast self-join. */
+  private[graft] def embedEffectiveCap(
+      spark: SparkSession, dir: String, dfp: String): Int = {
     val cap = embedBucketCap(spark)
-    val effectiveCap =
-      if (cap > 0 && maxBucketWidth(spark, dir, embedBandBits(n), dfp) <= cap) 0
-      else cap
+    if (cap > 0 &&
+      maxBucketWidth(spark, dir, embedBandBits(embedCount(spark, dir, dfp)),
+        dfp) <= cap) 0
+    else cap
+  }
+
+  /** The uncached pair-set build behind [[dedupEmbed]]'s artifact — the
+    * seam the cap-engagement plan specs drive (the Window decision is
+    * invisible in the steady TakeOrdered-over-artifact plan). */
+  private[graft] def embedPairsBuild(
+      spark: SparkSession, dir: String, dfp: String, cap: Int): DataFrame = {
+    val n = embedCount(spark, dir, dfp)
     // cast below the exchange: the double arrays materialize once and the
     // three consumers (banding + two join-backs) reuse the exchange
     val vecs = Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-    embedPairsOf(spark, vecs, n, effectiveCap)
-      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
-      .limit(20)
+    embedPairsOf(spark, vecs, n, cap)
   }
 
   /** [[embedPairsOf]] with the cap from the session conf — the seam the

@@ -875,8 +875,16 @@ class DedupSimilaritySpec extends SparkSpec {
     (1 to 140).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
       .write.parquet(s"$dir/embeddings.parquet")
+    // the cap decision lives in the artifact BUILD plan (the steady plan
+    // is TakeOrdered over the checkpointed pair set in both regimes)
+    def buildPlan(d: String): String = {
+      val dfp = graft.sources.SessionCache.dirFingerprint(spark, d)
+      graft.operators.Dedup.embedPairsBuild(spark, d, dfp,
+        graft.operators.Dedup.embedEffectiveCap(spark, d, dfp))
+        .queryExecution.explainString(FormattedMode)
+    }
     val before = graft.operators.Dedup.dedupEmbed(spark, dir)
-    assert(!before.queryExecution.explainString(FormattedMode).contains("Window"),
+    assert(!buildPlan(dir).contains("Window"),
       "skew-free initial corpus: no cap window")
     assert(before.count() == 20)
 
@@ -887,7 +895,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
       .write.mode("append").parquet(s"$dir/embeddings.parquet")
     val after = graft.operators.Dedup.dedupEmbed(spark, dir)
-    assert(after.queryExecution.explainString(FormattedMode).contains("Window"),
+    assert(buildPlan(dir).contains("Window"),
       "the appended flood must reach the width probe and engage the cap — " +
         "a stale catalog listing would keep the window-free plan")
     // and the result actually contains the appended docs
@@ -918,11 +926,17 @@ class DedupSimilaritySpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.FormattedMode
     // the driver corpus is skew-free at test scale: the cached width probe
-    // proves every bucket fits the default cap, so the plan must be the
-    // window-free band self-join (no exchange+sort, broadcastable sides)
-    val quiet = graft.operators.Dedup.dedupEmbed(spark, sf)
-      .queryExecution.explainString(FormattedMode)
-    assert(!quiet.contains("Window"),
+    // proves every bucket fits the default cap, so the BUILD plan (the
+    // artifact seam — the steady plan is TakeOrdered over the checkpointed
+    // pair set and shows no Window either way) must be the window-free
+    // band self-join (no exchange+sort, broadcastable sides)
+    def buildPlan(d: String): String = {
+      val dfp = graft.sources.SessionCache.dirFingerprint(spark, d)
+      graft.operators.Dedup.embedPairsBuild(spark, d, dfp,
+        graft.operators.Dedup.embedEffectiveCap(spark, d, dfp))
+        .queryExecution.explainString(FormattedMode)
+    }
+    assert(!buildPlan(sf).contains("Window"),
       "skew-free corpus must not pay the rank-window stage chain")
     // a corpus with an actual flood bucket (100 near-identical vectors >
     // cap=64) must plan the window — the guard engages exactly when the
@@ -934,11 +948,10 @@ class DedupSimilaritySpec extends SparkSpec {
       (i.toLong, center.map(_ + 0.001 * rnd.nextGaussian()).map(_.toFloat))) ++
       (101 to 140).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
     rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
-    val skewed = graft.operators.Dedup.dedupEmbed(spark, dir)
-    assert(skewed.queryExecution.explainString(FormattedMode).contains("Window"),
+    assert(buildPlan(dir).contains("Window"),
       "a flood bucket wider than the cap must engage the rank window")
     // and the capped query still returns the top near-dup pairs
-    val top = skewed.collect()
+    val top = graft.operators.Dedup.dedupEmbed(spark, dir).collect()
     assert(top.length == 20 && top.forall(_.getAs[Double]("sim") > 0.99),
       "flood survivors must still surface as near-dup pairs")
   }

@@ -569,17 +569,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pair-artifact consumers serve TakeOrdered off the cached pair set — zero corpus scans") {
-    // all three text pair searches (minhash/simhash/ngram) are session
-    // artifacts since r13: the steady-state query must be a bounded
-    // TakeOrdered over the checkpointed pair frame, never a re-run of the
-    // shingle/fingerprint/gram pipeline
+    // all four heavy pair searches (minhash/simhash/ngram since r13,
+    // embed since r16) are session artifacts: the steady-state query must
+    // be a bounded TakeOrdered over the checkpointed pair frame, never a
+    // re-run of the shingle/fingerprint/gram/banding pipeline
     Seq(
-      "dedupMinhash" -> graft.operators.Dedup.dedupMinhash(spark, sf),
-      "dedupSimhashPairs" -> graft.operators.Dedup.dedupSimhashPairs(spark, sf),
-      "dedupNgram" -> graft.operators.Dedup.dedupNgram(spark, sf)
-    ).foreach { case (name, df) =>
+      ("dedupMinhash", "documents.parquet",
+        graft.operators.Dedup.dedupMinhash(spark, sf)),
+      ("dedupSimhashPairs", "documents.parquet",
+        graft.operators.Dedup.dedupSimhashPairs(spark, sf)),
+      ("dedupNgram", "documents.parquet",
+        graft.operators.Dedup.dedupNgram(spark, sf)),
+      ("dedupEmbed", "embeddings.parquet",
+        graft.operators.Dedup.dedupEmbed(spark, sf))
+    ).foreach { case (name, corpusFile, df) =>
       val p = plan(df)
-      assert(!p.contains("documents.parquet"),
+      assert(!p.contains(corpusFile),
         s"$name steady state must read the cached pair artifact, not re-scan the corpus")
       assert(p.contains("TakeOrderedAndProject"),
         s"$name top-20 must plan as TakeOrdered over the artifact")
