@@ -48,20 +48,25 @@ object Analytics {
     * (20-row broadcast); the aggregate shuffles only (entity, key) partials.
     */
   def metricSummary(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
     // the top-20-recency card is a session artifact (the dashboard's
     // hottest probe — the reference recomputes it per page load): its
     // build is one of this query's two fact-table scans and the member
     // set is a pure function of the corpus, so every summary probe of the
     // same corpus version shares one 20-row build (the heavyHitters
-    // user_counts discipline; a mutated dir fingerprints fresh)
+    // user_counts discipline; a mutated dir fingerprints fresh).
+    // Cache probe FIRST, table resolutions AFTER (build-side inside the
+    // block): the probe's supersession check invalidates the catalog's
+    // pinned file listing on mutation, and a frame resolved before it
+    // would capture the pre-mutation listing (the dedupEmbed discipline;
+    // AnalyticsSpec pins the mutation round trip).
     val recent = SessionCache.cached(spark, "recent_entities_20", dir,
       SessionCache.dirFingerprint(spark, dir)) {
-      ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+      Tables.events(spark, dir)
+        .groupBy("user_id").agg(max("ts").as("last_ts"))
         .orderBy(desc("last_ts"), asc("user_id")).limit(20)
         .select("user_id")
     }
-    ev.join(broadcast(recent), Seq("user_id"))
+    Tables.events(spark, dir).join(broadcast(recent), Seq("user_id"))
       .groupBy("user_id", "event_type")
       .agg(
         max("event_id").as("last_event_id"),

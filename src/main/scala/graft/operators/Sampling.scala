@@ -153,12 +153,16 @@ object Sampling {
     * the corpus; a mutated dir fingerprints to a fresh artifact).
     */
   def sampleDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val dfp = SessionCache.dirFingerprint(spark, dir)
-    val docs = Tables.documents(spark, dir)
+    // cache probe FIRST, table resolutions AFTER (build-side inside the
+    // block): the probe's supersession check invalidates the catalog's
+    // pinned listing on mutation — a docs frame resolved before it would
+    // capture the pre-mutation file set (the dedupEmbed discipline;
+    // SamplingAggSpec pins the mutation round trip)
     val boundary = SessionCache.cached(
-      spark, "balance_boundary_lang_doc_id", dir, dfp)(
-      strataBoundary(docs, "lang", "doc_id"))
-    balanceStrata(docs, "lang", "doc_id", boundary)
+      spark, "balance_boundary_lang_doc_id", dir,
+      SessionCache.dirFingerprint(spark, dir))(
+      strataBoundary(Tables.documents(spark, dir), "lang", "doc_id"))
+    balanceStrata(Tables.documents(spark, dir), "lang", "doc_id", boundary)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .transform(Present.cardSort(_, col("lang")))
   }
@@ -218,7 +222,11 @@ object Sampling {
     * identically in both engines.
     */
   def lengthBins(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // def, not val: the token projection must resolve its documents scan
+    // at each USE site — the build inside the artifact block, the binning
+    // pass after the cache probe's supersession check has invalidated any
+    // pre-mutation catalog listing (the dedupEmbed probes-first discipline)
+    def toks = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         coalesce(size(split(col("text"), " ")), lit(0)).cast("double").as("tok"))
     // the quartile-edge card (≤ 1 row per language) is a session artifact:
@@ -660,7 +668,13 @@ object Sampling {
       spark: SparkSession, dir: String,
       budget: Int = 2048, shardSize: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    // fingerprint FIRST, then def (not val) for the token projection: the
+    // documents scan must resolve at each USE site — the offsets build
+    // inside the artifact block, the packing pass after the cache probe's
+    // supersession check has invalidated any pre-mutation catalog listing
+    // (the dedupEmbed probes-first discipline)
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    def toks = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         coalesce(size(split(col("text"), " ")), lit(0)).as("tok"),
         floor(col("doc_id") / shardSize).as("shard"))
@@ -671,7 +685,6 @@ object Sampling {
     // shards from the cached doc count times a deliberately HIGH language
     // envelope (full ISO-639 code space; overestimating langs only
     // degrades to the shuffle regime a little early, never broadcasts big):
-    val dfp = SessionCache.dirFingerprint(spark, dir)
     val estShardRows =
       (Tables.cachedCount(spark, dir, "documents", dfp) / shardSize + 1) *
         PackLangEnvelope

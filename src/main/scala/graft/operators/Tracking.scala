@@ -337,18 +337,20 @@ object Tracking {
     * division on identical inputs, rounded to 6dp.
     */
   def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
     // the per-key bounds card (≤ 1 row per event_type) is a session
     // artifact: its build is one of this query's two fact scans and the
     // bounds are a pure function of the corpus — every scaling probe of
     // the same corpus version shares one build (the strataBoundary /
-    // length_bins_bounds discipline)
+    // length_bins_bounds discipline). Cache probe FIRST, table
+    // resolutions AFTER (build-side inside the block): the probe's
+    // supersession check invalidates the catalog's pinned listing on
+    // mutation (the dedupEmbed discipline).
     val bounds = SessionCache.cached(spark, "minmax_bounds", dir,
       SessionCache.dirFingerprint(spark, dir)) {
-      ev.groupBy("event_type")
+      Tables.events(spark, dir).groupBy("event_type")
         .agg(min("value").as("mn"), max("value").as("mx"))
     }
-    ev.join(broadcast(bounds), Seq("event_type"))
+    Tables.events(spark, dir).join(broadcast(bounds), Seq("event_type"))
       .withColumn("scaled",
         round((col("value") - col("mn")) /
           nullif(col("mx") - col("mn"), lit(0.0)), 6))

@@ -36,6 +36,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("metricSummary rebuilds its cached recency card after a corpus mutation") {
+    // the recurring bug class (r13/r14): a fingerprint-keyed cache that
+    // detects a corpus mutation must drop the catalog's pinned listing
+    // before recomputing — the new recent_entities_20 artifact carries
+    // that discipline. Append strictly-more-recent events under new user
+    // ids and assert the card re-derives from the post-mutation corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recent_mut").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(s"$tmp/events.parquet")
+    try {
+      val before = Analytics.metricSummary(spark, tmp)
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(before.forall(_ < 1000000L))
+      // append: the same rows shifted to NEW users a year later — they
+      // must own the entire post-mutation top-20 recency card
+      ev.withColumn("user_id", col("user_id") + lit(1000000L))
+        .withColumn("event_id", col("event_id") + lit(1000000L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+        .write.mode("append").parquet(s"$tmp/events.parquet")
+      val after = Analytics.metricSummary(spark, tmp)
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+      // every shifted user is a year more recent than any original, so all
+      // of them must be in the post-mutation card (the fixture has fewer
+      // than 20 users, so originals legitimately fill the remaining slots)
+      val shifted = before.map(_ + 1000000L)
+      assert(shifted.subsetOf(after),
+        s"post-append card must include every appended recent user: " +
+          s"missing ${shifted -- after}, got $after")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("lagDelta: first row of each series has null delta, rest are value diffs") {
     val df = Analytics.lagDelta(spark, sf)
     val perSeries = df.groupBy("user_id", "event_type")

@@ -356,6 +356,34 @@ class SamplingAggSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("sampleDocuments rebuilds its cached strata boundary after a corpus mutation") {
+    // same bug class as the cap-histogram pin: the balance_boundary card
+    // is fingerprint-keyed, so an appended stratum must re-derive the
+    // global floor instead of serving the pre-mutation boundary
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boundary_mut").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.parquet(s"$tmp/documents.parquet")
+    try {
+      val before = Sampling.sampleDocuments(spark, tmp).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val floorBefore = before.values.min
+      assert(floorBefore > 3, s"fixture floor too small to detect the drop: $before")
+      // append a tiny NEW stratum: the global floor must drop to its size
+      // and every language's balanced count must follow it
+      docs.limit(3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("lang", lit("zz"))
+        .write.mode("append").parquet(s"$tmp/documents.parquet")
+      val after = Sampling.sampleDocuments(spark, tmp).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after.get("zz").contains(3L),
+        s"post-append card must include the new stratum, got ${after.keySet}")
+      assert(after.values.forall(_ == 3L),
+        s"every stratum must re-balance to the new floor 3, got $after")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("capGroups == naive top-cap under ties, bucket edges, and small groups") {
     import spark.implicits._
     // group a: tie bucket straddles the cap (three 2.0-scores, cap cuts
