@@ -384,6 +384,55 @@ class SamplingAggSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("lengthBins and packSequences rebuild their cached cards after a corpus mutation") {
+    // the remaining documents-fed cards of the r16 artifact sweep share
+    // the probes-first discipline the boundary test pins — cover them on
+    // one mutated dir: a brand-new language must surface in both cards
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cards_mut").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.parquet(s"$tmp/documents.parquet")
+    try {
+      assert(!Sampling.lengthBins(spark, tmp).collect().exists(_.getString(0) == "zz"))
+      assert(!Sampling.packSequences(spark, tmp).collect().exists(_.getString(0) == "zz"))
+      docs.limit(5)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("lang", lit("zz"))
+        .write.mode("append").parquet(s"$tmp/documents.parquet")
+      assert(Sampling.lengthBins(spark, tmp).collect().exists(_.getString(0) == "zz"),
+        "post-append length bins must include the new language's quartile card")
+      assert(Sampling.packSequences(spark, tmp).collect().exists(_.getString(0) == "zz"),
+        "post-append packing manifest must include the new language's packs")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("minmaxScale rebuilds its cached bounds after a corpus mutation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minmax_mut").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(s"$tmp/events.parquet")
+    try {
+      val before = Tracking.minmaxScale(spark, tmp)
+      val maxScaledBefore = before.agg(max("scaled")).head().getDouble(0)
+      assert(maxScaledBefore == 1.0)
+      // append one event per type with value = 10× the old max: every old
+      // max row must stop scaling to 1.0 — a stale bounds card would keep
+      // emitting 1.0 for them
+      val bumped = ev.groupBy("event_type")
+        .agg(max("value").as("value"), max("event_id").as("event_id"),
+          max("user_id").as("user_id"), max("ts").as("ts"),
+          first("props").as("props"))
+        .withColumn("value", col("value") * 10)
+        .withColumn("event_id", col("event_id") + lit(1000000L))
+        .select(ev.columns.map(c => col(c)): _*)
+      bumped.write.mode("append").parquet(s"$tmp/events.parquet")
+      val after = Tracking.minmaxScale(spark, tmp).collect()
+      val ones = after.filter(r => r.getAs[Double]("scaled") == 1.0)
+      assert(ones.nonEmpty && ones.forall(_.getAs[Long]("event_id") >= 1000000L),
+        "only the appended 10x rows may scale to 1.0 — stale bounds detected otherwise")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("capGroups == naive top-cap under ties, bucket edges, and small groups") {
     import spark.implicits._
     // group a: tie bucket straddles the cap (three 2.0-scores, cap cuts
