@@ -534,18 +534,21 @@ class PlanSpec extends SparkSpec {
     val cachedAnswers = Seq(
       "textLangId" -> TextAnalysis.textLangId(spark, sf),
       "lmQuality" -> TextAnalysis.lmQuality(spark, sf),
-      "corpusFilter" -> TextAnalysis.corpusFilter(spark, sf)
+      "corpusFilter" -> TextAnalysis.corpusFilter(spark, sf),
+      "packSequences" -> graft.operators.Sampling.packSequences(spark, sf)
     ).map { case (n, df) => n -> df.collect().toSeq }.toMap
     // gate engaged: a tiny ceiling forces the langid_scored / lm_scores /
-    // filter_verdicts artifacts back to INLINE scoring — the plan must
-    // carry the documents scan again (no pinned O(corpus) checkpoint
-    // leaf), and every answer must be identical to the cached mode's
+    // filter_verdicts artifacts (and pack_sequences' size-gated offsets
+    // card) back to INLINE scoring — the plan must carry the documents
+    // scan again (no pinned O(corpus) checkpoint leaf), and every answer
+    // must be identical to the cached mode's
     spark.conf.set("spark.graft.artifact.maxRows", "10")
     try {
       Seq(
         "textLangId" -> (() => TextAnalysis.textLangId(spark, sf)),
         "lmQuality" -> (() => TextAnalysis.lmQuality(spark, sf)),
-        "corpusFilter" -> (() => TextAnalysis.corpusFilter(spark, sf))
+        "corpusFilter" -> (() => TextAnalysis.corpusFilter(spark, sf)),
+        "packSequences" -> (() => graft.operators.Sampling.packSequences(spark, sf))
       ).foreach { case (name, mk) =>
         val df = mk()
         assert(plan(df).contains("documents.parquet"),
@@ -553,6 +556,13 @@ class PlanSpec extends SparkSpec {
         assert(df.collect().toSeq == cachedAnswers(name),
           s"$name must answer identically in inline and cached modes")
       }
+      // packSequences scans documents once even in cached mode (the
+      // packing pass itself); past the ceiling the offsets build must
+      // come back inline as a SECOND scan instead of a checkpoint leaf
+      assert("documents\\.parquet".r
+        .findAllIn(plan(graft.operators.Sampling.packSequences(spark, sf)))
+        .size == 2,
+        "gated packSequences must plan the inline offsets scan alongside the packing scan")
     } finally spark.conf.unset("spark.graft.artifact.maxRows")
   }
 
