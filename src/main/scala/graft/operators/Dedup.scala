@@ -380,8 +380,11 @@ object Dedup {
     // labels, or dedupClusters would silently disagree with dedupMinhash
     // about the edge set (the r13 ADVICE bug class, one level up).
     val fp = SessionCache.dirFingerprint(spark, dir)
-    SessionCache.cached(
-      spark, s"neardup_labels_${algo}_c${textBucketCap(spark)}", dir, fp) {
+    // O(corpus rows) — one label per doc; barrier-preserving gate (the
+    // iterative propagation must not re-trigger per consumer)
+    SessionCache.cachedBoundedBarrier(
+      spark, s"neardup_labels_${algo}_c${textBucketCap(spark)}", dir, fp,
+      Tables.cachedCount(spark, dir, "documents", fp)) {
       val edges = minhashPairs(spark, dir, fp)
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
@@ -472,7 +475,12 @@ object Dedup {
     */
   private def simhashFps(
       spark: SparkSession, dir: String, fp: String): DataFrame =
-    SessionCache.cached(spark, "simhash_fps", dir, fp) {
+    // O(corpus rows) at 16 B/row — size-gated like the scored frames, but
+    // through the BARRIER-preserving gate: past the ceiling the frame
+    // still materializes per query (the pushdown barrier above is load-
+    // bearing), it just stops pinning session storage
+    SessionCache.cachedBoundedBarrier(spark, "simhash_fps", dir, fp,
+      Tables.cachedCount(spark, dir, "documents", fp)) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), expr("simhash64(text)").as("fp"))
     }
@@ -1002,7 +1010,13 @@ object Dedup {
     */
   private def corpusBandStore(
       spark: SparkSession, dir: String, fp: String): DataFrame =
-    SessionCache.cached(spark, "inc_band_store", dir, fp) {
+    // O(corpus rows × bands), key-only — barrier-preserving gate (the
+    // corpus must never re-shingle per consumer; at production scale this
+    // store is ON DISK, grown by the streaming ingester, and passed to
+    // incrementalVerdicts directly — the gate covers the session-artifact
+    // convenience wrapper only)
+    SessionCache.cachedBoundedBarrier(spark, "inc_band_store", dir, fp,
+      Tables.cachedCount(spark, dir, "documents", fp)) {
       bandDocs(Tables.spread(Tables.documents(spark, dir)
         .where(col("doc_id") % lit(IncrementMod) =!= 0L)))
     }

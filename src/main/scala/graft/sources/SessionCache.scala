@@ -148,6 +148,36 @@ object SessionCache {
     } else cached(spark, artifact, dir, fp)(build)
   }
 
+  /** As [[cachedBounded]] for artifacts whose checkpoint is ALSO a
+    * pushdown/recompute BARRIER the consumers' plan shape depends on
+    * (simhash fingerprints — the fold must never push into the scan;
+    * near-dup labels — iterative propagation must not re-trigger; the
+    * incremental band store — the corpus must never re-shingle). Past the
+    * ceiling the build still materializes through an eager
+    * `localCheckpoint`, but PER QUERY and unregistered: the barrier and
+    * the plan pins hold, no session-lifetime executor storage is pinned —
+    * the blocks are released by ContextCleaner when the query's
+    * references are collected, which is the documented trade at that
+    * scale (compute once per query, pin nothing).
+    */
+  def cachedBoundedBarrier(
+      spark: SparkSession, artifact: String, dir: String, fp: String,
+      rows: => Long)(
+      build: => DataFrame): DataFrame = {
+    val max = spark.conf.get(
+      "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
+    if (max > 0 && rows > max) {
+      // same release discipline as cachedBounded's gate crossing: drop any
+      // previously cached generation so the old session-pinned checkpoint
+      // does not outlive the ceiling
+      val sessionKey =
+        s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
+      cache.keySet.removeIf(k =>
+        k._1 == sessionKey && k._2.startsWith(s"$artifact|$dir|"))
+      build.localCheckpoint(true)
+    } else cached(spark, artifact, dir, fp)(build)
+  }
+
   /** Drop every cached artifact derived from `dir` (all sessions): write
     * paths call this after mutating a directory; the dropped references
     * let ContextCleaner reclaim the checkpoint blocks on the next GC

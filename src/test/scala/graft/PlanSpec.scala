@@ -535,7 +535,9 @@ class PlanSpec extends SparkSpec {
       "textLangId" -> TextAnalysis.textLangId(spark, sf),
       "lmQuality" -> TextAnalysis.lmQuality(spark, sf),
       "corpusFilter" -> TextAnalysis.corpusFilter(spark, sf),
-      "packSequences" -> graft.operators.Sampling.packSequences(spark, sf)
+      "packSequences" -> graft.operators.Sampling.packSequences(spark, sf),
+      "dedupSimhash" -> graft.operators.Dedup.dedupSimhash(spark, sf),
+      "dedupClusters" -> graft.operators.Dedup.dedupClusters(spark, sf)
     ).map { case (n, df) => n -> df.collect().toSeq }.toMap
     // gate engaged: a tiny ceiling forces the langid_scored / lm_scores /
     // filter_verdicts artifacts (and pack_sequences' size-gated offsets
@@ -563,6 +565,22 @@ class PlanSpec extends SparkSpec {
         .findAllIn(plan(graft.operators.Sampling.packSequences(spark, sf)))
         .size == 2,
         "gated packSequences must plan the inline offsets scan alongside the packing scan")
+      // the BARRIER family (simhash fps / near-dup labels / band store)
+      // degrades to a per-query transient checkpoint, never a raw inline
+      // build: the fingerprint query's plan must still be a leaf — the
+      // simhash64 fold pushing into the scan is the 1.2→3.3 s regression
+      // the barrier exists to prevent
+      val gatedSimhash = graft.operators.Dedup.dedupSimhash(spark, sf)
+      val pSim = plan(gatedSimhash)
+      // "simhash64(" = the fold EXPRESSION (the output column is legally
+      // named simhash64 — only the call form means the barrier fell)
+      assert(pSim.contains("ExistingRDD") && !pSim.contains("simhash64("),
+        "gated simhash fps must stay behind a transient checkpoint barrier")
+      assert(gatedSimhash.collect().toSeq == cachedAnswers("dedupSimhash"),
+        "dedupSimhash must answer identically in transient and cached modes")
+      assert(graft.operators.Dedup.dedupClusters(spark, sf).collect().toSeq ==
+        cachedAnswers("dedupClusters"),
+        "dedupClusters must answer identically in transient and cached modes")
     } finally spark.conf.unset("spark.graft.artifact.maxRows")
   }
 
