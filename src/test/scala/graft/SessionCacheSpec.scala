@@ -36,6 +36,40 @@ class SessionCacheSpec extends SparkSpec {
     assert(builds == 3, "invalidate must force the next probe to rebuild")
   }
 
+  test("cachedBoundedBarrier: shared under the ceiling, transient past it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sc-barrier").toString
+    Seq(1, 2, 3).toDF("x").write.mode("overwrite").parquet(s"$dir/t")
+    val fp = SessionCache.dirFingerprint(spark, dir)
+    var builds = 0
+    def artifact(rows: Long) =
+      SessionCache.cachedBoundedBarrier(spark, "sc_barrier_art", dir, fp, rows) {
+        builds += 1
+        spark.read.parquet(s"$dir/t")
+      }
+    try {
+      spark.conf.set("spark.graft.artifact.maxRows", "10")
+      // under the ceiling: registered — repeat probes share one build
+      assert(artifact(rows = 3).count() == 3)
+      assert(artifact(rows = 3).count() == 3)
+      assert(builds == 1, "under-ceiling probes must share one registered build")
+      // past the ceiling: each probe materializes its OWN transient
+      // checkpoint (barrier holds: the returned frame is a leaf, the
+      // build ran), and the previously registered generation is released
+      val t = artifact(rows = 11)
+      assert(builds == 2, "over-ceiling probe must run its own transient build")
+      assert(t.count() == 3)
+      assert(t.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "transient fallback must still be a checkpoint barrier")
+      artifact(rows = 11)
+      assert(builds == 3, "transient builds are per-probe, never registered")
+      // dropping back under the ceiling re-registers
+      assert(artifact(rows = 3).count() == 3)
+      assert(artifact(rows = 3).count() == 3)
+      assert(builds == 4, "returning under the ceiling must cache again")
+    } finally spark.conf.unset("spark.graft.artifact.maxRows")
+  }
+
   test("artifact builds may nest (a build probing another artifact)") {
     // the real dependency shape: nearDupLabels' build probes the
     // minhash-pair artifact inside its own build. Under the old
