@@ -19,7 +19,7 @@ object Json {
   /** One canonical JSON object string per row (columns sorted by name). */
   def canonicalRows(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
-    val sortedCols = df.columns.sorted.map(col)
+    val sortedCols = df.columns.sorted.toIndexedSeq.map(col)
     df.select(to_json(struct(sortedCols: _*)).as("json")).as[String]
   }
 

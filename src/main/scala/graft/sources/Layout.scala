@@ -333,7 +333,7 @@ object Layout {
           .map(_.getPath)
         val nOut = math.max(1L, math.ceil(
           overfull.head._2._2.toDouble / CompactTargetBytes).toLong).toInt
-        spark.read.parquet(inputs.map(_.toString): _*)
+        spark.read.parquet(inputs.toIndexedSeq.map(_.toString): _*)
           .coalesce(nOut)
           .write.mode("overwrite").parquet(staging.toString)
         inputs.foreach(f => fs.delete(f, false))
