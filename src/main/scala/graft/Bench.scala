@@ -31,8 +31,11 @@ object Bench {
   //     mid-run; the loadavg gate alone was waited_s=0 for every one).
   // Returns seconds actually waited so the load line is self-adjudicating
   // in both directions: a high loadavg_before/steal with waited_s≈maxWait
-  // says "contended despite the wait"; waited_s=0 with low load says
-  // "clean window, believe the number".
+  // says "contended despite the wait". On Linux stealQuiet starts false —
+  // every run takes at least one ~5 s nap to establish a steal baseline —
+  // so waited_s≈5 with low load is the CLEAN signature (one probe nap,
+  // not contention); waited_s=0 is only reachable off-Linux where the
+  // steal signal is absent.
   private def quietWait(threshold: Double, maxWaitS: Int): Double = {
     val t0 = System.nanoTime()
     def elapsedS = (System.nanoTime() - t0) / 1e9

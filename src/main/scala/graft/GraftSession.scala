@@ -27,6 +27,7 @@ object GraftSession {
         graft.plans.PqEncode.inject(ext)
         graft.plans.PqAdc.inject(ext)
         graft.plans.PqReconErr.inject(ext)
+        graft.plans.OptimizerFence.inject(ext)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

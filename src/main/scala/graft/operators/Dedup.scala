@@ -923,10 +923,17 @@ object Dedup {
     // [[dedupSimhashPairs]]'s / [[minhashPairs]] — pair-count-sized
     // (id_a, id_b, sim) rows; this was the LAST heavy pair search still
     // re-banding and re-joining the corpus per evaluation. The effective
-    // cap folds into the key (a conf change or a skew-probe flip must
-    // not serve the other regime's pairs); band geometry is a pure
-    // function of n, which the corpus fingerprint already covers.
-    SessionCache.cached(spark, s"embed_pairs_c$effectiveCap", dir, dfp) {
+    // cap folds into the FINGERPRINT segment, not the artifact name (a
+    // conf change or a skew-probe flip must not serve the other regime's
+    // pairs — and keying the NAME would leave the sibling regime's
+    // checkpoint pinned until application end, since cached()'s
+    // supersession eviction only matches the same artifact prefix; in
+    // the fingerprint it is superseded like any stale generation); band
+    // geometry is a pure function of n, which the corpus fingerprint
+    // already covers. Side effect accepted: a cap flip on an unmutated
+    // corpus also triggers cached()'s Tables.invalidate(dir) — one
+    // redundant catalog re-listing, no correctness impact.
+    SessionCache.cached(spark, "embed_pairs", dir, s"$dfp/c$effectiveCap") {
       embedPairsBuild(spark, dir, dfp, effectiveCap)
     }
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))

@@ -16,10 +16,12 @@ object Sampling {
 
   /** [[packSequences]] broadcast-estimate envelope: offsets rows =
     * populated (lang, shard) pairs ≤ shards × languages. Languages aren't
-    * counted (that would cost a corpus scan); 512 over-covers the full
-    * ISO-639 code space, and overestimating only moves the broadcast→
-    * shuffle crossover earlier — the safe direction. */
-  private val PackLangEnvelope = 512L
+    * counted (that would cost a corpus scan); 8192 over-covers the full
+    * ISO 639-3 code space (~7,900 assigned codes — the r16 value of 512
+    * only covered 639-1 and could UNDERestimate, the one unsafe
+    * direction), and overestimating only moves the broadcast→shuffle
+    * crossover earlier — the safe direction. */
+  private val PackLangEnvelope = 8192L
 
   /** Broadcast bytes per offsets row (lang string + 2 longs + hash-relation
     * entry overhead), priced conservatively. */
@@ -326,15 +328,24 @@ object Sampling {
     * could. Boundary/tie rows ≤ sources ≤ histogram rows, making this an
     * upper bound in the safe direction.
     */
+  /** Lazy count holder — the SessionCache.Memo latch idiom, NOT
+    * `computeIfAbsent(_ => histC.count())`: the count is a full Spark job
+    * (a verdict+histogram pipeline when cap_hist is gated off past
+    * maxRows), and running it inside computeIfAbsent would hold the map's
+    * bin lock for the job's duration, blocking concurrent first-touch
+    * callers on the lock instead of the latch. */
+  private final class CountMemo(f: () => Long) { lazy val get: Long = f() }
   private val capHistCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, CountMemo]()
   private def capHistRows(
       spark: SparkSession, dir: String, dfp: String, histC: => DataFrame): Long = {
     val prefix = s"${spark.sparkContext.applicationId}|$dir|caphist"
     val key = s"$prefix|$dfp"
     if (capHistCounts.keySet.removeIf(k => k.startsWith(s"$prefix|") && k != key))
       Tables.invalidate(dir)
-    capHistCounts.computeIfAbsent(key, _ => histC.count())
+    val holder = new CountMemo(() => histC.count())
+    val prior = capHistCounts.putIfAbsent(key, holder)
+    (if (prior != null) prior else holder).get
   }
 
   /** Conservative broadcast bytes per per-source card row (source string

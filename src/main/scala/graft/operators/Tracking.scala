@@ -364,10 +364,19 @@ object Tracking {
     * get_json_object + cast, evaluated in codegen over the scan.
     * Scale: no shuffle before the output sort; at 100 TB prefer `from_json`
     * with an explicit schema once known (single parse, typed struct) — kept
-    * as get_json_object here because the reference's value schema is open.
+    * as get_json_object here because the reference's value schema is open
+    * (A/B'd r17: from_json measured IDENTICAL to get_json_object at sf0.1,
+    * so the open-schema form costs nothing — DevJsonProbe).
     * Parallelism comes from [[Tables.spread]] — a repartition ONLY when the
     * scan arrives under-split (the local single-file case); a pre-split
     * corpus keeps its scan partitioning and the parse stays exchange-free.
+    * The filter is `opt_fence`d: its predicate EMBEDS the parse, and
+    * predicate pushdown would otherwise drag it through the spread's
+    * repartition back into the lone scan task, re-serializing the parse
+    * the spread exists to parallelize (r17 decomposition, DevJsonProbe at
+    * sf0.1: scan floor 0.21 s, pushed-parse 0.41 s, fenced 0.22 s; the
+    * output sort prices at ~0 under the bench's count() — EliminateSorts
+    * removes it — so the r14 "sort is the residual" claim was wrong).
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.events(spark, dir))
@@ -375,7 +384,7 @@ object Tracking {
       // null-on-bad is the robust corpus semantics and DuckDB TRY_CAST
       // matches it exactly
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
-      .where(col("k") > 50)
+      .where(expr("opt_fence(k > 50)"))
       .select("event_id", "user_id", "k")
       .orderBy("event_id")
 }

@@ -839,4 +839,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("parquet"),
       s"steady-state health card must not re-scan the index families:\n${p.take(1500)}")
   }
+
+  test("jsonExtract's fenced parse-filter stays above the spread exchange") {
+    // the predicate embeds the JSON parse; unfenced, PushDownPredicates
+    // drags it through spread's repartition into the lone scan task and
+    // the parse re-serializes (r17 decomposition: 0.41 s pushed vs 0.17 s
+    // fenced at sf0.1 — DevJsonProbe, OptimizerFence scaladoc)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Repartition}
+    val qe = graft.operators.Tracking.jsonExtract(spark, sf).queryExecution
+    val fenced = qe.optimizedPlan.collect {
+      case f: LFilter if f.condition.toString.contains("opt_fence") => f
+    }
+    assert(fenced.nonEmpty,
+      s"the fence must survive optimization:\n${qe.optimizedPlan.treeString.take(1200)}")
+    assert(fenced.exists(_.child.exists(_.isInstanceOf[Repartition])),
+      "the fenced filter must sit ABOVE the parallelizing repartition, " +
+        s"not below it:\n${qe.optimizedPlan.treeString.take(1200)}")
+  }
+
+  test("opt_fence is value-transparent: fenced rows equal the pushed-down formulation's") {
+    import org.apache.spark.sql.functions._
+    val unfenced = graft.sources.Tables.spread(graft.sources.Tables.events(spark, sf))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
+      .where(col("k") > 50)
+      .select("event_id", "user_id", "k")
+      .orderBy("event_id")
+    val fenced = graft.operators.Tracking.jsonExtract(spark, sf)
+    assert(fenced.collect().toSeq == unfenced.collect().toSeq)
+  }
+
+  test("opt_fence refuses a genuinely nondeterministic child") {
+    import org.apache.spark.sql.functions.expr
+    val e = intercept[Throwable] {
+      spark.range(1).select(expr("opt_fence(rand() > 0.5)")).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("deterministic"))),
+      s"expected the constructor's determinism require, got: $e")
+  }
 }
