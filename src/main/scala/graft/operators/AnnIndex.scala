@@ -101,6 +101,25 @@ object AnnIndex {
   def probeCount(k: Int): Int =
     math.max(NProbe, math.ceil(math.sqrt(math.max(k, 1).toDouble)).toInt)
 
+  /** The query's nprobe nearest cells by driver math over the CACHED
+    * codebook — [[cosRawArr]]'s bit-exact `cosine_sim` accumulation
+    * ordered with the native's NaN-greatest descending semantics, so the
+    * probed set matches what the distributed 1-row pivot plan would
+    * select even on degenerate zero-norm pivots. Shared by every IVF-
+    * family probe (raw, PQ-coded, batched): turning the result into
+    * literal `cluster IN (…)` predicates prunes the index scan at
+    * PLANNING time — no BroadcastExchange, no DPP subquery per probe.
+    * O(k·d) driver flops, ≤ 65536·64 at the pivot cap — probe-side math
+    * on the order of what one executor task pays per row batch.
+    */
+  private[graft] def probedCells(
+      qv: Array[Double], cents: Seq[Array[Double]], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (pv, i) => (i, cosRawArr(qv, pv)) }
+      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
+      .take(nprobe).map(_._1)
+
   /** k-means build parameters: Lloyd iterations over a deterministic
     * unbiased sample (see [[kmeansSample]]). 4 iterations is where the
     * sample's assignment churn flatlines at this dimensionality. The
@@ -1334,6 +1353,46 @@ object AnnIndex {
       got
     }
     hits ++ fetched
+  }
+
+  // Retrieval-stage candidate pools — the (qid → candidate vec_id) sets a
+  // tier's re-rank touches. A pool is a pure function of (corpus version,
+  // assignment geometry, re-rank conf, query set) — index-derived probe
+  // METADATA like queryBands, not a final answer (the exact re-rank still
+  // runs per probe) — and it is ALREADY driver-bounded by construction
+  // (≤ K·pool ids, the audited bounded-collect discipline), so memoizing
+  // it adds no new driver-size risk. A probe-per-query workload then pays
+  // the candidate JOB once per (corpus version, conf) instead of 2–3 AQE
+  // jobs of scheduling floor per invocation — the r17 ANN stage diet.
+  // Holder idiom (not computeIfAbsent): the compute runs a Spark job, and
+  // running it inside the map's bin lock would block concurrent
+  // first-touch callers on unrelated keys (the capHistRows ADVICE class).
+  private final class PoolMemo(compute: () => Seq[(Long, Long)]) {
+    lazy val get: Seq[(Long, Long)] = compute()
+  }
+  private val poolCache = new ConcurrentHashMap[String, PoolMemo]()
+
+  /** Memoized candidate pool for one tier × conf × corpus version.
+    * `tag` names the tier AND every conf knob that changes the pool
+    * (re-rank depth, assignment geometry, query-set size — the r13
+    * ADVICE cap-key discipline); superseded corpus versions for the same
+    * (dir, tag) are dropped on insert with the catalog invalidated, the
+    * queryBands eviction discipline, so a mutated corpus re-runs the
+    * candidate job instead of re-ranking a stale pool.
+    */
+  def candidatePool(
+      spark: SparkSession, dir: String, tag: String, version: String)(
+      compute: => Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|$tag|"
+    val key = s"$prefix$version"
+    if (poolCache.keySet.removeIf(k => k.startsWith(prefix) && k != key))
+      Tables.invalidate(dir)
+    // bound under many distinct (tier, conf) tags; a cleared entry costs
+    // one candidate job, never a wrong answer
+    if (poolCache.size > 4096) poolCache.clear()
+    val holder = new PoolMemo(() => compute)
+    val prior = poolCache.putIfAbsent(key, holder)
+    (if (prior != null) prior else holder).get
   }
 
   /** [[queryBands]] expanded by multi-probe ([[LshProbeFlips]]): each

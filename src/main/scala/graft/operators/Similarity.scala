@@ -228,20 +228,6 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
 
-  /** The int8 serving store behind [[simAnnInt8]] — (vec_id, scale, qv)
-    * with qv = round(v/scale) as TINYINT, scale = max|x|/127 per vector
-    * (the symmetric quantization [[quantizeEmbed]] audits). Built once
-    * per CORPUS VERSION as an on-disk family ([[AnnIndex.ensureInt8]] —
-    * promoted from a per-session artifact so a restarted JVM reads the
-    * store instead of re-encoding the corpus); 4× smaller than the f32
-    * table, which
-    * at 100 TB is the difference between a serving tier that fits in
-    * cluster memory and one that doesn't. All-zero vectors quantize with
-    * scale=1 so the store never divides by zero.
-    */
-  private def int8Store(spark: SparkSession, dir: String): DataFrame =
-    AnnIndex.int8(spark, dir, AnnIndex.corpusVersion(spark, dir))
-
   /** int8 tier exact re-rank pool size ([[simAnnInt8]]'s candidate
     * collect, [[simAnnInt8Batch]]'s per-qid pool) — a named constant so
     * the tier-advisor card prices the same pool the serving paths use.
@@ -262,28 +248,49 @@ object Similarity {
     * [[simTopK]] whenever the int8 recall holds (spec-asserted).
     */
   def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
-    val q = withVec(spark, dir).where(col("vec_id") === 0L)
-      .select(col("v").as("qv0"))
-    val ids = int8Store(spark, dir)
-      .where(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        // fused native dequantize+cosine (plans/VectorExpressions
-        // CosineSimQ8) — bit-identical to the
-        // cosine_sim(transform(qv, x -> CAST(x AS DOUBLE) * scale), qv0)
-        // HOF chain it replaces (spec + property pinned); ArrayTransform
-        // is CodegenFallback and boxed n*d lambda evals per probe
-        round(expr("cosine_sim_q8(qv, scale, qv0)"), 6)
-          .as("asim"))
-      .orderBy(desc("asim"), asc("vec_id"))
-      .limit(Int8Rerank)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val ver = AnnIndex.corpusVersion(spark, dir)
+    // candidate pool memoized per (corpus version, re-rank depth) — the
+    // r17 stage diet: a probe-per-query workload pays the store-scan
+    // candidate job once per corpus version, and the steady-state probe
+    // is the ONE In()-pushed exact re-rank job below
+    val ids = AnnIndex.candidatePool(spark, dir, s"int8_r$Int8Rerank", ver) {
+      int8Candidates(spark, dir, ver)
+        .collect().map(r => (0L, r.getLong(0))).toSeq
+    }.map(_._2)
+    val q = Seq(Tuple1(
+      AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
     withVec(spark, dir)
       .where(col("vec_id").isin(ids: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(expr("cosine_sim(v, qv0)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** The single-query int8 candidate plan [[simAnnInt8]] bounded-collects
+    * from — exposed for PlanSpec: one int8-store scan scored by the fused
+    * native dequantize+cosine (plans/VectorExpressions CosineSimQ8 —
+    * bit-identical to the cosine_sim(transform(qv, x -> CAST(x AS DOUBLE)
+    * * scale), qv0) HOF chain it replaced; ArrayTransform is
+    * CodegenFallback and boxed n*d lambda evals per probe), global
+    * top-[[Int8Rerank]] via TakeOrdered per-partition heaps. The query
+    * vector rides as a literal from the driver cache — no 1-row
+    * embeddings scan job inside the candidate build.
+    */
+  private[graft] def int8Candidates(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
+    import spark.implicits._
+    val q = Seq(Tuple1(
+      AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
+    AnnIndex.int8(spark, dir, ver)
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("cosine_sim_q8(qv, scale, qv0)"), 6).as("asim"))
+      .orderBy(desc("asim"), asc("vec_id"))
+      .limit(Int8Rerank)
+      .select("vec_id")
   }
 
   /** Batched int8 retrieve — [[BatchQueries]] queries against the int8
@@ -305,10 +312,15 @@ object Similarity {
     val ver = AnnIndex.corpusVersion(spark, dir)
     val qids = 0L until BatchQueries.toLong
     val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
-    val cand = int8BatchCandidates(spark, dir, ver, qvs)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val pairDf = cand.toSeq.toDF("qid", "vec_id") // ≤ K·Int8Rerank rows
-    val allIds = cand.map(_._2).distinct.toSeq
+    // pooled like the single-query tier: the one store-scan candidate
+    // job runs per (corpus version, pool conf), not per invocation
+    val cand = AnnIndex.candidatePool(
+      spark, dir, s"int8b_r${Int8Rerank}_k$BatchQueries", ver) {
+      int8BatchCandidates(spark, dir, ver, qvs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val pairDf = cand.toDF("qid", "vec_id") // ≤ K·Int8Rerank rows
+    val allIds = cand.map(_._2).distinct
     val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
     withVec(spark, dir)
       .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
@@ -316,6 +328,11 @@ object Similarity {
       .join(broadcast(qs), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      // ≤ K·Int8Rerank surviving rows: one coalesced partition satisfies
+      // the per-qid window's clustering requirement, so the whole
+      // re-rank — point-fetch, fans, rank, card sort — is ONE stage with
+      // no exchange (the clusterProfile card discipline)
+      .coalesce(1)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
@@ -379,22 +396,41 @@ object Similarity {
     // the same literal (zero corpus scans outside the candidate plan)
     val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
     val q = Seq(Tuple1(qv.toSeq)).toDF("qv0")
-    val lutDf = Seq(Tuple1(
-      PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
-    val ids = PqIndex.store(spark, dir, ver)
-      .where(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(lutDf)) // 1-row LUT: zero fan
-      .select(col("vec_id"),
-        expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
-      .orderBy(desc("adc"), asc("vec_id"))
-      .limit(PqIndex.rerank(spark))
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // pooled per (corpus version, re-rank depth): the ADC candidate job
+    // runs once per corpus version; the steady probe is the point-fetch
+    val ids = AnnIndex.candidatePool(
+      spark, dir, s"pq_r${PqIndex.rerank(spark)}", ver) {
+      pqCandidates(spark, dir, ver)
+        .collect().map(r => (0L, r.getLong(0))).toSeq
+    }.map(_._2)
     withVec(spark, dir)
       .where(col("vec_id").isin(ids: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(expr("cosine_sim(v, qv0)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** The flat-PQ candidate plan [[simAnnPq]] bounded-collects from —
+    * exposed for PlanSpec: one 8-byte-code store scan scored by the
+    * native `pq_adc` (m table lookups per row, no vector arithmetic)
+    * against the driver-math LUT riding as a 1-row broadcast, global
+    * top-[[PqIndex.rerank]] via TakeOrdered per-partition heaps.
+    */
+  private[graft] def pqCandidates(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
+    import spark.implicits._
+    val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
+    val lutDf = Seq(Tuple1(
+      PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
+    PqIndex.store(spark, dir, ver)
+      .where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(lutDf)) // 1-row LUT: zero fan
+      .select(col("vec_id"),
+        expr(s"pq_adc(codes, lut, ${PqIndex.Ksub})").as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(PqIndex.rerank(spark))
+      .select("vec_id")
   }
 
   /** IVF-PQ retrieve + exact re-rank — the two compressions composed
@@ -424,8 +460,14 @@ object Similarity {
     val ver = AnnIndex.corpusVersion(spark, dir)
     val q = Seq(Tuple1(
       AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
-    val ids = ivfPqCandidates(spark, dir, ver)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // pool key folds the assignment geometry (probed cells move with it)
+    // and the re-rank depth — the r13 ADVICE cap-key discipline
+    val ids = AnnIndex.candidatePool(spark, dir,
+      s"ivfpq_${AnnIndex.assignTag(spark, dir, ver)}_r${PqIndex.rerank(spark)}",
+      ver) {
+      ivfPqCandidates(spark, dir, ver)
+        .select("vec_id").collect().map(r => (0L, r.getLong(0))).toSeq
+    }.map(_._2)
     withVec(spark, dir)
       .where(col("vec_id").isin(ids: _*))
       .crossJoin(broadcast(q))
@@ -455,10 +497,14 @@ object Similarity {
     val qids = 0L until BatchQueries.toLong
     // ONE bounded job fetches all K query vectors on a cold cache
     val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
-    val cand = ivfPqBatchCandidates(spark, dir, ver, qvs)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val pairDf = cand.toSeq.toDF("qid", "vec_id") // ≤ K·pool rows
-    val allIds = cand.map(_._2).distinct.toSeq
+    val cand = AnnIndex.candidatePool(spark, dir,
+      s"ivfpqb_${AnnIndex.assignTag(spark, dir, ver)}" +
+        s"_r${PqIndex.rerank(spark)}_k$BatchQueries", ver) {
+      ivfPqBatchCandidates(spark, dir, ver, qvs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val pairDf = cand.toDF("qid", "vec_id") // ≤ K·pool rows
+    val allIds = cand.map(_._2).distinct
     val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
     withVec(spark, dir)
       .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
@@ -466,6 +512,9 @@ object Similarity {
       .join(broadcast(qs), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(expr("cosine_sim(v, qv)"), 6).as("sim"))
+      // ≤ K·pool surviving rows: single-partition window, no exchange
+      // (see simAnnInt8Batch)
+      .coalesce(1)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
@@ -486,12 +535,8 @@ object Similarity {
     val nprobe = AnnIndex.probeCount(cents.size)
     val cbs = PqIndex.codebooks(spark, dir, ver)
     val qids = qvs.keys.toSeq.sorted
-    def probedOf(qv: Array[Double]): Seq[Int] = cents.zipWithIndex
-      .map { case (pv, i) => (i, AnnIndex.cosRawArr(qv, pv)) }
-      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
-        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
-      .take(nprobe).map(_._1)
-    val probePairs = qids.flatMap(q => probedOf(qvs(q)).map(c => (q, c)))
+    val probePairs = qids.flatMap(q =>
+      AnnIndex.probedCells(qvs(q), cents, nprobe).map(c => (q, c)))
     val probeDf = probePairs.toDF("qid", "cluster")
     val lutDf = qids.map(q => (q, PqIndex.lut(qvs(q), cbs).toSeq))
       .toDF("qid", "lut")
@@ -541,11 +586,7 @@ object Similarity {
     val lutDf = Seq(Tuple1(
       PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
     // IEEE total order: NaN sorts greatest, matching Spark's desc()
-    val probed = cents.zipWithIndex
-      .map { case (pv, i) => (i, AnnIndex.cosRawArr(qv, pv)) }
-      .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
-        Ordering.Double.TotalOrdering.reverse, Ordering.Int))
-      .take(nprobe).map(_._1)
+    val probed = AnnIndex.probedCells(qv, cents, nprobe)
     AnnIndex.ivfPq(spark, dir, ver)
       .where(col("cluster").isin(probed: _*))
       .where(col("vec_id") =!= 0L)
@@ -622,24 +663,28 @@ object Similarity {
     * ~n^(3/4) rows and the unopened fraction grows with the corpus.
     */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // one corpus-version resolution per probe, shared by pivots + index
     // (each resolution is an O(1) marker read on a managed store but a
     // full metadata listing on an unmanaged one)
     val ver = AnnIndex.corpusVersion(spark, dir)
-    // cached codebook — sizing the probe width off it costs no job
-    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
-    val q = withVec(spark, dir).where(col("vec_id") === 0L)
-      .select(col("v").as("qv"))
-    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(q))
-      .select(col("pivot_id"), expr("cosine_sim(pv, qv)").as("psim"))
-      .orderBy(desc("psim"), asc("pivot_id"))
-      .limit(nprobe)
-      .select(col("pivot_id").cast("int").as("cluster"))
-
+    // probe selection is driver math over the CACHED codebook and the
+    // CACHED query vector ([[AnnIndex.probedCells]] — bit-exact
+    // `cosine_sim` ranking, NaN-greatest descending, so the probed set
+    // matches the distributed 1-row pivot plan this replaced in r17);
+    // literal `cluster IN (…)` predicates prune the inverted-file scan
+    // at PLANNING time — the queryBands discipline applied to raw IVF,
+    // replacing a BroadcastExchange + DPP subquery per probe. The whole
+    // probe is then ONE TakeOrdered job over the pruned cells.
+    val cents = AnnIndex.centroids(spark, dir, ver)
+    val nprobe = AnnIndex.probeCount(cents.size)
+    val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
+    val probed = AnnIndex.probedCells(qv, cents, nprobe)
+    val q = Seq(Tuple1(qv.toSeq)).toDF("qv")
     AnnIndex.ivf(spark, dir, ver)
-      .join(broadcast(probe), Seq("cluster"))
+      .where(col("cluster").isin(probed: _*))
       .where(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(q)) // 1-row query: zero fan
       .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
@@ -660,21 +705,26 @@ object Similarity {
     * union.
     */
   def simAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ver = AnnIndex.corpusVersion(spark, dir)
-    val nprobe = AnnIndex.probeCount(AnnIndex.centroids(spark, dir, ver).size)
-    val qs = withVec(spark, dir).where(col("vec_id") < BatchQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val probe = AnnIndex.pivots(spark, dir, ver).crossJoin(broadcast(qs))
-      .select(col("qid"), col("pivot_id"),
-        expr("cosine_sim(pv, qv)").as("psim"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("psim"), asc("pivot_id"))))
-      .where(col("pr") <= nprobe)
-      .select(col("qid"), col("pivot_id").cast("int").as("cluster"))
-
+    val cents = AnnIndex.centroids(spark, dir, ver)
+    val nprobe = AnnIndex.probeCount(cents.size)
+    val qids = 0L until BatchQueries.toLong
+    // all probe selection is driver math (cached codebook × K cached
+    // query vectors — the ivfPqBatchCandidates discipline since r17):
+    // the scan is STATICALLY pruned to the union of the probed cells,
+    // each cell read once even when several queries probe it, with no
+    // K×k broadcast product or DPP subquery ahead of it
+    val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
+    val probePairs = qids.flatMap(q =>
+      AnnIndex.probedCells(qvs(q), cents, nprobe).map(c => (q, c)))
+    val probeDf = probePairs.toDF("qid", "cluster")
+    val cellUnion = probePairs.map(_._2).distinct
+    val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
     AnnIndex.ivf(spark, dir, ver)
-      .join(broadcast(probe), Seq("cluster"))
+      .where(col("cluster").isin(cellUnion: _*)) // static prune: the union
       .where(col("vec_id") >= BatchQueries)
+      .join(broadcast(probeDf), Seq("cluster")) // fan per probing query
       .join(broadcast(qs), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(expr("cosine_sim(v, qv)"), 6).as("sim"))
@@ -873,28 +923,53 @@ object Similarity {
     * (that's the [[AnnIndex.LshProbeFlips]] trade).
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // ONE corpus-version resolution per probe, threaded through band
     // derivation, geometry, and the index read (each resolution is a
     // metadata listing on an unmanaged store)
     val ver = AnnIndex.corpusVersion(spark, dir)
-    val qPairs = AnnIndex.probeBands(spark, dir, 0L, ver)
-    val bucketPred = qPairs
-      .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val candIds = AnnIndex.lshBands(spark, dir, ver)
-      .where(bucketPred)
-      .where(col("vec_id") =!= 0L)
-      .select("vec_id").distinct()
-
-    val emb = withVec(spark, dir)
-    val q = emb.where(col("vec_id") === 0L).select(col("v").as("qv"))
-    emb.join(broadcast(candIds), Seq("vec_id"))
+    // the candidate-id set is index-derived probe metadata like its
+    // int8/PQ siblings' pools, but LSH candidates GROW with the corpus
+    // (~n/(nBands·2^bandBits) per probed bucket), so they stay a
+    // SessionCache FRAME on the executors — never a driver collect (the
+    // audited-bounded-collect line the int8/PQ pools stay inside). The
+    // steady-state probe is the one broadcast-join + TakeOrdered job
+    // below; the pruned band scan runs once per (corpus version, probe
+    // conf) inside the artifact build ([[lshCandidates]], plan-pinned).
+    val candIds = SessionCache.cached(spark,
+      s"lsh_cand_q0_f${AnnIndex.LshProbeFlips}", dir, ver) {
+      lshCandidates(spark, dir, ver)
+    }
+    val q = Seq(Tuple1(
+      AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv")
+    withVec(spark, dir)
+      .join(broadcast(candIds), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         round(expr("cosine_sim(v, qv)"), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
+  }
+
+  /** The LSH candidate plan behind [[simAnnLsh]]'s session artifact —
+    * exposed for PlanSpec: the query's multi-probed bucket coordinates
+    * ([[AnnIndex.probeBands]] — cached driver math) become LITERAL
+    * predicates on the band table's (band_id, band_key) PARTITION
+    * columns, so static pruning opens exactly the probed bucket
+    * directories out of nBands·2^bandBits, with no hyperplane fold over
+    * the corpus.
+    */
+  private[graft] def lshCandidates(
+      spark: SparkSession, dir: String, ver: String): DataFrame = {
+    val qPairs = AnnIndex.probeBands(spark, dir, 0L, ver)
+    val bucketPred = qPairs
+      .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    AnnIndex.lshBands(spark, dir, ver)
+      .where(bucketPred)
+      .where(col("vec_id") =!= 0L)
+      .select("vec_id").distinct()
   }
 
   /** Index-health card — per index family (IVF cells, LSH buckets): cell

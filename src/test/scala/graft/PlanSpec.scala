@@ -266,19 +266,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected the decorrelated max aggregate")
   }
 
-  test("simAnnIvf probes the materialized inverted file — partition-pruned, no re-assignment") {
+  test("simAnnIvf probes the materialized inverted file — statically pruned, no re-assignment") {
     val p = plan(Similarity.simAnnIvf(spark, sf))
     // the round-4 weak: every query recomputed the full-corpus coarse
     // assignment (16 cosines/row). The probe plan must contain NO argmax
-    // assignment at all — assignment is ingest-time work in AnnIndex —
-    // and the inverted-file scan must be partition-pruned to the probed
-    // clusters via dynamic partition pruning.
+    // assignment at all — assignment is ingest-time work in AnnIndex.
     assert(!p.contains("array_max(transform"),
       "probe plan must not re-assign the corpus to clusters")
-    assert(p.contains("dynamicpruningexpression"),
-      "inverted-file scan must be partition-pruned to the probed clusters")
+    // since r17 probe selection is driver math over the cached codebook
+    // (AnnIndex.probedCells — the queryBands discipline applied to raw
+    // IVF), so the probed cells are LITERAL predicates: static pruning
+    // at planning time, no DPP subquery, no pivot-scan broadcast, and
+    // the whole probe is one TakeOrdered job over the pruned cells
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partFilters.exists(l => l.contains("cluster") &&
+      (l.contains("IN (") || l.contains("INSET"))),
+      s"inverted-file scan must statically prune on cluster; got $partFilters")
+    assert(!p.contains("dynamicpruningexpression"),
+      "static literal pruning should make a DPP subquery unnecessary")
     assert(p.contains("graft_ann"), "probe must read the materialized index")
-    assert(p.contains("BroadcastExchange"), "probe list and query must broadcast")
+    assert(!p.contains("embeddings.parquet"),
+      "query vector rides as a literal from the driver cache — no 1-row " +
+        "corpus scan per probe")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 via per-partition heaps over the pruned cells")
   }
 
   test("ivfPq candidate scan is statically partition-pruned and never re-encodes the corpus") {
@@ -340,24 +352,35 @@ class PlanSpec extends SparkSpec {
   }
 
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
-    val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
+    // r17: the candidate-id set is a session artifact, so the pruned
+    // band scan lives in the BUILD plan (pinned here) and the
+    // steady-state probe reads its checkpoint leaf (pinned below)
+    val ver = graft.operators.AnnIndex.corpusVersion(spark, sf)
+    val b = plan(graft.operators.Similarity.lshCandidates(spark, sf, ver))
     // corpus signatures are computed once per corpus version
-    // (AnnIndex.ensureLsh); a probe that contains the hyperplane fold is
+    // (AnnIndex.ensureLsh); a build that contains the hyperplane fold is
     // recomputing the index per query — the 100 TB anti-pattern
-    assert(!p.contains("hyperplane_bits"),
-      "probe plan must not recompute corpus signatures")
-    assert(p.contains("graft_ann"), "probe must read the materialized on-disk index")
+    assert(!b.contains("hyperplane_bits"),
+      "candidate build must not recompute corpus signatures")
+    assert(b.contains("graft_ann"), "build must read the materialized on-disk index")
     // the query's bucket coordinates are LITERAL predicates on the
     // (band_id, band_key) partition columns: the band-table scan must be
     // statically pruned to the query's ≤ nBands buckets — round 7 filtered
     // on vec_id (a data column) and full-scanned all 64 directories twice
-    val partFilters = p.linesIterator
+    val partFilters = b.linesIterator
       .filter(_.contains("PartitionFilters")).toSeq
     assert(partFilters.exists(l => l.contains("band_id") && l.contains("band_key")),
       s"band scan must prune on (band_id, band_key); PartitionFilters: $partFilters")
+    val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "steady-state probe must read the candidate artifact's checkpoint leaf")
+    assert(!p.contains("graft_ann"),
+      "the pruned band scan is artifact-build work, not per-probe work")
     // payload fetch for candidates is a broadcast join over the corpus
     // scan, never a shuffle of the corpus
     assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact re-rank keeps per-partition heaps")
   }
 
   test("balanceStrata never windows over the bare strata column") {
@@ -653,8 +676,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.simAnnBatch(spark, sf))
     assert(!p.contains("array_max(transform"),
       "probe plan must not re-assign the corpus to clusters")
-    assert(p.contains("dynamicpruningexpression"),
-      "inverted-file scan must be partition-pruned to the probed clusters")
+    // r17: cell selection for ALL K queries is driver math (cached
+    // codebook × cached query vectors), so the scan statically prunes to
+    // the probed-cell UNION — no K×k broadcast product, no DPP subquery
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partFilters.exists(l => l.contains("cluster") &&
+      (l.contains("IN (") || l.contains("INSET"))),
+      s"scan must statically prune to the probed-cell union; got $partFilters")
+    assert(!p.contains("dynamicpruningexpression"), "no DPP subquery needed")
     assert(p.contains("graft_ann"), "probe must read the materialized index")
     assert(p.contains("WindowGroupLimit"), "per-qid top-10 group-limits map-side")
     assert(!p.contains("SortMergeJoin"))
@@ -784,6 +814,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(vec_id"),
       "the 50 candidate ids must reach the parquet scan as a pushed filter " +
         "so the re-rank reads candidate row groups, not the corpus")
+  }
+
+  test("pooled ANN probes: steady state is the one In()-pushed re-rank — no store scan") {
+    // r17 stage diet: the candidate job runs once per (corpus version,
+    // conf) via AnnIndex.candidatePool; a warm probe must not rescan the
+    // int8/PQ stores — its whole plan is the exact re-rank over the
+    // pooled candidate ids
+    val probes = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("simAnnPq", () => graft.operators.Similarity.simAnnPq(spark, sf)),
+      ("simAnnIvfPq", () => graft.operators.Similarity.simAnnIvfPq(spark, sf)),
+      ("simAnnInt8Batch", () => graft.operators.Similarity.simAnnInt8Batch(spark, sf)),
+      ("simAnnIvfPqBatch", () => graft.operators.Similarity.simAnnIvfPqBatch(spark, sf)))
+    probes.foreach { case (name, f) =>
+      f().collect() // populate the pool
+      val p = plan(f())
+      assert(p.contains("In(vec_id"),
+        s"$name: pooled candidate ids must reach the f32 scan as a pushed filter")
+      assert(!p.contains("graft_ann"),
+        s"$name: warm probe must re-rank the pooled candidates, not rescan the store")
+    }
+    // the batched re-ranks are card-sized (≤ K·pool rows): the per-qid
+    // window runs on one coalesced partition, no hash exchange at all
+    val pb = plan(graft.operators.Similarity.simAnnInt8Batch(spark, sf))
+    assert(!pb.contains("Exchange hashpartitioning"),
+      "batched re-rank must window on the coalesced card, not exchange it")
   }
 
   test("embedOutliers: broadcast centroid card, top-20 as TakeOrdered, no corpus shuffle join") {
