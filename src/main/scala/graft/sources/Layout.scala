@@ -64,6 +64,46 @@ object Layout {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
 
+  /** Keep-latest over the layed-out table — [[graft.operators.Tracking
+    * .upsertLatest]]'s plan with the window's exchange REMOVED by layout:
+    * the window clusters on (user_id, event_type) and the bucketed scan
+    * already delivers HashPartitioning(user_id), a SUBSET of the window
+    * keys, so every (user, type) group is wholly inside one bucket and
+    * Spark plans Window over a bucket-local sort with NO Exchange
+    * (LayoutSpec pins it). On unmanaged parquet the same operator
+    * shuffles the full fact table per evaluation — the honest cost
+    * SCALING.md's r17 before/after measures (the q_upsert_latest 2.60×
+    * 10×-grower was exactly that window exchange); on the managed store
+    * the shuffle happens ONCE, at layout write, and every keep-latest /
+    * last-per-group / per-entity aggregate after it is exchange-free.
+    */
+  def upsertLatest(spark: SparkSession, table: String = "events_layout"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("event_id").desc)
+    // no presentation orderBy: a global sort's range-sampling pass would
+    // re-execute the exchange-free child TWICE (nothing materializes
+    // between sample and sort without the window's exchange) and add the
+    // one shuffle the layout exists to remove — callers wanting a total
+    // order sort the survivor-sized result themselves
+    spark.table(table)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "ts", "value", "props")
+  }
+
+  /** Last-value-per-entity over the layed-out table — the max_by plan
+    * ([[graft.operators.Relational.lastPerGroup]]'s shape) with the
+    * aggregate's exchange removed for the same subset-of-bucket-keys
+    * reason as [[upsertLatest]]: partial and final aggregation fuse over
+    * the bucket-local rows.
+    */
+  def lastPerGroup(spark: SparkSession, table: String = "events_layout"): DataFrame =
+    spark.table(table)
+      .groupBy("user_id", "event_type")
+      .agg(expr("max_by(value, event_id)").as("last_value"),
+        max("event_id").as("last_event_id"))
+
   /** Streaming sink into the production layout: each micro-batch appends
     * into the bucketed/partitioned table via foreachBatch (DataStreamWriter
     * cannot declare buckets itself; the batch writer inside can). New days
