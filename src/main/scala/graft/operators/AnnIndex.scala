@@ -203,13 +203,36 @@ object AnnIndex {
     probeCount(k).toDouble * math.max(n, 1L) / k
   }
 
+  /** Cap on bucket-GROUP directories per band (2^this): the r17 two-level
+    * bench measured the one-directory-per-bucket layout's build at
+    * ~16.6 ms per file REGARDLESS of committer algorithm (4,090 bucket
+    * dirs at the 10-bit/20k-vector geometry = 68 s to write 80k
+    * 24-byte rows; the banding compute is 0.3 s), and at the 20-bit cap
+    * the same layout is 4.2M directories per build/re-ingest — an
+    * object-store metadata storm. Buckets above this cap therefore share
+    * a group directory ([[LshGeom.grpShift]]) with `band_key` kept
+    * IN-FILE, sorted, in ~1 MB row groups: static pruning still opens
+    * only the probed groups, and the sorted key prunes row groups inside
+    * them. 64 groups/band keeps the total directory count ≤ 256 at ANY
+    * corpus size while group files grow toward real file sizes
+    * (n/(bands·64) rows — 12 MB/file at the 33M-vector LSH saturation
+    * boundary instead of 4.2M × 768 B).
+    */
+  val LshGrpBits = 6
+
   /** The full banding geometry; `planes` hyperplanes are drawn once from
     * `seed` and sliced into `bands` keys of `bandBits` bits. */
   final case class LshGeom(bands: Int, bandBits: Int, seed: Long) {
     val planes: Int = bands * bandBits
-    /** Version token folded into the index path — any change re-bands. */
+    /** Bits dropped from `band_key` to form the `band_grp` PARTITION
+      * column — 0 below [[LshGrpBits]] bits (group == bucket, the exact
+      * pre-r17 directory grain), `bandBits − LshGrpBits` above it. */
+    def grpShift: Int = math.max(0, bandBits - LshGrpBits)
+    /** Version token folded into the index path — any change re-bands.
+      * `v2` marks the group-dir store format (band_key moved in-file);
+      * pre-v2 stores retire through the normal version mismatch. */
     def versionTag: String = Integer.toHexString(
-      s"$planes/$seed/$bands/$bandBits".hashCode)
+      s"$planes/$seed/$bands/$bandBits/g$grpShift/v2".hashCode)
   }
 
   /** Geometry for a corpus of `n` vectors. */
@@ -915,10 +938,13 @@ object AnnIndex {
     */
   private val IvfSchema = "vec_id BIGINT, v ARRAY<DOUBLE>, cluster INT"
 
-  /** Read schema for the banded-signature table; `band_id`/`band_key` are
-    * the partition columns, declared so probe keys compare cast-free.
+  /** Read schema for the banded-signature table; `band_id`/`band_grp`
+    * are the partition columns (declared so probe keys compare
+    * cast-free), `band_key` is an in-file column sorted within each
+    * group file (r17 group-dir format — see [[LshGrpBits]]).
     */
-  private val LshSchema = "vec_id BIGINT, band_id INT, band_key BIGINT"
+  private val LshSchema =
+    "vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT"
 
   /** Evict superseded versions of one index family under `root`, RETAINING
     * the most recently modified superseded version: a reader in another
@@ -1217,6 +1243,14 @@ object AnnIndex {
         expr(s"hyperplane_bits(v, ${geom.planes}, ${geom.seed}L)"),
         nBands = geom.bands, bandBits = geom.bandBits)).as(Seq("band_id", "band_key")))
 
+  /** [[bandify]] output extended with the `band_grp` partition column —
+    * the store-layout transform shared by the batch build and the
+    * streaming ingester so both write identical group directories.
+    */
+  def withBandGrp(banded: DataFrame, geom: LshGeom): DataFrame =
+    banded.withColumn("band_grp",
+      shiftright(col("band_key"), geom.grpShift).cast("int"))
+
   /** Ensure the (band_id, band_key)-partitioned banded-signature table
     * exists for the corpus at `dir`; returns its path. The version folds
     * in the LSH geometry ([[LshGeom.versionTag]] — planes/seed/bands/
@@ -1235,20 +1269,28 @@ object AnnIndex {
     ensureBuilt(spark, indexRoot(spark),
       s"lsh_${dirFamily(dir)}", s"${fp}_${geom.versionTag}",
       retiredPrefixes = Seq(s"lsh_${Integer.toHexString(dir.hashCode)}")) { staging =>
-      bandify(
+      withBandGrp(bandify(
         Tables.spread(Tables.embeddings(spark, dir))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        geom)
-        // co-locate each (band_id, band_key) bucket into ONE task before the
-        // partitioned write: without this every one of the 32 hyperplane
-        // tasks writes a sliver into every bucket directory — measured in
-        // round 7 as 2,003 files averaging 513 B for an 8 k-row corpus, an
-        // object-store metadata storm at scale and ~2 k file opens per
-        // probe. With it the layout is ≤ one file per bucket; the
-        // hyperplane compute still parallelizes across the pre-repartition
-        // scan above.
-        .repartition(col("band_id"), col("band_key"))
-        .write.mode("overwrite").partitionBy("band_id", "band_key").parquet(staging)
+        geom), geom)
+        // co-locate each (band_id, band_grp) group into ONE task before
+        // the partitioned write: without this every one of the 32
+        // hyperplane tasks writes a sliver into every group directory —
+        // measured in round 7 as 2,003 files averaging 513 B for an
+        // 8 k-row corpus, an object-store metadata storm at scale and
+        // ~2 k file opens per probe. With it the layout is ≤ one file
+        // per group; the hyperplane compute still parallelizes across
+        // the pre-repartition scan above. The in-partition sort puts
+        // band_key in order INSIDE each group file (FileFormatWriter
+        // skips its own partition-col sort when the child ordering
+        // already covers the partition columns, so the key order
+        // survives the write) — with ~1 MB row groups, a probe's pushed
+        // band_key predicate prunes inside the group by footer stats.
+        .repartition(col("band_id"), col("band_grp"))
+        .sortWithinPartitions("band_id", "band_grp", "band_key")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1L << 20).toString)
+        .partitionBy("band_id", "band_grp").parquet(staging)
       // stamp the batch-built layout with its geometry so a stream later
       // pointed at it is guarded by the same marker protocol the
       // streamed-grown layouts carry (the marker rides the atomic rename)

@@ -909,16 +909,22 @@ object Similarity {
     * band's exact bucket plus its one-bit-flip neighbors
     * ([[AnnIndex.probeBands]], ≤ nBands·(1+bandBits) pairs, map-side,
     * collected bounded), pushed as LITERAL predicates on the index's
-    * (band_id, band_key) PARTITION columns, so static partition pruning
-    * opens exactly the probed bucket directories out of nBands·2^bandBits
-    * — the partition layout IS the hash-bucket index, and the probe plan
-    * shows `PartitionFilters` on it (pinned in PlanSpec) with no
-    * hyperplane fold over the corpus. Vector payloads join back for the
-    * few candidates only (broadcast semi-probe over the corpus scan —
-    * map-side, no shuffle), then exact cosine re-rank.
-    * Scale: the artifact is 24 B/row, one file per bucket; at 100 TB a
-    * query opens ~n/(nBands·2^bandBits) signature rows per probed bucket
-    * and the payload fetch touches the colliding vectors only. Multi-probe
+    * (band_id, band_grp) PARTITION columns — static pruning opens only
+    * the probed GROUP directories — plus a pushed `band_key` equality
+    * that row-group-prunes inside each group file (keys stored sorted;
+    * the r17 group-dir format, [[AnnIndex.LshGrpBits]], which bounds the
+    * store at ≤ bands·2^LshGrpBits directories at ANY corpus size — the
+    * dir-per-bucket layout it replaced cost 16.6 ms/file to build and
+    * 4.2M dirs at the 20-bit cap). The probe plan shows
+    * `PartitionFilters` on the group columns (pinned in PlanSpec) with
+    * no hyperplane fold over the corpus. Vector payloads join back for
+    * the few candidates only (broadcast semi-probe over the corpus scan
+    * — map-side, no shuffle), then exact cosine re-rank. Since r17 the
+    * candidate-id set is a SessionCache artifact; the steady probe is
+    * the broadcast-join + TakeOrdered job alone.
+    * Scale: the artifact is ~16 B/row in ≤256 group files of ~1 MB row
+    * groups; a probe reads ~bands·(1+bandBits) row groups and the
+    * payload fetch touches the colliding vectors only. Multi-probe
     * widens only this bounded probe set — the stored index never grows
     * (that's the [[AnnIndex.LshProbeFlips]] trade).
     */
@@ -955,16 +961,22 @@ object Similarity {
   /** The LSH candidate plan behind [[simAnnLsh]]'s session artifact —
     * exposed for PlanSpec: the query's multi-probed bucket coordinates
     * ([[AnnIndex.probeBands]] — cached driver math) become LITERAL
-    * predicates on the band table's (band_id, band_key) PARTITION
-    * columns, so static pruning opens exactly the probed bucket
-    * directories out of nBands·2^bandBits, with no hyperplane fold over
-    * the corpus.
+    * predicates on the band table's (band_id, band_grp) PARTITION
+    * columns — static pruning opens exactly the probed GROUP directories
+    * — plus a pushed `band_key` equality that prunes row groups inside
+    * each group file (the key is stored sorted; r17 group-dir format,
+    * [[AnnIndex.LshGrpBits]]). No hyperplane fold over the corpus.
     */
   private[graft] def lshCandidates(
       spark: SparkSession, dir: String, ver: String): DataFrame = {
+    val geom = AnnIndex.lshGeom(spark, dir, ver)
     val qPairs = AnnIndex.probeBands(spark, dir, 0L, ver)
     val bucketPred = qPairs
-      .map { case (b, k) => col("band_id") === lit(b) && col("band_key") === lit(k) }
+      .map { case (b, k) =>
+        col("band_id") === lit(b) &&
+          col("band_grp") === lit((k >> geom.grpShift).toInt) &&
+          col("band_key") === lit(k)
+      }
       .reduceOption(_ || _).getOrElse(lit(false))
     AnnIndex.lshBands(spark, dir, ver)
       .where(bucketPred)

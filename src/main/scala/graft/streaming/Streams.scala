@@ -351,19 +351,23 @@ object Streams {
     * never the vector payload.
     */
   def lshIngest(vectors: DataFrame): DataFrame =
-    graft.operators.AnnIndex.bandify(vectors)
+    lshIngestGeom(vectors, graft.operators.AnnIndex.LshFloorGeom)
 
   /** [[lshIngest]] under an explicit geometry — what a restarted stream
     * uses to keep appending into an index rebuilt at adaptive band bits
     * (pass [[graft.operators.AnnIndex.lshGeom]] of the rebuild's corpus
-    * count). */
+    * count). Carries the `band_grp` group column so streamed rows land
+    * in the same group directories the batch build writes (r17
+    * group-dir format). */
   def lshIngestGeom(
       vectors: DataFrame,
       geom: graft.operators.AnnIndex.LshGeom): DataFrame =
-    graft.operators.AnnIndex.bandify(vectors, geom)
+    graft.operators.AnnIndex.withBandGrp(
+      graft.operators.AnnIndex.bandify(vectors, geom), geom)
 
-  /** Parquet sink for [[lshIngest]]: (band_id, band_key)-partitioned
-    * append — the partition layout IS the hash-bucket index, identical to
+  /** Parquet sink for [[lshIngest]]: (band_id, band_grp)-partitioned
+    * append — the group-directory layout IS the hash-bucket index
+    * (bucket keys ride in-file under the group since r17), identical to
     * the batch build's ([[graft.operators.AnnIndex.ensureLsh]]).
     * GEOMETRY-GUARDED (r13 ADVICE): the first append writes a
     * `_graft_lsh_geom` marker into the layout and every later append
@@ -409,7 +413,7 @@ object Streams {
           batch.sparkSession, path, geom)
         val appended = graft.sources.Layout.appendPartitionedIdempotent(
           batch, batchId, path, s"$checkpointDir/graft_batch_ledger",
-          Seq("band_id", "band_key"))
+          Seq("band_id", "band_grp"))
         if (appended && maintainEvery > 0 && batchId % maintainEvery == 0)
           graft.sources.Layout.compactPartitions(batch.sparkSession, path)
         ()

@@ -364,13 +364,18 @@ class PlanSpec extends SparkSpec {
       "candidate build must not recompute corpus signatures")
     assert(b.contains("graft_ann"), "build must read the materialized on-disk index")
     // the query's bucket coordinates are LITERAL predicates on the
-    // (band_id, band_key) partition columns: the band-table scan must be
-    // statically pruned to the query's ≤ nBands buckets — round 7 filtered
-    // on vec_id (a data column) and full-scanned all 64 directories twice
+    // (band_id, band_grp) partition columns — static pruning to the
+    // probed GROUP dirs (round 7 filtered on vec_id, a data column, and
+    // full-scanned all 64 directories twice) — and the bucket key itself
+    // must reach the parquet scan as a PUSHED filter so the sorted group
+    // file prunes by row-group stats (r17 group-dir format)
     val partFilters = b.linesIterator
       .filter(_.contains("PartitionFilters")).toSeq
-    assert(partFilters.exists(l => l.contains("band_id") && l.contains("band_key")),
-      s"band scan must prune on (band_id, band_key); PartitionFilters: $partFilters")
+    assert(partFilters.exists(l => l.contains("band_id") && l.contains("band_grp")),
+      s"band scan must prune on (band_id, band_grp); PartitionFilters: $partFilters")
+    assert(b.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("band_key")),
+      "band_key equality must push into the group-file scan")
     val p = plan(graft.operators.Similarity.simAnnLsh(spark, sf))
     assert(p.contains("ExistingRDD"),
       "steady-state probe must read the candidate artifact's checkpoint leaf")

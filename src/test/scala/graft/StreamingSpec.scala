@@ -600,7 +600,7 @@ class StreamingSpec extends SparkSpec {
       // explicit schema like AnnIndex.lshBands: partition-column type
       // inference would narrow band_key to int on small values
       val streamed = spark.read
-        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT").parquet(out)
         .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       // a full BATCH REBUILD of the same vectors (ensureLsh over a corpus
@@ -610,6 +610,7 @@ class StreamingSpec extends SparkSpec {
       vecs.toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
       val batch = graft.operators.AnnIndex.lshBands(spark, corpus)
+        .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(streamed == batch,
         "streamed vectors must land in the same buckets as a batch rebuild")
@@ -624,14 +625,15 @@ class StreamingSpec extends SparkSpec {
       // foreign files): a batch build appending into the SAME directory
       // must be visible in one read alongside the streamed rows
       val batchVecs = Seq((20L, Seq(0.5, -0.4, 0.2, 0.7)))
-      graft.operators.AnnIndex
-        .bandify(batchVecs.toDF("vec_id", "v"))
+      graft.operators.AnnIndex.withBandGrp(
+        graft.operators.AnnIndex.bandify(batchVecs.toDF("vec_id", "v")),
+        graft.operators.AnnIndex.LshFloorGeom)
         .repartition(
           org.apache.spark.sql.functions.col("band_id"),
-          org.apache.spark.sql.functions.col("band_key"))
-        .write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+          org.apache.spark.sql.functions.col("band_grp"))
+        .write.mode("append").partitionBy("band_id", "band_grp").parquet(out)
       val mixed = spark.read
-        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT").parquet(out)
         .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       val batchBands = graft.operators.AnnIndex
@@ -645,7 +647,7 @@ class StreamingSpec extends SparkSpec {
       // its bucket (threshold 0 forces every dir to rewrite)
       graft.sources.Layout.compactPartitions(spark, out, maxFilesPerDir = 0)
       val compacted = spark.read
-        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT").parquet(out)
         .select("vec_id", "band_id", "band_key")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(compacted == batch ++ batchBands,
@@ -701,7 +703,8 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("lsh_unmarked").toString
     Seq((5L, Seq(0.4, 0.1, -0.6, 0.2))).toDF("vec_id", "v")
       .transform(AnnIndex.bandify(_))
-      .write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+      .transform(AnnIndex.withBandGrp(_, AnnIndex.LshFloorGeom))
+      .write.mode("append").partitionBy("band_id", "band_grp").parquet(out)
     val mem = MemoryStream[(Long, Seq[Double])]
     val ckpt = java.nio.file.Files.createTempDirectory("lsh_unmarked_c").toString
     val q = Streams.lshIngestSink(mem.toDF().toDF("vec_id", "v"), out, ckpt).start()
@@ -726,7 +729,7 @@ class StreamingSpec extends SparkSpec {
       mem2.addData((6L, Seq(0.2, 0.7, 0.1, -0.4)))
       q2.processAllAvailable()
       val ids = spark.read
-        .schema("vec_id BIGINT, band_id INT, band_key BIGINT").parquet(out)
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT").parquet(out)
         .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
       assert(ids == Set(5L, 6L), "marked layout accepts the matching-geometry append")
     } finally q2.stop()
