@@ -53,6 +53,18 @@ object SessionCache {
   private val cache = new ConcurrentHashMap[(String, String), Memo]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
+  /** Diagnostic ledger of artifact BUILDS (not hits): one
+    * `artifact|dir|fingerprint` entry per executed build. Powers the
+    * table-driven mutation-pin matrix (ArtifactMatrixSpec): after a
+    * corpus mutation, every inventoried artifact family must log a
+    * build under the NEW fingerprint, and every logged name must match
+    * an inventoried family — a new `cached` call site without a
+    * SCALING.md row + matrix pin fails the spec loudly. Bounded: one
+    * small string per build; cleared when it outgrows any plausible
+    * session (builds are once per corpus version per artifact).
+    */
+  private[graft] val buildLog = ConcurrentHashMap.newKeySet[String]()
+
   def cached(spark: SparkSession, artifact: String, dir: String)
       (build: => DataFrame): DataFrame =
     cached(spark, artifact, dir, dirFingerprint(spark, dir))(build)
@@ -107,7 +119,11 @@ object SessionCache {
     // the lazy-val latch means exactly ONE thread runs the build — no
     // duplicate warm-up job, no orphaned checkpoint blocks under the
     // concurrent bench lap.
-    val holder = new Memo(() => build.localCheckpoint(eager = true))
+    val holder = new Memo(() => {
+      if (buildLog.size > 16384) buildLog.clear()
+      buildLog.add(s"$prefix$fp")
+      build.localCheckpoint(eager = true)
+    })
     val prior = cache.putIfAbsent(key, holder)
     (if (prior != null) prior else holder).get
   }
