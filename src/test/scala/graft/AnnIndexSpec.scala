@@ -727,4 +727,43 @@ class AnnIndexSpec extends SparkSpec {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte == q) }
     }
   }
+
+  test("candidate pools refresh after a corpus mutation: a planted twin tops every pooled tier") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the r17 candidate pools (AnnIndex.candidatePool) are driver-side
+    // memos keyed by corpus version; ArtifactMatrixSpec covers the
+    // SessionCache families, so this is the matching end-to-end pin for
+    // the pooled tiers: append an EXACT twin of the query vector — the
+    // post-mutation pools must contain it and every pooled probe must
+    // serve it at rank 1. A stale pool (or a pool rebuilt against the
+    // pre-append catalog) keeps the old candidate ids and fails here.
+    val dir = Files.createTempDirectory("ann_pool_mut").toString
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 to 150).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    vecs.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def top1(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.head(); (r.getLong(0), r.getDouble(1)) }
+    // warm every pool on the pre-append corpus
+    val tiers: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("pq", () => Similarity.simAnnPq(spark, dir)),
+      ("int8", () => Similarity.simAnnInt8(spark, dir)),
+      ("ivfpq", () => Similarity.simAnnIvfPq(spark, dir)),
+      ("lsh", () => Similarity.simAnnLsh(spark, dir)),
+      ("ivf", () => Similarity.simAnnIvf(spark, dir)))
+    val before = tiers.map { case (n, f) => n -> top1(f()) }.toMap
+    assert(before.values.forall(_._1 != 5000L))
+    // append the twin (identical embedding to the query vector 0)
+    Seq((5000L, vecs.head._2)).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    tiers.foreach { case (name, f) =>
+      val (id, sim) = top1(f())
+      assert(id == 5000L && sim >= 0.999999,
+        s"$name: post-append top-1 must be the planted twin (got $id @ $sim) - " +
+          "a stale candidate pool or catalog listing survived the mutation")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
