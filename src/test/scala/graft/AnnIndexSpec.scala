@@ -766,4 +766,29 @@ class AnnIndexSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("LSH group files store band_key sorted - the row-group pruning premise") {
+    // the group-dir format (r17) relies on FileFormatWriter PRESERVING
+    // the pre-write sortWithinPartitions order (it skips its own
+    // partition-col sort when the child ordering already covers the
+    // partition columns) so a probe's pushed band_key equality can prune
+    // row groups by footer stats. If a Spark upgrade or a write-path
+    // change re-sorts or loses the order, this fails before the perf
+    // claim silently dies.
+    val path = AnnIndex.ensureLsh(spark, sf)
+    // ensureBuilt returns a qualified URI (file:/...) — resolve to a local path
+    val fs = new java.io.File(
+      if (path.contains(":")) new java.net.URI(path).getPath else path)
+    val groupDirs = fs.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(groupDirs.nonEmpty, s"no (band_id, band_grp) group dirs under $path")
+    groupDirs.foreach { d =>
+      d.listFiles().filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+        val keys = spark.read.parquet(f.getPath)
+          .select("band_key").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted),
+          s"band_key out of order inside ${f.getPath} - row-group stats cannot prune")
+      }
+    }
+  }
 }
