@@ -72,7 +72,12 @@ object DevAnnScaleBench {
       "q_sim_ann_lsh", "q_sim_ann_int8", "q_sim_ann_int8_batch",
       "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch",
       "q_knn_label", "q_ann_recall", "q_index_health", "q_cluster_profile",
-      "q_tier_advisor")
+      "q_tier_advisor",
+      // the embedding-curation family at the same 10× geometry: the
+      // hyperplane pair search, the centroid card, and the per-dim stats
+      // all cross into wider band-bit / two-level regimes here too
+      "q_dedup_embed", "q_embed_outliers", "q_embed_dim_stats",
+      "q_vector_norms", "q_quantize_embed", "q_quantize_pq")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm (also builds pools/artifacts once)

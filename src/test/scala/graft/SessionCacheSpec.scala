@@ -122,4 +122,41 @@ class SessionCacheSpec extends SparkSpec {
     // and each view serves ITS dir's plan, not the other's
     views.foreach(v => assert(spark.table(v).count() == 5))
   }
+
+  test("candidatePool: one compute under concurrent first touch; conf tag isolates; mutation evicts") {
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("pool_spec").toString
+    // a real (tiny) corpus so Tables.invalidate on supersede has a target
+    import spark.implicits._
+    Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def pool(tag: String, ver: String): Seq[(Long, Long)] =
+      AnnIndex.candidatePool(spark, dir, tag, ver) {
+        computes.incrementAndGet()
+        Thread.sleep(50) // widen the first-touch race window
+        Seq((0L, 1L))
+      }
+    // 8 threads race the same key: the lazy-holder latch must run the
+    // compute exactly once (the capHistRows ADVICE class - and the
+    // compute must NOT run under the map's bin lock, or unrelated keys
+    // would serialize behind it)
+    val pool8 = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val results = (1 to 8).map(_ => pool8.submit(
+      new java.util.concurrent.Callable[Seq[(Long, Long)]] {
+        def call(): Seq[(Long, Long)] = pool("t1", "v1")
+      }))
+    pool8.shutdown()
+    assert(results.map(_.get()).forall(_ == Seq((0L, 1L))))
+    assert(computes.get() == 1, s"compute ran ${computes.get()} times under 8-way first touch")
+    // a different conf tag is a different pool
+    pool("t2", "v1"); assert(computes.get() == 2)
+    // a new corpus version supersedes the same tag's entry (rebuild), and
+    // the superseded generation is gone - re-asking for v1 recomputes
+    pool("t1", "v2"); assert(computes.get() == 3)
+    pool("t1", "v2"); assert(computes.get() == 3, "same version must hit")
+    pool("t1", "v1"); assert(computes.get() == 4,
+      "superseded version must have been evicted, not served")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
