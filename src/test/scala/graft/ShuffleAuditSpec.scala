@@ -18,7 +18,7 @@ class ShuffleAuditSpec extends SparkSpec {
       "q_sim_topk", "q_join_agg", "q_rollup_revenue",
       "q_sim_ann_ivf", "q_dedup_minhash",
       "q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivfpq_batch",
-      "q_sim_ann_int8_batch")
+      "q_sim_ann_int8_batch", "q_sim_ann_lsh")
     val audited = ShuffleAudit.measure(spark, sf, names)
     // measure drops queries that THROW — name them here instead of dying
     // on a bare key-not-found below
@@ -40,9 +40,19 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(audited("q_rollup_revenue").shuffleBytes < 16 * 1024,
       s"q_rollup_revenue shuffle ${audited("q_rollup_revenue").shuffleBytes}")
 
-    // IVF probe: only the probed cells' candidate ids move
-    assert(audited("q_sim_ann_ivf").shuffleBytes < 64 * 1024,
+    // IVF probe: since the r17 static-prune rewrite the only exchange is
+    // the TakeOrdered reduction over the probed cells' candidates —
+    // ~1 KB measured; the 8 KB ceiling leaves wobble room but fails if
+    // the DPP/probe-rank exchange ever comes back
+    assert(audited("q_sim_ann_ivf").shuffleBytes < 8 * 1024,
       s"q_sim_ann_ivf shuffle ${audited("q_sim_ann_ivf").shuffleBytes}")
+
+    // the LSH steady state serves the session-cached candidate ids:
+    // broadcast join + TakeOrdered, zero bytes (the pruned band scan and
+    // its distinct moved into the once-per-corpus-version artifact build)
+    assert(audited("q_sim_ann_lsh").shuffleBytes == 0L,
+      s"q_sim_ann_lsh shuffled ${audited("q_sim_ann_lsh").shuffleBytes} " +
+        "bytes — the candidate artifact must absorb the bucket-scan work")
 
     // band join on ids — candidate doc ids, never text or signatures
     assert(audited("q_dedup_minhash").shuffleBytes < 64 * 1024,
@@ -55,17 +65,14 @@ class ShuffleAuditSpec extends SparkSpec {
         s"$q shuffled ${audited(q).shuffleBytes} bytes — the ADC scan " +
           "must not move corpus data")
 
-    // the batched fan shuffles only (qid, vec_id, adc) candidate rows
-    // bounded by the probed-cell union × K — card-sized like its raw
-    // batch sibling (measured ~10.6 KB at sf0.01)
-    assert(audited("q_sim_ann_ivfpq_batch").shuffleBytes < 64 * 1024,
-      s"q_sim_ann_ivfpq_batch shuffle ${audited("q_sim_ann_ivfpq_batch").shuffleBytes}")
-
-    // the int8 batch fan is group-limited map-side (WindowGroupLimit):
-    // the only exchange carries ≤ K·Int8Rerank·parts (qid, vec_id, asim)
-    // rows, never the store scan
-    assert(audited("q_sim_ann_int8_batch").shuffleBytes < 256 * 1024,
-      s"q_sim_ann_int8_batch shuffle ${audited("q_sim_ann_int8_batch").shuffleBytes}")
+    // the batched tiers pool their candidate fans per corpus version
+    // (r17) and re-rank on one coalesced card partition: the steady
+    // state moves ZERO bytes (was 10.6 KB / 45 KB at sf0.01 when the
+    // fan + group-limit exchange ran per evaluation)
+    for (q <- Seq("q_sim_ann_ivfpq_batch", "q_sim_ann_int8_batch"))
+      assert(audited(q).shuffleBytes == 0L,
+        s"$q shuffled ${audited(q).shuffleBytes} bytes — the pooled " +
+          "re-rank must window on the coalesced card, not exchange it")
   }
 
   test("text pair-search BUILDS shuffle keys, never text (artifact-era seam gates)") {
@@ -114,8 +121,9 @@ class ShuffleAuditSpec extends SparkSpec {
         "bytes — the quantized-retrieval plan must not move corpus data")
 
     // K probes in one plan: ≤ K·10 candidate rows per partition move
-    // (measured 15 KB at sf0.001; bound ×10 for wobble)
-    assert(audited("q_sim_ann_batch").shuffleBytes < 160 * 1024,
+    // (r17 static cell-union prune dropped the K×k probe-rank exchange —
+    // measured 5.0/7.1 KB at sf0.01/0.1; bound leaves wobble room)
+    assert(audited("q_sim_ann_batch").shuffleBytes < 32 * 1024,
       s"q_sim_ann_batch shuffle ${audited("q_sim_ann_batch").shuffleBytes}")
 
     // per-label centroid card broadcasts back; shuffle is the 650-row
