@@ -276,6 +276,33 @@ object AnnIndex {
     }
   }
 
+  /** The STORE FORMAT the marker records alongside the geometry — "v1"
+    * for pre-r17 markers (dir-per-bucket layout, no format token),
+    * `LshStoreFormat` for group-dir layouts. A v2 stream appending
+    * (band_id, band_grp) directories into a v1 (band_id, band_key)
+    * layout would pass the geometry equality check (grpShift is DERIVED
+    * from bandBits) and leave a mixed layout whose reads fail with a
+    * confusing partition-column conflict — the format token turns that
+    * into an actionable refusal at first append.
+    */
+  private[graft] def readLshMarkerFormat(
+      spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path, LshGeomMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val parts = scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split(' ')
+        Some(if (parts.length > 3) parts(3) else "v1")
+      } finally in.close()
+    }
+  }
+
+  /** Marker token for the r17 group-dir store format. */
+  private[graft] val LshStoreFormat = "v2"
+
   /** Force-write the geometry marker — the batch build stamps its staging
     * dir with this, and it is the documented migration step for a pre-r14
     * streamed layout whose geometry the operator knows out-of-band.
@@ -284,7 +311,9 @@ object AnnIndex {
     val p = new Path(path, LshGeomMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
+    try out.write(
+      s"${geom.bands} ${geom.bandBits} ${geom.seed} $LshStoreFormat"
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -308,6 +337,15 @@ object AnnIndex {
             s"ingest/probe uses $geom — streamed rows would land in " +
             "unreachable buckets. Re-index under the new geometry (fresh " +
             "path) or pass the stored geometry (AnnIndex.readLshGeomMarker).")
+      case Some(_)
+        if !readLshMarkerFormat(spark, path).contains(LshStoreFormat) =>
+        throw new IllegalStateException(
+          s"LSH layout at $path predates the $LshStoreFormat group-dir " +
+            "store format (same geometry, different directory grain): " +
+            "appending would mix (band_id, band_grp) and (band_id, " +
+            "band_key) partition trees and break every later read. " +
+            "Re-index into a fresh path, or re-mark after a manual " +
+            "migration (AnnIndex.markLshGeom writes the current format).")
       case Some(_) => ()
       case None =>
         val p = new Path(path, LshGeomMarker)
@@ -324,7 +362,9 @@ object AnnIndex {
               "AnnIndex.markLshGeom and restart the stream.")
         try {
           val out = fs.create(p, false) // atomic no-overwrite: one winner
-          try out.write(s"${geom.bands} ${geom.bandBits} ${geom.seed}".getBytes("UTF-8"))
+          try out.write(
+            s"${geom.bands} ${geom.bandBits} ${geom.seed} $LshStoreFormat"
+              .getBytes("UTF-8"))
           finally out.close()
         } catch {
           case _: java.io.IOException =>

@@ -791,4 +791,29 @@ class AnnIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("a pre-v2 geometry marker (same geometry, old dir grain) is refused at append") {
+    // a v2 stream appending (band_id, band_grp) dirs into a v1
+    // (band_id, band_key) layout passes the GEOMETRY equality check
+    // (grpShift derives from bandBits) and would leave a mixed partition
+    // tree whose reads die on a partition-column conflict — the marker's
+    // format token must turn that into an actionable refusal instead
+    val out = Files.createTempDirectory("lsh_v1_marker").toString
+    val mp = new org.apache.hadoop.fs.Path(out, "_graft_lsh_geom")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = AnnIndex.LshFloorGeom
+    val os = fs.create(mp, true)
+    os.write(s"${g.bands} ${g.bandBits} ${g.seed}".getBytes("UTF-8")) // no format token
+    os.close()
+    val e = intercept[IllegalStateException] {
+      AnnIndex.assertLshGeomMarker(spark, out, g)
+    }
+    assert(e.getMessage.contains("group-dir"),
+      s"must name the store-format mismatch, got: ${e.getMessage}")
+    // re-marking (the documented migration step) writes the current
+    // format and the same geometry is accepted again
+    AnnIndex.markLshGeom(spark, out, g)
+    AnnIndex.assertLshGeomMarker(spark, out, g)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
