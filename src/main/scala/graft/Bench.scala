@@ -116,27 +116,35 @@ object Bench {
     // DuckDB gate, as an artifact number instead of prose. Detail-only:
     // the headline stays the sequential min-lap total, apples-to-apples
     // with the single-connection DuckDB baseline.
+    // Min-of-3 like the sequential laps (r17 verdict #2): the concurrent
+    // lap was single-shot, so ONE contaminated ~5 s window wrote a
+    // misleading driver artifact (BENCH_r17 recorded 4.689 s against a
+    // reproducible 1.4–1.8 s — its load line showed the contention, but
+    // the asymmetry vs the min-of-3 sequential headline meant one bad
+    // window was enough). Each lap carries its OWN steal delta
+    // (load1/stealDelta above qualify only the sequential laps), so a
+    // spike inside one concurrent window is visible per-lap in the
+    // artifact and the min discards it.
     val concErrors = new java.util.concurrent.atomic.AtomicInteger
     val concPool = 8
-    val stealPreConc = stealJiffies()
-    val concT0 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(concPool)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      pool.execute(() =>
-        try { fn(spark, sfDir).count(); () }
-        catch { case _: Throwable => concErrors.incrementAndGet(); () })
-    }
-    pool.shutdown()
-    val concDone = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
-    val concWall = (System.nanoTime() - concT0) / 1e9
-    // the lap needs its OWN steal window: load1/stealDelta above qualify
-    // the sequential laps and are captured before this lap starts, so a
-    // co-tenant spike landing inside the ~5 s concurrent window would
-    // otherwise deflate overlap_x with no trace in the artifact
-    val concSteal = {
+    var concDone = true
+    def concLap(): (Double, Long) = {
+      val stealPre = stealJiffies()
+      val t0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concPool)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        pool.execute(() =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case _: Throwable => concErrors.incrementAndGet(); () })
+      }
+      pool.shutdown()
+      concDone &= pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+      val wall = (System.nanoTime() - t0) / 1e9
       val s1 = stealJiffies()
-      if (s1 < 0 || stealPreConc < 0) -1L else s1 - stealPreConc
+      (wall, if (s1 < 0 || stealPre < 0) -1L else s1 - stealPre)
     }
+    val concLaps = Seq(concLap(), concLap(), concLap())
+    val concWall = concLaps.map(_._1).min
     val concLoad = loadAvg()
     val names = laps.head.keys.toSeq
     val mins = names.flatMap { k =>
@@ -190,7 +198,11 @@ object Bench {
     // otherwise push the two scalars out of the 2 KB window too.
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total,"n_errors":${errors.size}}""")
     println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"waited_s":${num("%.1f", waitedS)},"quiet_threshold":${num("%.2f", quietThreshold)},"cpus":${Runtime.getRuntime.availableProcessors()}}""")
-    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${num("%.3f", concWall)},"sequential_total":${num("%.3f", total)},"overlap_x":${num("%.2f", total / math.max(concWall, 1e-9))},"steal_jiffies_delta":$concSteal,"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
+    // wall = MIN of the three; walls/steals arrays let a reader pair each
+    // lap with its own steal window (the line stays well under the tail)
+    val concWalls = concLaps.map(l => num("%.3f", l._1)).mkString("[", ",", "]")
+    val concSteals = concLaps.map(_._2).mkString("[", ",", "]")
+    println(s"""{"detail":"concurrent","pool":$concPool,"wall":${num("%.3f", concWall)},"walls":$concWalls,"steals":$concSteals,"sequential_total":${num("%.3f", total)},"overlap_x":${num("%.2f", total / math.max(concWall, 1e-9))},"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
     spark.stop()
   }
 }

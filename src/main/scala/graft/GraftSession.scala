@@ -43,19 +43,22 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // task-parallel output commit (v2): v1's commitJob renames every
-      // task output file SEQUENTIALLY on the driver — ~14 ms/file on
-      // this FS, which the first two-level ANN bench (r17) measured as
-      // 57 of the LSH build's 57 s (4,090 bucket dirs) and most of the
-      // IVF build's 2.4 s (141 cell dirs). v2 moves files at TASK commit,
-      // parallel across the cluster, O(files/tasks) wall. The v2 trade —
-      // a mid-job failure can leave partial files in the destination —
-      // is closed by graft's own write discipline: every index family
-      // build writes into a STAGING dir promoted by one atomic rename
-      // (AnnIndex.ensureBuilt), the Waddle store commits through its
-      // manifest, and the streaming sinks are ledgered; nothing reads a
-      // destination that hasn't been atomically published.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Output commit algorithm stays at the Hadoop DEFAULT (v1): v2
+      // moves files at TASK commit, so a mid-job failure leaves
+      // task-committed partial files VISIBLE in the destination — and the
+      // ledgered streaming sinks (Layout.appendPartitionedIdempotent /
+      // appendBatchIdempotent) append directly into served layouts with
+      // no staging rename, so a v2 partial batch followed by the
+      // ledger-driven replay of that batchId would duplicate the partial
+      // rows permanently. r17 ran v2 session-wide on the argument that
+      // every write is atomically published; that argument is FALSE for
+      // the mode(append) sinks, so v2 is now scoped per-write
+      // ([[graft.sources.Layout.CommitterV2]]) to exactly the writes that
+      // ARE staged-then-renamed: the ensureBuilt index builds (where v1's
+      // driver-sequential commitJob renames cost 57 of the r17 LSH
+      // build's 57 s at 4,090 bucket dirs) and the compaction staging
+      // rewrite. Appends keep v1's guarantee: an uncommitted job leaves
+      // nothing listable, and the ledger replay is exact.
       // the generated-class cache defaults to 100 entries; a 68-query
       // mixed workload carries several codegen units per query, so at the
       // default size repeat executions (warm service, bench laps) evict

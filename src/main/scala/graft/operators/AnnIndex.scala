@@ -6,7 +6,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{SessionCache, Tables}
+import graft.sources.{Layout, SessionCache, Tables}
 
 /** Materialized ANN indexes for the `embeddings` corpus.
   *
@@ -261,8 +261,22 @@ object AnnIndex {
     */
   private val LshGeomMarker = "_graft_lsh_geom"
 
-  /** The geometry a streamed LSH layout was banded with, if marked. */
-  def readLshGeomMarker(spark: SparkSession, path: String): Option[LshGeom] = {
+  /** One marker read returning BOTH facets: the geometry the layout was
+    * banded with and the STORE FORMAT token — "v1" for pre-r17 markers
+    * (dir-per-bucket layout, no format token in the file),
+    * [[LshStoreFormat]] for group-dir layouts. A v2 stream appending
+    * (band_id, band_grp) directories into a v1 (band_id, band_key)
+    * layout would pass the geometry equality check (grpShift is DERIVED
+    * from bandBits) and leave a mixed layout whose reads fail with a
+    * confusing partition-column conflict — the format token turns that
+    * into an actionable refusal at first append. Single FS round-trip by
+    * design: the marker is probed once per micro-batch, and on an object
+    * store each open is a metadata request (r17 read it twice — geometry
+    * then format — doubling the per-batch cost the marker exists to keep
+    * O(1)).
+    */
+  private[graft] def readLshMarker(
+      spark: SparkSession, path: String): Option[(LshGeom, String)] = {
     val p = new Path(path, LshGeomMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -271,50 +285,117 @@ object AnnIndex {
       try {
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
         val parts = src.mkString.trim.split(' ')
-        Some(LshGeom(parts(0).toInt, parts(1).toInt, parts(2).toLong))
+        Some((LshGeom(parts(0).toInt, parts(1).toInt, parts(2).toLong),
+          if (parts.length > 3) parts(3) else "v1"))
       } finally in.close()
     }
   }
 
-  /** The STORE FORMAT the marker records alongside the geometry — "v1"
-    * for pre-r17 markers (dir-per-bucket layout, no format token),
-    * `LshStoreFormat` for group-dir layouts. A v2 stream appending
-    * (band_id, band_grp) directories into a v1 (band_id, band_key)
-    * layout would pass the geometry equality check (grpShift is DERIVED
-    * from bandBits) and leave a mixed layout whose reads fail with a
-    * confusing partition-column conflict — the format token turns that
-    * into an actionable refusal at first append.
-    */
+  /** The geometry a streamed LSH layout was banded with, if marked. */
+  def readLshGeomMarker(spark: SparkSession, path: String): Option[LshGeom] =
+    readLshMarker(spark, path).map(_._1)
+
+  /** The marker's store-format facet alone (see [[readLshMarker]]). */
   private[graft] def readLshMarkerFormat(
-      spark: SparkSession, path: String): Option[String] = {
-    val p = new Path(path, LshGeomMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val parts = scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.split(' ')
-        Some(if (parts.length > 3) parts(3) else "v1")
-      } finally in.close()
-    }
-  }
+      spark: SparkSession, path: String): Option[String] =
+    readLshMarker(spark, path).map(_._2)
 
   /** Marker token for the r17 group-dir store format. */
   private[graft] val LshStoreFormat = "v2"
 
-  /** Force-write the geometry marker — the batch build stamps its staging
-    * dir with this, and it is the documented migration step for a pre-r14
-    * streamed layout whose geometry the operator knows out-of-band.
+  /** Force-write the geometry marker, stamping the CURRENT
+    * ([[LshStoreFormat]]) format token. The batch build stamps its
+    * staging dir with this; an operator may also use it on an unmarked
+    * layout whose geometry is known out-of-band — but ONLY one that is
+    * already physically at the group-dir grain. The data itself must be
+    * migrated first ([[migrateLshStoreV2]] does both): stamping a v2
+    * token onto an actual dir-per-bucket tree would re-enable exactly the
+    * mixed (band_id,band_key)/(band_id,band_grp) partition forest the
+    * format guard refuses, so this VERIFIES the directory grain (any
+    * `band_key=` directory under a `band_id=` directory means v1) and
+    * throws rather than mis-mark.
     */
   def markLshGeom(spark: SparkSession, path: String, geom: LshGeom): Unit = {
     val p = new Path(path, LshGeomMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lshHasV1Grain(fs, new Path(path)))
+      throw new IllegalStateException(
+        s"LSH layout at $path is physically at the v1 dir-per-bucket " +
+          "grain (band_key= directories) — marking it as " +
+          s"$LshStoreFormat without migrating the data would mix " +
+          "partition trees. Migrate first (AnnIndex.migrateLshStoreV2).")
     val out = fs.create(p, true)
     try out.write(
       s"${geom.bands} ${geom.bandBits} ${geom.seed} $LshStoreFormat"
         .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** True iff the layout holds v1-grain data: a `band_key=` partition
+    * directory nested under any `band_id=` directory. One listing of the
+    * root plus one per band_id dir — bounded at [[LshBands]] probes, and
+    * only run on the marker-write paths (never per-probe).
+    */
+  private def lshHasV1Grain(fs: FileSystem, root: Path): Boolean =
+    fs.exists(root) && fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band_id="))
+      .exists(band => fs.listStatus(band.getPath)
+        .exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("band_key=")))
+
+  /** Migrate a pre-r17 (dir-per-bucket) streamed LSH layout IN PLACE to
+    * the group-dir store format and stamp the v2 marker — the
+    * no-manual-step remedy behind the format guard: a streamed append
+    * landing on a v1 layout migrates it once and proceeds
+    * ([[assertLshGeomMarker]] calls this on format mismatch; r17 refused
+    * there and the only remedy was an operator deleting the store). Write
+    * shape is the batch build's exactly (group co-location, in-file
+    * band_key sort, 1 MB row groups, task-parallel commit — the staging
+    * tree is never served unpublished), and publication follows
+    * [[graft.sources.Layout.compactPartitions]]'s swap discipline: the
+    * new tree is FULLY written into a hidden staging dir before any old
+    * directory is touched. A crash mid-swap leaves a half-migrated tree,
+    * acceptable for the same reason as compaction (derived artifact,
+    * rebuildable from its corpus) — and because the v2 marker is only
+    * re-stamped AFTER the swap completes, a half-swapped layout still
+    * REFUSES appends at the next batch rather than mixing grains.
+    * Cost is one read+write of the index (signatures, not vectors),
+    * paid once per layout ever.
+    */
+  def migrateLshStoreV2(
+      spark: SparkSession, path: String, geom: LshGeom): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, "_graft_lsh_migrate_staging")
+    fs.delete(staging, true)
+    val bandDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band_id="))
+      .map(_.getPath)
+    if (bandDirs.nonEmpty) {
+      withBandGrp(
+        spark.read.option("basePath", path)
+          .parquet(bandDirs.toIndexedSeq.map(_.toString): _*)
+          // partition-dir inference types band_key by its VALUES (int for
+          // narrow fixtures) — cast to the store schema before it becomes
+          // an in-file column
+          .select(col("vec_id"), col("band_id").cast("int"),
+            col("band_key").cast("bigint")),
+        geom)
+        .repartition(col("band_id"), col("band_grp"))
+        .sortWithinPartitions("band_id", "band_grp", "band_key")
+        .write.mode("overwrite").options(Layout.CommitterV2)
+        .option("parquet.block.size", (1L << 20).toString)
+        .partitionBy("band_id", "band_grp").parquet(staging.toString)
+      bandDirs.foreach(d => fs.delete(d, true))
+      fs.listStatus(staging)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("band_id="))
+        .foreach(st =>
+          fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+    }
+    fs.delete(staging, true)
+    markLshGeom(spark, path, geom)
+    Layout.refreshRewrittenLayout(spark, path)
   }
 
   /** Write-once / assert-after: marks an EMPTY unmarked layout, asserts
@@ -330,22 +411,19 @@ object AnnIndex {
     */
   def assertLshGeomMarker(
       spark: SparkSession, path: String, geom: LshGeom): Unit =
-    readLshGeomMarker(spark, path) match {
-      case Some(stored) if stored != geom =>
+    readLshMarker(spark, path) match {
+      case Some((stored, _)) if stored != geom =>
         throw new IllegalStateException(
           s"LSH layout at $path was banded under geometry $stored but this " +
             s"ingest/probe uses $geom — streamed rows would land in " +
             "unreachable buckets. Re-index under the new geometry (fresh " +
             "path) or pass the stored geometry (AnnIndex.readLshGeomMarker).")
-      case Some(_)
-        if !readLshMarkerFormat(spark, path).contains(LshStoreFormat) =>
-        throw new IllegalStateException(
-          s"LSH layout at $path predates the $LshStoreFormat group-dir " +
-            "store format (same geometry, different directory grain): " +
-            "appending would mix (band_id, band_grp) and (band_id, " +
-            "band_key) partition trees and break every later read. " +
-            "Re-index into a fresh path, or re-mark after a manual " +
-            "migration (AnnIndex.markLshGeom writes the current format).")
+      case Some((stored, format)) if format != LshStoreFormat =>
+        // same geometry, pre-v2 directory grain: appending would mix
+        // (band_id, band_grp) and (band_id, band_key) partition trees.
+        // r17 refused here; now the layout migrates in place once and
+        // the append proceeds onto the v2 tree (r17 verdict #4).
+        migrateLshStoreV2(spark, path, stored)
       case Some(_) => ()
       case None =>
         val p = new Path(path, LshGeomMarker)
@@ -368,12 +446,20 @@ object AnnIndex {
           finally out.close()
         } catch {
           case _: java.io.IOException =>
-            // lost the create race — assert against the winner's marker
-            readLshGeomMarker(spark, path) match {
-              case Some(stored) if stored != geom =>
+            // lost the create race — assert against the winner's marker,
+            // geometry AND format (a winner always stamps the current
+            // format, so a non-v2 token here means the "race" was an
+            // out-of-band re-mark: refuse, don't migrate concurrently)
+            readLshMarker(spark, path) match {
+              case Some((stored, _)) if stored != geom =>
                 throw new IllegalStateException(
                   s"LSH layout at $path was concurrently marked $stored; " +
                     s"this stream uses $geom — refusing to append.")
+              case Some((_, format)) if format != LshStoreFormat =>
+                throw new IllegalStateException(
+                  s"LSH layout at $path was concurrently marked with " +
+                    s"store format $format (expected $LshStoreFormat) — " +
+                    "refusing to append into a mixed-grain layout.")
               case _ => ()
             }
         }
@@ -1147,7 +1233,8 @@ object AnnIndex {
         // probe/health scan pays k× the file opens. The assignment still
         // parallelizes across the pre-repartition scan.
         .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(staging)
+        .write.mode("overwrite").options(Layout.CommitterV2)
+        .partitionBy("cluster").parquet(staging)
     }
   }
 
@@ -1213,7 +1300,8 @@ object AnnIndex {
         // one task per cell before the partitioned write — the sliver
         // discipline of ensureIvf (assignment still parallelizes upstream)
         .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(staging)
+        .write.mode("overwrite").options(Layout.CommitterV2)
+        .partitionBy("cluster").parquet(staging)
     }
   }
 
@@ -1246,7 +1334,8 @@ object AnnIndex {
           Tables.spread(Tables.embeddings(spark, dir))
             .select(col("vec_id"),
               col("embedding").cast("array<double>").as("v")))
-          .write.mode("overwrite").parquet(staging)
+          .write.mode("overwrite").options(Layout.CommitterV2)
+          .parquet(staging)
     }
 
   /** The symmetric int8 quantization transform — shared bit-for-bit by
@@ -1328,7 +1417,7 @@ object AnnIndex {
         // band_key predicate prunes inside the group by footer stats.
         .repartition(col("band_id"), col("band_grp"))
         .sortWithinPartitions("band_id", "band_grp", "band_key")
-        .write.mode("overwrite")
+        .write.mode("overwrite").options(Layout.CommitterV2)
         .option("parquet.block.size", (1L << 20).toString)
         .partitionBy("band_id", "band_grp").parquet(staging)
       // stamp the batch-built layout with its geometry so a stream later

@@ -228,6 +228,31 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
 
+  /** Co-locate the exact re-rank survivors (≤ K·pool rows) for the
+    * per-qid window of the batched tiers. `coalesce(1)` is a NARROW
+    * dependency: it satisfies the window's clustering with zero exchange,
+    * but it also collapses the whole upstream stage — including the
+    * In()-pushed f32 point-fetch SCAN — to ONE task. Output rows are
+    * card-sized either way; scan WORK is corpus-sized (every file footer
+    * open and matching row-group read), so the zero-exchange shape is the
+    * right trade only while the corpus is small enough that one task's
+    * footer walk is trivial (the bench/test regime — the r17 diet).
+    * Past the regime bound (`spark.graft.ann.singleTaskScanRows`,
+    * embeddings rows) the survivors instead exchange ONCE, hashed by qid:
+    * card bytes move, scan parallelism is preserved, and the window plans
+    * with no further exchange on top of the hash partitioning (r17
+    * ADVICE). ShuffleAuditSpec pins the small regime at 0 B; PlanSpec
+    * pins the big-regime exchange under a forced bound.
+    */
+  private def colocateForQidWindow(
+      spark: SparkSession, dir: String, ver: String,
+      rerank: DataFrame): DataFrame =
+    if (AnnIndex.corpusCount(spark, dir, ver) <=
+        spark.conf.get("spark.graft.ann.singleTaskScanRows",
+          (1L << 21).toString).toLong)
+      rerank.coalesce(1)
+    else rerank.repartition(col("qid"))
+
   /** int8 tier exact re-rank pool size ([[simAnnInt8]]'s candidate
     * collect, [[simAnnInt8Batch]]'s per-qid pool) — a named constant so
     * the tier-advisor card prices the same pool the serving paths use.
@@ -322,17 +347,17 @@ object Similarity {
     val pairDf = cand.toDF("qid", "vec_id") // ≤ K·Int8Rerank rows
     val allIds = cand.map(_._2).distinct
     val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
-    withVec(spark, dir)
-      .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
-      .join(broadcast(pairDf), Seq("vec_id"))
-      .join(broadcast(qs), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
-      // ≤ K·Int8Rerank surviving rows: one coalesced partition satisfies
-      // the per-qid window's clustering requirement, so the whole
-      // re-rank — point-fetch, fans, rank, card sort — is ONE stage with
-      // no exchange (the clusterProfile card discipline)
-      .coalesce(1)
+    // ≤ K·Int8Rerank surviving rows; colocation for the per-qid window is
+    // regime-adaptive (see colocateForQidWindow): zero-exchange coalesced
+    // card while the point-fetch scan is single-task-cheap, one qid-hash
+    // exchange of the survivors past the bound so the scan stays parallel
+    colocateForQidWindow(spark, dir, ver,
+      withVec(spark, dir)
+        .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
+        .join(broadcast(pairDf), Seq("vec_id"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(v, qv)"), 6).as("sim")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)
@@ -506,15 +531,15 @@ object Similarity {
     val pairDf = cand.toDF("qid", "vec_id") // ≤ K·pool rows
     val allIds = cand.map(_._2).distinct
     val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
-    withVec(spark, dir)
-      .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
-      .join(broadcast(pairDf), Seq("vec_id"))
-      .join(broadcast(qs), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(expr("cosine_sim(v, qv)"), 6).as("sim"))
-      // ≤ K·pool surviving rows: single-partition window, no exchange
-      // (see simAnnInt8Batch)
-      .coalesce(1)
+    // ≤ K·pool surviving rows; regime-adaptive colocation for the per-qid
+    // window (see colocateForQidWindow / simAnnInt8Batch)
+    colocateForQidWindow(spark, dir, ver,
+      withVec(spark, dir)
+        .where(col("vec_id").isin(allIds: _*)) // In()-pushed point-fetch
+        .join(broadcast(pairDf), Seq("vec_id"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(v, qv)"), 6).as("sim")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
       .where(col("rank") <= 10)

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Per-write opt-in to the v2 (task-parallel) output commit algorithm,
+    * for writes whose destination is a STAGING directory published by one
+    * atomic rename (AnnIndex.ensureBuilt builds) or swapped file-by-file
+    * after the job succeeds ([[compactPartitions]]'s unpartitioned path).
+    * There v2's failure mode — task-committed partial files visible in
+    * the output dir on a mid-job crash — is harmless (the staging tree is
+    * never promoted), and v1's driver-sequential commitJob renames are
+    * the measured bottleneck (~14 ms/file; 57 s of the r17 two-level LSH
+    * build's 57 s at 4,090 bucket dirs). NEVER apply this to a write that
+    * appends into a served layout: the ledgered sinks
+    * ([[appendPartitionedIdempotent]]/[[appendBatchIdempotent]]) rely on
+    * v1's nothing-visible-until-commitJob to make batch replay exact.
+    * Session default is v1 (see [[graft.GraftSession]]).
+    */
+  val CommitterV2: Map[String, String] =
+    Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
   /** Write the events fact in production layout: partitioned by event date,
     * bucketed by user_id, sorted within each bucket by (event_type, ts).
     * Scale: the writer shuffles once (by bucket key) and writes
@@ -375,7 +392,8 @@ object Layout {
           overfull.head._2._2.toDouble / CompactTargetBytes).toLong).toInt
         spark.read.parquet(inputs.toIndexedSeq.map(_.toString): _*)
           .coalesce(nOut)
-          .write.mode("overwrite").parquet(staging.toString)
+          .write.mode("overwrite").options(CommitterV2)
+          .parquet(staging.toString)
         inputs.foreach(f => fs.delete(f, false))
         fs.listStatus(staging)
           .filter(st => st.isFile && isData(st.getPath.getName))
@@ -394,34 +412,44 @@ object Layout {
           .partitionBy(partCols: _*)
           .parquet(rootStr)
       }
-      graft.operators.AnnIndex.invalidateResolved(path)
-      spark.catalog.refreshByPath(path)
-      // refreshByPath recaches DATASETS only; the process-wide shared
-      // FileStatusCache still holds the replaced dirs' listings, and a
-      // later read of the layout would chase deleted part files.
-      // `getOrCreate(spark).invalidateAll()` does NOT clear it — it mints
-      // a NEW client and clears that client's zero entries (verified
-      // against the shipped jar); `resetForTesting()` is the only public
-      // entry that drops the shared cache. Cost: other paths re-list once.
-      // It is an internal Spark API verified against the PINNED 4.1 jars;
-      // the reflective guard degrades a future Spark bump to a loud
-      // warning (stale-listing reads surface as FILE_NOT_EXIST with a
-      // self-explanatory refresh hint) instead of an AbstractMethodError
-      // on every compaction.
-      try org.apache.spark.sql.execution.datasources.FileStatusCache
-        .resetForTesting()
-      catch { case e: LinkageError =>
-        System.err.println("[graft] FileStatusCache.resetForTesting " +
-          s"missing on Spark ${org.apache.spark.SPARK_VERSION}: stale " +
-          "shared listings of compacted dirs may surface as " +
-          s"FILE_NOT_EXIST until re-listed — $e")
-      }
+      refreshRewrittenLayout(spark, path)
     }
     overfull.map { case (dir, (c, b)) =>
       val after = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .count(st => st.isFile && isData(st.getPath.getName))
       (dir.stripPrefix(rootStr).stripPrefix("/"), c, b, after)
     }.toDF("partition", "files_before", "bytes_before", "files_after")
+  }
+
+  /** Drop every cached view of a layout whose FILES were just replaced
+    * in place (compaction, store-format migration) — shared by
+    * [[compactPartitions]] and
+    * [[graft.operators.AnnIndex.migrateLshStoreV2]].
+    * refreshByPath recaches DATASETS only; the process-wide shared
+    * FileStatusCache still holds the replaced dirs' listings, and a
+    * later read of the layout would chase deleted part files.
+    * `getOrCreate(spark).invalidateAll()` does NOT clear it — it mints
+    * a NEW client and clears that client's zero entries (verified
+    * against the shipped jar); `resetForTesting()` is the only public
+    * entry that drops the shared cache. Cost: other paths re-list once.
+    * It is an internal Spark API verified against the PINNED 4.1 jars;
+    * the reflective guard degrades a future Spark bump to a loud
+    * warning (stale-listing reads surface as FILE_NOT_EXIST with a
+    * self-explanatory refresh hint) instead of an AbstractMethodError
+    * on every compaction.
+    */
+  private[graft] def refreshRewrittenLayout(
+      spark: SparkSession, path: String): Unit = {
+    graft.operators.AnnIndex.invalidateResolved(path)
+    spark.catalog.refreshByPath(path)
+    try org.apache.spark.sql.execution.datasources.FileStatusCache
+      .resetForTesting()
+    catch { case e: LinkageError =>
+      System.err.println("[graft] FileStatusCache.resetForTesting " +
+        s"missing on Spark ${org.apache.spark.SPARK_VERSION}: stale " +
+        "shared listings of rewritten dirs may surface as " +
+        s"FILE_NOT_EXIST until re-listed — $e")
+    }
   }
 
   /** One day's slice — must prune to a single date partition at plan time. */

@@ -792,27 +792,55 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
-  test("a pre-v2 geometry marker (same geometry, old dir grain) is refused at append") {
+  test("a pre-v2 layout (same geometry, old dir grain) migrates in place at append") {
+    import spark.implicits._
     // a v2 stream appending (band_id, band_grp) dirs into a v1
     // (band_id, band_key) layout passes the GEOMETRY equality check
     // (grpShift derives from bandBits) and would leave a mixed partition
-    // tree whose reads die on a partition-column conflict — the marker's
-    // format token must turn that into an actionable refusal instead
+    // tree whose reads die on a partition-column conflict. r17 refused
+    // here; since r18 the guard MIGRATES the layout to the group-dir
+    // format once (staged, marker re-stamped last) and the assert passes
     val out = Files.createTempDirectory("lsh_v1_marker").toString
+    val g = AnnIndex.LshFloorGeom
+    // physical v1 grain: band_key as a partition DIRECTORY
+    val rows = Seq((5L, Seq(0.4, 0.1, -0.6, 0.2)), (9L, Seq(0.7, -0.3, 0.2, 0.5)))
+    val banded = rows.toDF("vec_id", "v").transform(AnnIndex.bandify(_, g))
+    banded.write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+    val expect = banded.select("vec_id", "band_id", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val mp = new org.apache.hadoop.fs.Path(out, "_graft_lsh_geom")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val g = AnnIndex.LshFloorGeom
     val os = fs.create(mp, true)
     os.write(s"${g.bands} ${g.bandBits} ${g.seed}".getBytes("UTF-8")) // no format token
     os.close()
+    // markLshGeom alone must NOT legitimize the v1 grain (the r17 ADVICE
+    // hole: stamping v2 without moving the data re-enables the mixed tree)
     val e = intercept[IllegalStateException] {
-      AnnIndex.assertLshGeomMarker(spark, out, g)
+      AnnIndex.markLshGeom(spark, out, g)
     }
-    assert(e.getMessage.contains("group-dir"),
-      s"must name the store-format mismatch, got: ${e.getMessage}")
-    // re-marking (the documented migration step) writes the current
-    // format and the same geometry is accepted again
-    AnnIndex.markLshGeom(spark, out, g)
+    assert(e.getMessage.contains("migrat"),
+      s"must point at the migration remedy, got: ${e.getMessage}")
+    // the append-path guard migrates and passes
+    AnnIndex.assertLshGeomMarker(spark, out, g)
+    assert(AnnIndex.readLshMarkerFormat(spark, out)
+      .contains(AnnIndex.LshStoreFormat))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(!_.startsWith("_graft_lsh_migrate_staging")),
+      "staging dir must be cleaned up")
+    for (band <- new java.io.File(out).listFiles()
+        if band.isDirectory && band.getName.startsWith("band_id=")) {
+      val subs = band.listFiles().filter(_.isDirectory).map(_.getName)
+      assert(subs.forall(_.startsWith("band_grp=")),
+        s"post-migration grain must be band_grp only, got: ${subs.toSeq}")
+    }
+    // every row survived, at the group-dir grain with in-file band_key
+    val got = spark.read
+      .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT")
+      .parquet(out).select("vec_id", "band_id", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect, "migration must preserve every (vec, band, key) row")
+    // idempotent: a second assert is a no-op pass
     AnnIndex.assertLshGeomMarker(spark, out, g)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }

@@ -209,6 +209,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("output committer: session default v1, v2 scoped to staged writes only") {
+    // session-wide v2 broke the exactly-once contract of the ledgered
+    // append sinks (r17 ADVICE): v2 commits files at TASK commit, so a
+    // mid-batch failure leaves partial files visible in the served layout
+    // and the ledger replay of that batchId duplicates them permanently.
+    // The session must stay on the Hadoop default (v1: nothing listable
+    // until commitJob) and v2 rides only as a per-write option on writes
+    // whose destination is staging promoted by rename.
+    val v = spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.fileoutputcommitter.algorithm.version", "1")
+    assert(v == "1", s"session-wide committer must be v1, got $v")
+    assert(graft.sources.Layout.CommitterV2(
+      "mapreduce.fileoutputcommitter.algorithm.version") == "2")
+  }
+
   test("compactPartitions collapses overfull dirs, preserves rows, no-ops when quiet") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_lay_cmp").toString

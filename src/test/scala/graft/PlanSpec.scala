@@ -351,6 +351,35 @@ class PlanSpec extends SparkSpec {
       "per-qid pools must group-limit map-side before the exchange")
   }
 
+  test("batched re-rank colocation is regime-adaptive: coalesced card small, qid exchange big") {
+    // small regime (default bound ≫ any fixture corpus): coalesce(1)'s
+    // SinglePartition satisfies the per-qid window with ZERO exchange —
+    // the r17 diet shape, byte-pinned by ShuffleAuditSpec
+    val small = plan(Similarity.simAnnInt8Batch(spark, sf))
+    assert(small.contains("Coalesce"),
+      "small regime must window on the coalesced card")
+    assert(!small.contains("hashpartitioning(qid"),
+      "small regime must not exchange the re-rank")
+    val smallRows = Similarity.simAnnInt8Batch(spark, sf).collect().toSeq
+    // forced big regime: coalesce(1) is a NARROW dependency that would
+    // serialize the In()-pushed point-fetch SCAN into one task (corpus-
+    // sized footer walk at 100 TB — r17 ADVICE); past the bound the
+    // card-sized survivors exchange ONCE by qid instead and the window
+    // plans on that hash partitioning with no further exchange
+    spark.conf.set("spark.graft.ann.singleTaskScanRows", "0")
+    try {
+      val big = plan(Similarity.simAnnInt8Batch(spark, sf))
+      // the qid exchange is the stage boundary that keeps the scan
+      // parallel; cardSort's own coalesce(1) sits ABOVE it, so its narrow
+      // dependency stops at the shuffle and never reaches the scan
+      assert(big.contains("hashpartitioning(qid"),
+        s"big regime must exchange the survivors by qid:\n$big")
+      // same answer in both regimes (cardSort fixes presentation order)
+      assert(Similarity.simAnnInt8Batch(spark, sf).collect().toSeq == smallRows,
+        "regimes must agree on the served card")
+    } finally spark.conf.unset("spark.graft.ann.singleTaskScanRows")
+  }
+
   test("simAnnLsh probes the materialized index — partition-pruned, no hyperplane fold") {
     // r17: the candidate-id set is a session artifact, so the pruned
     // band scan lives in the BUILD plan (pinned here) and the

@@ -68,7 +68,10 @@ class ShuffleAuditSpec extends SparkSpec {
     // the batched tiers pool their candidate fans per corpus version
     // (r17) and re-rank on one coalesced card partition: the steady
     // state moves ZERO bytes (was 10.6 KB / 45 KB at sf0.01 when the
-    // fan + group-limit exchange ran per evaluation)
+    // fan + group-limit exchange ran per evaluation). This pins the
+    // SMALL regime; past spark.graft.ann.singleTaskScanRows the re-rank
+    // exchanges its card-sized survivors once by qid instead so the
+    // point-fetch scan stays parallel (PlanSpec pins that shape)
     for (q <- Seq("q_sim_ann_ivfpq_batch", "q_sim_ann_int8_batch"))
       assert(audited(q).shuffleBytes == 0L,
         s"$q shuffled ${audited(q).shuffleBytes} bytes — the pooled " +

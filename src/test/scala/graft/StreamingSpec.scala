@@ -735,6 +735,59 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamed append onto a pre-v2 (dir-per-bucket) layout migrates and lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    // the r17 format guard correctly REFUSED a streamed append into a v1
+    // dir-per-bucket layout, but the only remedy was an operator deleting
+    // the store; r18 wires migration into the guard — one in-place
+    // rebuild to the group-dir grain, then the append proceeds, no manual
+    // step (r17 verdict #4)
+    val g = AnnIndex.LshFloorGeom
+    val out = java.nio.file.Files.createTempDirectory("lsh_v1_stream").toString
+    val oldRows = Seq((5L, Seq(0.4, 0.1, -0.6, 0.2)))
+    oldRows.toDF("vec_id", "v").transform(AnnIndex.bandify(_, g))
+      .write.mode("append").partitionBy("band_id", "band_key").parquet(out)
+    val mp = new org.apache.hadoop.fs.Path(out, "_graft_lsh_geom")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(mp, true)
+    os.write(s"${g.bands} ${g.bandBits} ${g.seed}".getBytes("UTF-8")) // v1 marker
+    os.close()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_v1_stream_c").toString
+    val q = Streams.lshIngestSink(mem.toDF().toDF("vec_id", "v"), out, ckpt).start()
+    try {
+      mem.addData((6L, Seq(0.2, 0.7, 0.1, -0.4)))
+      q.processAllAvailable() // migrates, then appends — no exception
+      assert(AnnIndex.readLshMarkerFormat(spark, out)
+        .contains(AnnIndex.LshStoreFormat))
+      val bands = spark.read
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT")
+        .parquet(out)
+      val ids = bands.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(5L, 6L),
+        "migrated rows and the streamed append must both be readable")
+      // pre-migration rows landed in the SAME buckets a v2 build computes
+      val expectOld = oldRows.toDF("vec_id", "v")
+        .transform(AnnIndex.bandify(_, g))
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val gotOld = bands.where($"vec_id" === 5L)
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(gotOld == expectOld, "migration must preserve bucket keys")
+      // grain is uniformly band_grp — no mixed partition tree
+      for (band <- new java.io.File(out).listFiles()
+          if band.isDirectory && band.getName.startsWith("band_id=")) {
+        val subs = band.listFiles().filter(_.isDirectory).map(_.getName)
+        assert(subs.forall(_.startsWith("band_grp=")),
+          s"mixed grain after migration: ${subs.toSeq}")
+      }
+    } finally q.stop()
+  }
+
   test("batch-built LSH index carries the geometry marker") {
     import spark.implicits._
     import graft.operators.AnnIndex
