@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * builds ran only inside spec fixtures, never end-to-end with walls.
   *
   * Corpus: the AnnIndexSpec d64 recall fixture's geometry EXACTLY
-  * (64-d, 20k unit vectors on 200 unit centers, noise 0.175 σ/dim,
-  * seed 47 — k = √20000 = 142 pivots, two-level dispatch), written once
-  * to the target dir; label = generating center, so the label-consuming
-  * cards run too. Results are recorded in BASELINE.md ("two-level
-  * geometry bench") with the sf0.1 walls alongside.
-  * Usage: runMain graft.DevAnnScaleBench [outDir]
+  * (64-d, unit vectors on n/100 unit centers, noise 0.175 σ/dim,
+  * seed 47 — [[DevAnnFixture]]; at the default n=20k that is 142 pivots,
+  * two-level dispatch), written once to the target dir; label =
+  * generating center, so the label-consuming cards run too. `n=` pushes
+  * the bench another decade (r17 verdict #5: 100–200k crosses wider
+  * band-bit and bigger pivot-count steps 20k cannot reach). Results are
+  * recorded in BASELINE.md ("two-level geometry bench") with the sf0.1
+  * walls alongside.
+  * Usage: runMain graft.DevAnnScaleBench [outDir] [n=20000]
   */
 object DevAnnScaleBench {
   def main(args: Array[String]): Unit = {
     import graft.operators.{AnnIndex, PqIndex}
-    val dir = args.headOption.getOrElse("/tmp/graft_ann_twolevel")
+    val dir = args.find(_.startsWith("/")).getOrElse("/tmp/graft_ann_twolevel")
+    val n = args.find(_.startsWith("n="))
+      .map(_.stripPrefix("n=").toInt).getOrElse(20000)
     val spark = GraftSession.create()
     import spark.implicits._
     // per-corpus index root: cold-build walls stay measurable by clearing
@@ -31,25 +36,10 @@ object DevAnnScaleBench {
     // thousands of bucket files per probe), which this main's first run
     // measured as a 64 s/probe meltdown
     spark.conf.set("spark.graft.ann.indexRoot", s"${dir}_index/graft_ann")
-    val target = new java.io.File(s"$dir/embeddings.parquet")
-    if (!target.exists()) {
-      val rnd = new scala.util.Random(47)
-      def unit(v: Array[Double]): Array[Double] = {
-        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
-      }
-      val d = 64; val n = 20000; val nCenters = 200; val noise = 0.175
-      val centers = Seq.fill(nCenters)(unit(Array.fill(d)(rnd.nextGaussian())))
-      (0 until n).map { i =>
-        val c = rnd.nextInt(nCenters)
-        (i.toLong, s"c$c",
-          unit(centers(c).map(_ + noise * rnd.nextGaussian())).map(_.toFloat).toSeq)
-      }.toDF("vec_id", "label", "embedding")
-        .coalesce(4)
-        .write.mode("overwrite").parquet(target.toString)
-    }
+    DevAnnFixture.ensure(spark, dir, n)
     val ver = AnnIndex.corpusVersion(spark, dir)
     val k = AnnIndex.centroids(spark, dir, ver).size
-    println(s"[annscale] corpus n=20000 d=64 pivots=$k " +
+    println(s"[annscale] corpus n=$n d=${DevAnnFixture.Dim} pivots=$k " +
       s"twoLevel=${k > AnnIndex.TwoLevelMinPivots} " +
       s"nprobe=${AnnIndex.probeCount(k)} assignTag=${AnnIndex.assignTag(spark, dir, ver)}")
     require(k > AnnIndex.TwoLevelMinPivots, "fixture must cross the two-level threshold")

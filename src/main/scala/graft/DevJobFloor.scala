@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: price the per-JOB scheduling floor itself (r18, following
+  * [[DevFloorDecomp]] — which showed ~87% of the suite wall in `exec`,
+  * at ~2.5 jobs/query; this names what one job COSTS and which conf/shape
+  * levers move it, so "attack the floor" vs "document it irreducible" is
+  * a measured call, not a guess).
+  *
+  * Shapes, warm, min/median over `reps` runs each:
+  *   - `noop job`:       spark.range(1).count() — one job, one task, no
+  *                       shuffle, no file scan: the DAGScheduler+task
+  *                       round-trip floor.
+  *   - `32-task job`:    spark.range(1<<20, numPartitions=32).count() —
+  *                       same, 32 task launches: tasks-per-job cost.
+  *   - `1 shuffle AQE`:  fresh groupBy-count frame per rep — the
+  *                       materialize-stage + AQE-replan + final-stage
+  *                       pattern nearly every suite query pays.
+  *   - `1 shuffle noAQE`: same frame built against a no-AQE twin session
+  *                       (newSession + conf off) — the replan delta.
+  *   - `parquet count`:  fresh count over the sf dir's orders table —
+  *                       adds catalog/file-listing+footer cost per call.
+  *
+  * Usage: runMain graft.DevJobFloor [sfDir] [reps=20]
+  */
+object DevJobFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    val reps = args.find(_.startsWith("reps="))
+      .map(_.stripPrefix("reps=").toInt).getOrElse(20)
+    val spark = GraftSession.create()
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def bench(name: String)(f: => Unit): Unit = {
+      (1 to 3).foreach(_ => f) // warm: codegen + classloading
+      val walls = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"[jobfloor] $name%-22s min ${walls.min}%7.2f ms  " +
+        f"p50 ${walls(reps / 2)}%7.2f ms  max ${walls.last}%8.2f ms")
+    }
+
+    bench("noop job")(spark.range(1).count())
+    bench("32-task job")(
+      spark.range(0, 1L << 20, 1, 32).count())
+    bench("1-shuffle AQE")(
+      spark.range(0, 100000, 1, 8).groupBy(col("id") % 10).count().count())
+    bench("1-shuffle noAQE")(
+      noAqe.range(0, 100000, 1, 8).groupBy(col("id") % 10).count().count())
+    bench("2-shuffle AQE")(
+      spark.range(0, 100000, 1, 8).groupBy(col("id") % 100).count()
+        .groupBy(col("(id % 100)") % 10).count().count())
+    bench("parquet count")(
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+    // the reused-frame twin: what a memoized DataFrame would measure —
+    // NOT a legitimate bench shape (AQE reuses materialized shuffle
+    // stages on re-execution = result caching); printed so the line
+    // between plan reuse and result reuse stays measured and documented
+    val reused = spark.range(0, 100000, 1, 8).groupBy(col("id") % 10).count()
+    reused.count()
+    bench("reused-frame count")(reused.count())
+    spark.stop()
+  }
+}

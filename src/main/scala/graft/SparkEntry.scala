@@ -78,6 +78,7 @@ object SparkEntry {
     "q_correlated_scalar" -> (Analytics.correlatedScalar _),
     "q_heavy_hitters"   -> (Analytics.heavyHitters _),
     "q_profile_events"  -> (Analytics.profileEvents _),
+    "q_profile_events_hll" -> (Analytics.profileEventsApprox _),
     // extensions: similarity search (§2.6 O4)
     "q_sim_topk"        -> (Similarity.simTopK _),
     "q_sim_topk_batch"  -> (Similarity.simBatchTopK _),

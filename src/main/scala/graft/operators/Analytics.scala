@@ -227,9 +227,25 @@ object Analytics {
     * constant-bytes claim is a measured ShuffleAuditSpec gate, and
     * SCALING.md records both rows.
     */
-  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
-    val approx =
-      spark.conf.get("spark.graft.profile.approxDistinct", "false").toBoolean
+  def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    profileEvents(spark, dir,
+      spark.conf.get("spark.graft.profile.approxDistinct", "false").toBoolean)
+
+  /** The HLL path of [[profileEvents]] as its own registry entry
+    * (r17 verdict #6): `q_profile_events` stays the exact, oracle-checked
+    * default; this row gives the 100 TB setting a BENCH/CORRECTNESS line
+    * of its own so the sketch path's wall and row shape are measured
+    * per-round instead of living behind a conf nobody flips. No oracle
+    * (§2.12 A): DuckDB's approx_count_distinct is a different sketch —
+    * estimates legitimately differ; ShuffleAuditSpec pins the 3σ rsd
+    * error bound vs exact AND the sketch-constant shuffle bytes under
+    * 10× data.
+    */
+  def profileEventsApprox(spark: SparkSession, dir: String): DataFrame =
+    profileEvents(spark, dir, approx = true)
+
+  private def profileEvents(
+      spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     def distinctOf(c: String) =
       if (approx) approx_count_distinct(col(c), rsd = 0.05)
       else countDistinct(col(c))

@@ -133,38 +133,63 @@ object AnnIndex {
   val SampleIds = 4096L
   def sampleSize(k: Int): Long = math.max(SampleIds, 32L * k)
 
-  /** LSH geometry: [[LshBands]] bands (fixed — the recall knob: a pair
-    * collides if ANY band agrees) of `bandBits` hyperplane bits each,
-    * where bandBits is CORPUS-SIZE-ADAPTIVE ([[lshBandBits]]: expected
-    * bucket width ~[[LshTargetWidth]], clamped [4, 20]) — the same
-    * discipline as the IVF codebook ([[pivotCount]]) and the embed-dedup
-    * bands (`Dedup.embedBandBits`). A fixed 4-bit geometry has
-    * 4 × 16 = 64 buckets FOREVER, so bucket width — and probe scan cost —
-    * grows as n/64: linear in the corpus, the exact scale killer the
-    * r12 verdict flagged for the fixed IVF codebook. With adaptive bits a
-    * bucket stays ~32 rows at any corpus size and a probe opens
-    * ≤ bands·(1 + bandBits) bounded directories ([[probeBands]]).
-    * The full geometry is folded into the on-disk index version
-    * ([[ensureLsh]]): a corpus crossing a band-bit boundary — or any
-    * parameter change — invalidates an artifact banded under the old
-    * hyperplanes. The floor (4 bits) reproduces the pre-r13 toy geometry
-    * on small corpora, so tiny/streaming-bootstrap indexes are unchanged.
+  /** LSH geometry: `bands` bands (a pair collides if ANY band agrees) of
+    * `bandBits` hyperplane bits each — BOTH corpus-size-adaptive, the
+    * same discipline as the IVF codebook ([[pivotCount]]) and the
+    * embed-dedup bands (`Dedup.embedBandBits`):
     *
-    * Scale envelope, stated honestly: the 20-bit cap bounds the layout at
-    * bands·2^20 ≈ 4.2 M bucket directories (one file each — at the cap a
-    * deployment on a dir-count-limited object store re-shards by a
-    * band-key prefix), and past the cap (~33 M vectors) bucket width
-    * resumes growing as n/2^20, so candidate volume — and the payload
-    * join-back — grows linearly again. That is inherent to fixed-band
-    * LSH, not this layout: beyond ~10^8 vectors the IVF tier is the
-    * scale path (sqrt(n) cells scale indefinitely; [[pivotCount]]), with
-    * LSH serving the small/mid-scale and streaming-bootstrap regimes.
+    *   - `bandBits` ([[lshBandBits]]): expected bucket width
+    *     ~[[LshTargetWidth]], clamped [4, 20]. A fixed bit count has a
+    *     fixed bucket COUNT forever, so bucket width — and probe scan
+    *     cost — grows linearly in the corpus, the exact scale killer the
+    *     r12 verdict flagged for the fixed IVF codebook.
+    *   - `bands` ([[lshBandCount]]): ~5·2^((bits−6)/2), clamped
+    *     [[[LshBands]], [[LshMaxBands]]]. Bits must grow as log n to keep
+    *     width bounded, but per-band collision probability for a true
+    *     neighbor decays geometrically in bits — the r18 sweep
+    *     (DevLshSweep, clustered 64-d fixture, BASELINE.md) measured a
+    *     near-exact 1−(1−q)^L fit with q ≈ 0.39/0.23/0.105 at
+    *     6/8/10 bits, i.e. q halves per ~2 bits. Holding recall@10 mean
+    *     ≥0.85 therefore needs L ∝ 2^(bits/2) ≈ √(n/width) — the
+    *     classic L = n^ρ table-count law (ρ ≈ ½ at this hardness). The
+    *     pre-r18 fixed 4 bands read recall 0.34 mean / 0.10 min at the
+    *     20k fixture; the adaptive law reads 0.88 / 0.70 there and
+    *     0.92 / 0.80 at 66k (24 bands).
+    *
+    * A probe opens ≤ bands·(1 + bandBits) bounded group directories
+    * ([[probeBands]]). The full geometry folds into the on-disk index
+    * version ([[ensureLsh]]): a corpus crossing a band-bit OR band-count
+    * boundary invalidates an artifact banded under the old hyperplanes.
+    * The floor geometry ([[LshFloorGeom]], [[LshBands]]×4 bits) serves
+    * tiny/streaming-bootstrap indexes where no corpus count exists.
+    *
+    * Scale envelope, stated honestly: the band cap ([[LshMaxBands]], 32)
+    * binds from ~400k vectors (bits 12), past which recall decays
+    * geometrically again (measured law: mean ≈ 1−(1−q(bits))^32 — ~0.83
+    * at bits 12, ~0.72 at 13); the 20-bit bit cap binds at
+    * [[LshSaturationN]] (~100M), past which candidate volume grows
+    * linearly. Both are inherent to sub-linear-space LSH: recall-holding
+    * tables cost n^ρ space and n^ρ·width candidate fetches, so past
+    * ~10^5–10^6 vectors the IVF tier is strictly cheaper per unit recall
+    * ([[ivfProbeRows]] ~n^(3/4) sequential rows, no per-id random
+    * fetches) and the tier-advisor card prices the crossover. LSH owns
+    * the small/mid-scale and streaming-bootstrap regimes.
     */
   val LshSeed = 42L
-  val LshBands = 4
+  val LshBands = 8
+  val LshMaxBands = 32
   val LshMinBandBits = 4
   val LshMaxBandBits = 20
-  val LshTargetWidth = 32
+  val LshTargetWidth = 96
+
+  /** Band count for a banding of `bits` bits: the recall-holding
+    * L ∝ 2^(bits/2) law above, clamped [[[LshBands]], [[LshMaxBands]]].
+    * Calibrated on the DevLshSweep fixture family (5·2^((bits−6)/2) ≈
+    * the measured ln(0.15)/ln(1−q(bits)) table count for mean
+    * recall@10 ≥ 0.85: 8@bits 8 → measured 0.88, 20@bits 10 → 0.89,
+    * 29@bits 11 vs 24 needed). */
+  def lshBandCount(bits: Int): Int = math.max(LshBands, math.min(LshMaxBands,
+    math.ceil(5.0 * math.pow(2.0, (bits - 6) / 2.0)).toInt))
 
   /** Band bits for a corpus of `n` vectors: expected bucket width
     * n / 2^bits ≈ [[LshTargetWidth]], clamped to [4, 20]. */
@@ -187,11 +212,15 @@ object AnnIndex {
 
   /** Expected candidate rows ONE multi-probe LSH query re-ranks at corpus
     * size `n`: probed buckets (bands·(1+bandBits) at one flip) × expected
-    * width. Constant ~2.7K rows while the geometry adapts; linear in n
-    * past saturation — the law behind the tier-crossover card
-    * (SCALING.md "LSH → IVF envelope"; AnnIndexSpec pins it). */
-  def lshProbeCandidates(n: Long): Double =
-    LshBands * (1 + lshBandBits(n)) * lshExpectedWidth(n)
+    * width. Grows ~√n·log n while the geometry adapts (the n^ρ
+    * recall-holding band law — the price of NOT letting recall decay),
+    * then linear in n once both caps bind — the law behind the
+    * tier-crossover card (SCALING.md "LSH → IVF envelope"; AnnIndexSpec
+    * pins it). */
+  def lshProbeCandidates(n: Long): Double = {
+    val bits = lshBandBits(n)
+    lshBandCount(bits) * (1 + bits) * lshExpectedWidth(n)
+  }
 
   /** Rows ONE IVF probe scans at corpus size `n`: nprobe(√k of k=√n
     * cells) × cell width — ~n^(3/4) until the pivot cap, n/256 past it.
@@ -213,10 +242,11 @@ object AnnIndex {
     * a group directory ([[LshGeom.grpShift]]) with `band_key` kept
     * IN-FILE, sorted, in ~1 MB row groups: static pruning still opens
     * only the probed groups, and the sorted key prunes row groups inside
-    * them. 64 groups/band keeps the total directory count ≤ 256 at ANY
-    * corpus size while group files grow toward real file sizes
-    * (n/(bands·64) rows — 12 MB/file at the 33M-vector LSH saturation
-    * boundary instead of 4.2M × 768 B).
+    * them. 64 groups/band keeps the total directory count ≤ bands·64
+    * (≤ 2,048 at the [[LshMaxBands]] cap — still metadata-trivial) at
+    * ANY corpus size while group files grow toward real file sizes
+    * (n/64 rows per band — ~24 MB/file at the ~100M-vector LSH
+    * saturation boundary instead of millions of 768 B bucket files).
     */
   val LshGrpBits = 6
 
@@ -236,9 +266,13 @@ object AnnIndex {
   }
 
   /** Geometry for a corpus of `n` vectors. */
-  def lshGeom(n: Long): LshGeom = LshGeom(LshBands, lshBandBits(n), LshSeed)
+  def lshGeom(n: Long): LshGeom = {
+    val bits = lshBandBits(n)
+    LshGeom(lshBandCount(bits), bits, LshSeed)
+  }
 
-  /** The floor geometry (4 bands × 4 bits) — what [[bandify]] uses when
+  /** The floor geometry ([[LshBands]] bands × 4 bits) — what [[bandify]]
+    * uses when
     * no corpus size is known (a streaming ingester bootstrapping an
     * index; geometry changes are a batch re-index concern). */
   val LshFloorGeom: LshGeom = LshGeom(LshBands, LshMinBandBits, LshSeed)
@@ -333,7 +367,7 @@ object AnnIndex {
 
   /** True iff the layout holds v1-grain data: a `band_key=` partition
     * directory nested under any `band_id=` directory. One listing of the
-    * root plus one per band_id dir — bounded at [[LshBands]] probes, and
+    * root plus one per band_id dir — bounded at [[LshMaxBands]] probes, and
     * only run on the marker-write paths (never per-probe).
     */
   private def lshHasV1Grain(fs: FileSystem, root: Path): Boolean =
@@ -470,7 +504,7 @@ object AnnIndex {
     * coordinates toward adjacent buckets instead of adding bands). 1 means
     * each band probes its exact bucket plus the bandBits buckets one
     * bit away: recall rises like an extra-bands index would give, but the
-    * INDEX stays [[LshBands]] entries/vector — at 100 TB bands multiply
+    * INDEX stays geometry-bands entries/vector — at 100 TB bands multiply
     * stored signature volume, while probe flips multiply only the number of
     * (pruned, bounded) bucket directories a query opens. 0 disables.
     */
@@ -1430,7 +1464,8 @@ object AnnIndex {
   /** The (band_id, band_key) bucket coordinates of ONE query vector,
     * computed by running [[bandify]] over the 1-row query frame (filter on
     * `vec_id` pushes into the embeddings scan) and collected — bounded at
-    * [[LshBands]] rows, driver-safe by construction. Probes turn these into
+    * the geometry's bands (≤ [[LshMaxBands]]) rows, driver-safe by
+    * construction. Probes turn these into
     * LITERAL predicates on the index's partition columns so STATIC
     * partition pruning opens exactly the query's ≤ nBands bucket
     * directories; the round-7 form fetched the query's bands by filtering
@@ -1571,7 +1606,7 @@ object AnnIndex {
     * hyperplane bits — the adjacent buckets a near-neighbor most likely
     * fell into when one hyperplane split the pair. Bounded at
     * bands·(1 + bandBits) pairs for one flip; still literal partition
-    * predicates, still driver-safe (≤ 4·21 pairs at the band-bit cap).
+    * predicates, still driver-safe (≤ 32·21 pairs at both caps).
     */
   def probeBands(spark: SparkSession, dir: String, vecId: Long): Seq[(Int, Long)] =
     probeBands(spark, dir, vecId, corpusVersion(spark, dir))

@@ -339,7 +339,7 @@ object Streams {
     * batch rebuild would assign them to and probes keep partition-pruning
     * to the query's buckets while new vectors stream in.
     * Geometry: a stream has no corpus count, so this ingests under the
-    * FLOOR geometry ([[graft.operators.AnnIndex.LshFloorGeom]], 4×4-bit
+    * FLOOR geometry ([[graft.operators.AnnIndex.LshFloorGeom]], 8×4-bit
     * — same as a sub-512-vector batch build); a corpus that outgrows its
     * banding is a batch re-index concern (band bits are corpus-size-
     * adaptive since r13: build the fresh index version, restart the

@@ -40,7 +40,11 @@ class AllQueriesSpec extends SparkSpec {
       "q_quantize_pq",
       // tier cost card over engine geometry laws (S: prices the
       // engine's own index families; no cross-engine referent exists)
-      "q_tier_advisor")
+      "q_tier_advisor",
+      // HLL++ cardinalities on the profile card (A: the q_approx_distinct
+      // sketch-vs-sketch mismatch); ShuffleAuditSpec pins the 3σ rsd
+      // bound vs the oracle'd exact card
+      "q_profile_events_hll")
     assert(rowsOnly == expected,
       s"unexpected rows-only queries: ${rowsOnly -- expected}; " +
         s"missing: ${expected -- rowsOnly}")

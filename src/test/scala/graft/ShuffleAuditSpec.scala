@@ -253,12 +253,14 @@ class ShuffleAuditSpec extends SparkSpec {
       s"HLL path ($hllBig B) should move less than exact ($exactBig B) at sf0.01")
 
     // the sketch answer stays an ANSWER: every cardinality within HLL++
-    // rsd-bounds of exact (rsd 0.05 → assert 15%, 3σ)
-    spark.conf.set("spark.graft.profile.approxDistinct", "true")
+    // rsd-bounds of exact (rsd 0.05 → assert 15%, 3σ). Probed through the
+    // first-class registry entry (r17 verdict #6) so the row the driver
+    // benches is the row the bound is pinned on; the conf path compiles
+    // to the identical plan (profileEventsApprox forces the same flag
+    // bytesAt exercised above).
     val approxCards =
-      try SparkEntry.queries("q_profile_events")(spark, sf10)
+      SparkEntry.queries("q_profile_events_hll")(spark, sf10)
         .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
-      finally spark.conf.unset("spark.graft.profile.approxDistinct")
     val exactCards = SparkEntry.queries("q_profile_events")(spark, sf10)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     exactCards.foreach { case (c, exact) =>
