@@ -36,12 +36,19 @@ object DevAnnScaleBench {
     // thousands of bucket files per probe), which this main's first run
     // measured as a 64 s/probe meltdown
     spark.conf.set("spark.graft.ann.indexRoot", s"${dir}_index/graft_ann")
+    // mode=exact|probes: A/B the coarse-assignment mode (r18 — the
+    // recall-collapse diagnosis needed the exact-filed twin at 200k)
+    args.find(_.startsWith("mode=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.assignMode", a.stripPrefix("mode=")))
+    // nprobe=N: the r18 recall/scan override (AnnIndex.probeCount conf)
+    args.find(_.startsWith("nprobe=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.nprobe", a.stripPrefix("nprobe=")))
     DevAnnFixture.ensure(spark, dir, n)
     val ver = AnnIndex.corpusVersion(spark, dir)
     val k = AnnIndex.centroids(spark, dir, ver).size
     println(s"[annscale] corpus n=$n d=${DevAnnFixture.Dim} pivots=$k " +
       s"twoLevel=${k > AnnIndex.TwoLevelMinPivots} " +
-      s"nprobe=${AnnIndex.probeCount(k)} assignTag=${AnnIndex.assignTag(spark, dir, ver)}")
+      s"nprobe=${AnnIndex.probeCount(spark, k)} assignTag=${AnnIndex.assignTag(spark, dir, ver)}")
     require(k > AnnIndex.TwoLevelMinPivots, "fixture must cross the two-level threshold")
 
     // cold build cost per index family (codebook training is inside the

@@ -10,7 +10,11 @@ import graft.sources.Tables
 object DevAssignAgree {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    // share a bench corpus's per-corpus index root (DevAnnScaleBench
+    // convention) instead of rebuilding codebooks under the default root
+    args.find(_.startsWith("indexRoot=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.indexRoot", a.stripPrefix("indexRoot=")))
     val ver = AnnIndex.corpusVersion(spark, dir)
     val k = AnnIndex.centroids(spark, dir, ver).size
     val vecs = Tables.embeddings(spark, dir)

@@ -101,6 +101,24 @@ object AnnIndex {
   def probeCount(k: Int): Int =
     math.max(NProbe, math.ceil(math.sqrt(math.max(k, 1).toDouble)).toInt)
 
+  /** As [[probeCount]] with the deployment override:
+    * `spark.graft.ann.nprobe` (> 0, clamped to k) replaces the √k law —
+    * the standard IVF recall/scan knob. The r18 200k fixture is why it
+    * exists: on a high-d corpus whose natural cluster count (n/100)
+    * outruns the √n codebook, tight sibling clusters land across
+    * near-tied cells and the law's √k probes measured recall@10 = 0.3
+    * (exact-filed — a REPRESENTATIONAL limit of k-means cells in 64-d
+    * uniform macro-structure, not an assignment bug; the recall card
+    * catches it per corpus). A deployment reading a low card raises
+    * nprobe, paying linearly more scanned rows — or crosses to the
+    * int8/LSH tier the advisor already prices. Folded into the
+    * recall-card artifact key so a conf change re-measures.
+    */
+  def probeCount(spark: SparkSession, k: Int): Int = {
+    val o = spark.conf.get("spark.graft.ann.nprobe", "0").toInt
+    if (o > 0) math.min(math.max(k, 1), o) else probeCount(k)
+  }
+
   /** The query's nprobe nearest cells by driver math over the CACHED
     * codebook — [[cosRawArr]]'s bit-exact `cosine_sim` accumulation
     * ordered with the native's NaN-greatest descending semantics, so the
@@ -119,6 +137,86 @@ object AnnIndex {
       .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
         Ordering.Double.TotalOrdering.reverse, Ordering.Int))
       .take(nprobe).map(_._1)
+
+  // driver memo of [[pivotGroups]] per (dir, corpus version): the grouping
+  // is O(g·k·d) (a second or two at the 65,536-pivot cap) and a pure
+  // function of the rounded centroids — a served probe must not re-derive
+  // it per query. Same supersede-on-prefix discipline as centroidCache.
+  private val pivotGroupCache =
+    new ConcurrentHashMap[String, Seq[(Array[Double], Seq[Int])]]()
+
+  private[graft] def pivotGroupsCached(
+      spark: SparkSession, dir: String, version: String,
+      cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
+    val prefix = s"${spark.sparkContext.applicationId}|$dir|"
+    val key = s"$prefix$version"
+    pivotGroupCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    pivotGroupCache.computeIfAbsent(key, _ => pivotGroups(cents))
+  }
+
+  /** Assignment-CONSISTENT probe-cell ranking — use this, not raw
+    * [[probedCells]], wherever the probed store was filed by
+    * [[coarseAssign]]. When the corpus files through the two-level
+    * probes-mode dispatch ([[assignTwo]]), a vector whose true best
+    * pivot's group missed the probed set lands in the best cell OF THE
+    * PROBED GROUPS — which a GLOBAL exact ranking of the query's nprobe
+    * cells systematically misses once k is large (the r18
+    * DevAnnScaleBench n=200k finding: at k=447 the recall card read
+    * ivf/ivfpq 0.2 while two-level agreement with the flat argmax was
+    * 25–57% at probes 1–4; the r17 "the probe side absorbs
+    * disagreements" defense held at k=141 by nprobe geometry, not by
+    * construction, and failed one decade up). The cure is symmetry: rank
+    * the query's GROUPS by super-pivot similarity, pool the members of
+    * the top groups (at least [[groupProbes]] groups, and as many more
+    * as nprobe needs), and take the nprobe best cells from that pool —
+    * the same restriction filing applied, so a near-duplicate query
+    * ranks its neighbor's FILED cell the way filing did.
+    *
+    * The restricted ranking AUGMENTS the global one rather than
+    * replacing it — the probe set is the UNION of the global top-nprobe
+    * and the restricted top-nprobe (≤ 2·nprobe cells, typically far
+    * fewer: the rankings mostly agree). Measured at the d64 fixtures:
+    * the two rankings catch DIFFERENT misfiles — at k=141 the global
+    * ranking finds misfiled cells whose group rank exceeds the probe
+    * width (global-only 0.88 mean vs restricted-only 0.64), while at
+    * k=447 the restriction finds cells filed deep inside the probed
+    * groups that rank globally past nprobe (restricted 0.4 vs global
+    * 0.2) — and recall of the union dominates both by construction.
+    * Falls back to the global ranking alone below the two-level
+    * threshold and in exact assignment mode (there filing IS the flat
+    * argmax, so the global ranking is already consistent). Driver math:
+    * √k super-pivot cosines + the pooled members — the O(√k·d) class of
+    * one two-level assignment. Scan cost is ≤ 2× the [[probeCount]]
+    * law's cells; [[ivfProbeRows]] documents the factor.
+    */
+  private[graft] def probedCellsConsistent(
+      spark: SparkSession, dir: String, version: String,
+      qv: Array[Double], cents: Seq[Array[Double]], nprobe: Int): Seq[Int] = {
+    val global = probedCells(qv, cents, nprobe)
+    if (cents.size <= TwoLevelMinPivots || assignMode(spark) != "probes") global
+    else {
+      val groups = pivotGroupsCached(spark, dir, version, cents)
+      val ranked = groups.zipWithIndex
+        .map { case ((sp, members), gid) => (gid, cosRawArr(qv, sp), members) }
+        .sortBy { case (gid, s, _) => (s, gid) }(Ordering.Tuple2(
+          Ordering.Double.TotalOrdering.reverse, Ordering.Int))
+      val minGroups = groupProbes(spark)
+      val pool = scala.collection.mutable.ArrayBuffer[Int]()
+      var gi = 0
+      while (gi < ranked.size && (gi < minGroups || pool.size < nprobe)) {
+        pool ++= ranked(gi)._3
+        gi += 1
+      }
+      val restricted = pool.toSeq
+        .map(i => (i, cosRawArr(qv, cents(i))))
+        .sortBy { case (i, s) => (s, i) }(Ordering.Tuple2(
+          Ordering.Double.TotalOrdering.reverse, Ordering.Int))
+        .take(nprobe).map(_._1)
+      // union in a deterministic order: global first (its order), then
+      // the restricted additions in their order — stable across JVMs
+      global ++ restricted.filterNot(global.toSet)
+    }
+  }
 
   /** k-means build parameters: Lloyd iterations over a deterministic
     * unbiased sample (see [[kmeansSample]]). 4 iterations is where the
@@ -226,7 +324,10 @@ object AnnIndex {
     * cells) × cell width — ~n^(3/4) until the pivot cap, n/256 past it.
     * Sequential pruned-partition reads, vs the LSH candidates' per-id
     * random fetches — the access-pattern asymmetry the crossover model
-    * weighs. */
+    * weighs. Under probes-mode filing the served probe set is the
+    * global∪restricted union ([[probedCellsConsistent]]) — worst case
+    * 2× this law, typically near 1× (the rankings mostly overlap); a
+    * `spark.graft.ann.nprobe` override rescales it directly. */
   def ivfProbeRows(n: Long): Double = {
     val k = pivotCount(n)
     probeCount(k).toDouble * math.max(n, 1L) / k
@@ -965,8 +1066,11 @@ object AnnIndex {
     * is exact and spec-pinned (AnnIndexSpec); on the uniform-random
     * synthetic testdata — the worst case, where super-pivot means barely
     * discriminate — measured agreement at k=45 is 92%/86%/75% at
-    * probes 4/3/2, and a disagreement assigns a near-tied neighboring
-    * cell, which the probe side absorbs (it probes √k cells per query;
+    * probes 4/3/2, and a disagreement files into the best cell of the
+    * PROBED groups — which the query side absorbs only if it ranks
+    * cells through the SAME group restriction
+    * ([[probedCellsConsistent]]; the r18 n=200k bench measured the
+    * global-ranking alternative at recall 0.2 when k reached 447 —
     * the recall card is the end-to-end gate). More probes buy agreement
     * at (probes·k/g)·d extra mult-adds; flat assignment (conf the
     * threshold up, or pass the flat codebook) remains the exact path.

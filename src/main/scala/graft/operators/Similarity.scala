@@ -557,11 +557,12 @@ object Similarity {
       qvs: Map[Long, Array[Double]]): DataFrame = {
     import spark.implicits._
     val cents = AnnIndex.centroids(spark, dir, ver)
-    val nprobe = AnnIndex.probeCount(cents.size)
+    val nprobe = AnnIndex.probeCount(spark, cents.size)
     val cbs = PqIndex.codebooks(spark, dir, ver)
     val qids = qvs.keys.toSeq.sorted
     val probePairs = qids.flatMap(q =>
-      AnnIndex.probedCells(qvs(q), cents, nprobe).map(c => (q, c)))
+      AnnIndex.probedCellsConsistent(spark, dir, ver, qvs(q), cents, nprobe)
+        .map(c => (q, c)))
     val probeDf = probePairs.toDF("qid", "cluster")
     val lutDf = qids.map(q => (q, PqIndex.lut(qvs(q), cbs).toSeq))
       .toDF("qid", "lut")
@@ -605,13 +606,13 @@ object Similarity {
       spark: SparkSession, dir: String, ver: String): DataFrame = {
     import spark.implicits._
     val cents = AnnIndex.centroids(spark, dir, ver)
-    val nprobe = AnnIndex.probeCount(cents.size)
+    val nprobe = AnnIndex.probeCount(spark, cents.size)
     // cached query vector (see simAnnPq); the LUT is driver math
     val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
     val lutDf = Seq(Tuple1(
       PqIndex.lut(qv, PqIndex.codebooks(spark, dir, ver)).toSeq)).toDF("lut")
     // IEEE total order: NaN sorts greatest, matching Spark's desc()
-    val probed = AnnIndex.probedCells(qv, cents, nprobe)
+    val probed = AnnIndex.probedCellsConsistent(spark, dir, ver, qv, cents, nprobe)
     AnnIndex.ivfPq(spark, dir, ver)
       .where(col("cluster").isin(probed: _*))
       .where(col("vec_id") =!= 0L)
@@ -702,9 +703,9 @@ object Similarity {
     // replacing a BroadcastExchange + DPP subquery per probe. The whole
     // probe is then ONE TakeOrdered job over the pruned cells.
     val cents = AnnIndex.centroids(spark, dir, ver)
-    val nprobe = AnnIndex.probeCount(cents.size)
+    val nprobe = AnnIndex.probeCount(spark, cents.size)
     val qv = AnnIndex.queryVector(spark, dir, 0L, ver)
-    val probed = AnnIndex.probedCells(qv, cents, nprobe)
+    val probed = AnnIndex.probedCellsConsistent(spark, dir, ver, qv, cents, nprobe)
     val q = Seq(Tuple1(qv.toSeq)).toDF("qv")
     AnnIndex.ivf(spark, dir, ver)
       .where(col("cluster").isin(probed: _*))
@@ -733,7 +734,7 @@ object Similarity {
     import spark.implicits._
     val ver = AnnIndex.corpusVersion(spark, dir)
     val cents = AnnIndex.centroids(spark, dir, ver)
-    val nprobe = AnnIndex.probeCount(cents.size)
+    val nprobe = AnnIndex.probeCount(spark, cents.size)
     val qids = 0L until BatchQueries.toLong
     // all probe selection is driver math (cached codebook × K cached
     // query vectors — the ivfPqBatchCandidates discipline since r17):
@@ -742,7 +743,8 @@ object Similarity {
     // K×k broadcast product or DPP subquery ahead of it
     val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
     val probePairs = qids.flatMap(q =>
-      AnnIndex.probedCells(qvs(q), cents, nprobe).map(c => (q, c)))
+      AnnIndex.probedCellsConsistent(spark, dir, ver, qvs(q), cents, nprobe)
+        .map(c => (q, c)))
     val probeDf = probePairs.toDF("qid", "cluster")
     val cellUnion = probePairs.map(_._2).distinct
     val qs = qids.map(q => (q, qvs(q).toSeq)).toDF("qid", "qv")
@@ -786,7 +788,8 @@ object Similarity {
     // Int8Rerank and LshProbeFlips are compile-time constants.
     val ver = AnnIndex.corpusVersion(spark, dir)
     val key = s"ann_recall_${AnnIndex.assignTag(spark, dir, ver)}" +
-      s"_r${PqIndex.rerank(spark)}"
+      s"_r${PqIndex.rerank(spark)}" +
+      s"_np${AnnIndex.probeCount(spark, AnnIndex.centroids(spark, dir, ver).size)}"
     SessionCache.cached(spark, key, dir, ver) {
       val exact = simTopK(spark, dir).select("vec_id")
       def recallOf(method: String, approx: DataFrame): DataFrame =
@@ -992,17 +995,30 @@ object Similarity {
     * each group file (the key is stored sorted; r17 group-dir format,
     * [[AnnIndex.LshGrpBits]]). No hyperplane fold over the corpus.
     */
+  /** Balanced OR over disjuncts: a linear `reduce(_ || _)` nests left to
+    * depth n, and Spark's Column→Expression conversion recurses ~10
+    * stack frames per node — at the r18 adaptive-band geometry a 200k
+    * corpus probes 32 bands × 13 buckets = 416 disjuncts, which
+    * overflowed the driver stack (found by DevAnnScaleBench n=200k, the
+    * first run past the 32-band cap). A tree reduce bounds the depth at
+    * log₂ n (9 at 416; 16 even at the full 32·21 cap product) with the
+    * identical predicate semantics, so both the static partition prune
+    * and the pushed key filter are unchanged. */
+  private[graft] def orTree(ps: Seq[Column]): Column =
+    if (ps.isEmpty) lit(false)
+    else if (ps.size == 1) ps.head
+    else { val (l, r) = ps.splitAt(ps.size / 2); orTree(l) || orTree(r) }
+
   private[graft] def lshCandidates(
       spark: SparkSession, dir: String, ver: String): DataFrame = {
     val geom = AnnIndex.lshGeom(spark, dir, ver)
     val qPairs = AnnIndex.probeBands(spark, dir, 0L, ver)
-    val bucketPred = qPairs
+    val bucketPred = orTree(qPairs
       .map { case (b, k) =>
         col("band_id") === lit(b) &&
           col("band_grp") === lit((k >> geom.grpShift).toInt) &&
           col("band_key") === lit(k)
-      }
-      .reduceOption(_ || _).getOrElse(lit(false))
+      })
     AnnIndex.lshBands(spark, dir, ver)
       .where(bucketPred)
       .where(col("vec_id") =!= 0L)

@@ -748,6 +748,47 @@ class AnnIndexSpec extends SparkSpec {
       assert(r >= 0.7, s"qid=$q production-law recall@10 $r below floor") }
   }
 
+  test("probedCellsConsistent: global ⊆ union, bounded at 2·nprobe, exact/flat fall back") {
+    // r18 DevAnnScaleBench n=200k finding: probes-mode filing scatters
+    // misfiles two ways, and the global and group-restricted rankings
+    // each catch cells the other misses (global-only read 0.2 at k=447
+    // where restricted-only read 0.4; at k=141 the reverse, 0.88 vs
+    // 0.64) — so the served probe set is their UNION. Driver-math
+    // contract pinned here on a hand-built codebook: the global law
+    // cells are always probed (recall can only gain), the set stays
+    // ≤ 2·nprobe, is duplicate-free and deterministic, and the exact
+    // assignment mode falls back to the global ranking alone.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val k = 200 // past TwoLevelMinPivots: the two-level regime
+    val cents = Seq.fill(k)(unit(Array.fill(16)(rnd.nextGaussian())))
+    val qv = unit(Array.fill(16)(rnd.nextGaussian()))
+    val nprobe = AnnIndex.probeCount(spark, k)
+    val global = AnnIndex.probedCells(qv, cents, nprobe)
+    val ver = s"spec_${k}"
+    val union = AnnIndex.probedCellsConsistent(
+      spark, "/spec/probed_cells", ver, qv, cents, nprobe)
+    assert(global.toSet.subsetOf(union.toSet), "global law cells always probed")
+    assert(union.size <= 2 * nprobe && union.distinct == union)
+    assert(union.take(global.size) == global, "global prefix order stable")
+    // deterministic across calls (the pivot-group memo serves the rest)
+    assert(union == AnnIndex.probedCellsConsistent(
+      spark, "/spec/probed_cells", ver, qv, cents, nprobe))
+    // exact mode: filing equals the flat argmax — global ranking alone
+    spark.conf.set("spark.graft.ann.assignMode", "exact")
+    try assert(AnnIndex.probedCellsConsistent(
+      spark, "/spec/probed_cells", ver, qv, cents, nprobe) == global)
+    finally spark.conf.unset("spark.graft.ann.assignMode")
+    // below the two-level threshold: flat filing — global alone
+    val small = cents.take(AnnIndex.TwoLevelMinPivots)
+    assert(AnnIndex.probedCellsConsistent(
+      spark, "/spec/probed_cells", ver, qv, small,
+      AnnIndex.probeCount(spark, small.size)) ==
+      AnnIndex.probedCells(qv, small, AnnIndex.probeCount(spark, small.size)))
+  }
+
   test("flipMasks: combinatorial generation equals the key-space scan, sized C(bits,f)") {
     for (bits <- Seq(4, 10, 20); flips <- Seq(1, 2)) {
       val got = AnnIndex.flipMasks(bits, flips)

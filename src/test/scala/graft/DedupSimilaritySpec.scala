@@ -955,4 +955,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.length == 20 && top.forall(_.getAs[Double]("sim") > 0.99),
       "flood survivors must still surface as near-dup pairs")
   }
+
+  test("orTree: cap-product bucket predicate converts and filters correctly") {
+    // regression for the r18 DevAnnScaleBench n=200k StackOverflowError:
+    // the 32-band/13-probe geometry emits 416 three-conjunct disjuncts,
+    // and a left-fold reduce(_ || _) nests the Column tree that deep —
+    // Spark's Column→Expression conversion recurses ~10 frames/node and
+    // blew the driver stack. orTree bounds depth at log₂ n; this pins the
+    // FULL cap product (32 bands × 21 probes = 672 disjuncts) through
+    // plan conversion, optimization, and execution with exact semantics.
+    import spark.implicits._
+    val pairs = for (b <- 0 until 32; k <- 0 until 21)
+      yield (b, (k * 37 + b).toLong)
+    val pred = Similarity.orTree(pairs.map { case (b, k) =>
+      col("band_id") === lit(b) && col("band_key") === lit(k) })
+    val rows = pairs.take(5).map { case (b, k) => (b, k, "hit") } ++
+      Seq((0, 9999L, "miss"), (99, 0L, "miss"))
+    val got = rows.toDF("band_id", "band_key", "tag")
+      .where(pred).select("tag").collect().map(_.getString(0))
+    assert(got.length == 5 && got.forall(_ == "hit"))
+    assert(Similarity.orTree(Nil) == lit(false))
+  }
 }
