@@ -33,9 +33,16 @@ object DevJobFloor {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
 
+    // pace=N ms sleeps between reps (untimed): the first run of this
+    // probe measured back-to-back submission ~4× slower than the paced
+    // in-suite floor (noop 118 ms vs the decomp's 29 ms 1-job queries) —
+    // pacing isolates whether the gap is queue/listener backlog or real
+    val pace = args.find(_.startsWith("pace="))
+      .map(_.stripPrefix("pace=").toLong).getOrElse(0L)
     def bench(name: String)(f: => Unit): Unit = {
       (1 to 3).foreach(_ => f) // warm: codegen + classloading
       val walls = (1 to reps).map { _ =>
+        if (pace > 0) Thread.sleep(pace)
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
       }.sorted
       println(f"[jobfloor] $name%-22s min ${walls.min}%7.2f ms  " +
@@ -61,6 +68,12 @@ object DevJobFloor {
     val reused = spark.range(0, 100000, 1, 8).groupBy(col("id") % 10).count()
     reused.count()
     bench("reused-frame count")(reused.count())
+    // the staleness-key candidate for any cross-call plan/artifact reuse:
+    // one metadata listing of the corpus dir (no data IO). If this is
+    // ~ms, fingerprint-keyed caches can afford a per-call check; if
+    // ~tens of ms it eats the saving for floor-priced queries.
+    bench("dirFingerprint")(
+      graft.sources.SessionCache.dirFingerprint(spark, sfDir))
     spark.stop()
   }
 }
