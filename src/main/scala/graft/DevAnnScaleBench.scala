@@ -40,9 +40,11 @@ object DevAnnScaleBench {
     // recall-collapse diagnosis needed the exact-filed twin at 200k)
     args.find(_.startsWith("mode=")).foreach(a =>
       spark.conf.set("spark.graft.ann.assignMode", a.stripPrefix("mode=")))
-    // nprobe=N: the r18 recall/scan override (AnnIndex.probeCount conf)
+    // nprobe=N / pivots=K: the r18 recall/scan overrides
     args.find(_.startsWith("nprobe=")).foreach(a =>
       spark.conf.set("spark.graft.ann.nprobe", a.stripPrefix("nprobe=")))
+    args.find(_.startsWith("pivots=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.pivots", a.stripPrefix("pivots=")))
     DevAnnFixture.ensure(spark, dir, n)
     val ver = AnnIndex.corpusVersion(spark, dir)
     val k = AnnIndex.centroids(spark, dir, ver).size

@@ -91,6 +91,27 @@ object AnnIndex {
     math.max(MinPivots.toLong, math.min(MaxPivots.toLong, k)).toInt
   }
 
+  /** As [[pivotCount]] with the deployment override:
+    * `spark.graft.ann.pivots` (> 0, clamped to [[[MinPivots]],
+    * min([[MaxPivots]], n)]) replaces the √n law — the companion knob to
+    * `spark.graft.ann.nprobe` for corpora whose NATURAL cluster count
+    * outruns √n (the r18 200k finding: 2,000 tight clusters vs 447
+    * cells left even an exact-filed index at recall@10 0.3 because each
+    * pivot averaged several unit directions; right-sizing k to the
+    * cluster scale makes cells ≈ clusters, which buys recall AND cuts
+    * probe rows — nprobe·n/k falls as k rises). The override flows into
+    * the centroid cache key, the assignment tag, and therefore every
+    * store version and card key (the codebook HASH is part of the index
+    * identity), so a conf change rebuilds cleanly.
+    */
+  def pivotCount(spark: SparkSession, n: Long): Int = {
+    val o = spark.conf.get("spark.graft.ann.pivots", "0").toInt
+    if (o > 0)
+      math.max(MinPivots.toLong,
+        math.min(math.min(MaxPivots.toLong, math.max(n, 1L)), o.toLong)).toInt
+    else pivotCount(n)
+  }
+
   /** Minimum probe width; the adaptive width is [[probeCount]]. */
   val NProbe = 4
 
@@ -149,7 +170,9 @@ object AnnIndex {
       spark: SparkSession, dir: String, version: String,
       cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
     val prefix = s"${spark.sparkContext.applicationId}|$dir|"
-    val key = s"$prefix$version"
+    // cents.size in the key: a `spark.graft.ann.pivots` flip under the
+    // same corpus version regroups the OTHER codebook
+    val key = s"$prefix$version|k${cents.size}"
     pivotGroupCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
     pivotGroupCache.computeIfAbsent(key, _ => pivotGroups(cents))
   }
@@ -757,11 +780,15 @@ object AnnIndex {
   /** As [[centroids]] with the corpus version precomputed by the caller. */
   def centroids(
       spark: SparkSession, dir: String, version: String): Seq[Array[Double]] = {
-    val key = s"$dir|$version"
+    // corpus-size-adaptive k (√n clamp, conf-overridable): the count job
+    // runs once per corpus version, shared with the LSH geometry via
+    // [[corpusCount]]. kTarget is IN the key — a mid-session
+    // `spark.graft.ann.pivots` change must train the other codebook, not
+    // serve this one (downstream store versions hash the centroids, so
+    // they follow automatically)
+    val kTarget = pivotCount(spark, corpusCount(spark, dir, version))
+    val key = s"$dir|$version|k$kTarget"
     val entry = centroidCache.computeIfAbsent(key, _ => centroidTick.incrementAndGet() -> {
-      // corpus-size-adaptive k (√n clamp): the count job runs once per
-      // corpus version, shared with the LSH geometry via [[corpusCount]]
-      val kTarget = pivotCount(corpusCount(spark, dir, version))
       val sample = kmeansSample(spark, dir, sampleSize(kTarget))
       var cents: Seq[Array[Double]] = sample
         // dropDuplicates: an appended corpus may repeat ids (same vector)
@@ -1187,12 +1214,17 @@ object AnnIndex {
     */
   def assignTag(spark: SparkSession, dir: String, version: String): String = {
     val k = centroids(spark, dir, version).size
-    if (k <= TwoLevelMinPivots) "flat"
+    // k is part of the tag (r18): the `spark.graft.ann.pivots` override
+    // retrains the codebook, and every consumer keyed by the tag (cards,
+    // probe-conf artifact keys) must follow — the store versions follow
+    // via the centroid hash regardless, but a card keyed only by
+    // mode+probes would serve the other codebook's answer
+    if (k <= TwoLevelMinPivots) s"flat-k$k"
     // exact mode equals the flat argmax by construction, so the two tags
     // share an identity on purpose: flipping between them must NOT
     // invalidate the index — the cells are provably identical
-    else if (assignMode(spark) == "probes") s"two${groupProbes(spark)}"
-    else "flat"
+    else if (assignMode(spark) == "probes") s"two${groupProbes(spark)}-k$k"
+    else s"flat-k$k"
   }
 
   /** Read schema for the inverted file. `cluster` is declared INT (its

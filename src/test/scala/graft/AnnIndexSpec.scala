@@ -748,6 +748,45 @@ class AnnIndexSpec extends SparkSpec {
       assert(r >= 0.7, s"qid=$q production-law recall@10 $r below floor") }
   }
 
+  test("pivots/nprobe overrides: clamped, tag-keyed, codebook retrains per k") {
+    // r18: the two deployment knobs for the measured k-means
+    // representational limit (BASELINE 200k section). pivotCount(spark,·)
+    // clamps the override into [MinPivots, min(MaxPivots, n)]; the
+    // assignment tag folds k so every card key and store version follows
+    // a conf change instead of serving the other codebook's answer.
+    assert(AnnIndex.pivotCount(spark, 200000L) == AnnIndex.pivotCount(200000L))
+    spark.conf.set("spark.graft.ann.pivots", "2000")
+    try {
+      assert(AnnIndex.pivotCount(spark, 200000L) == 2000)
+      assert(AnnIndex.pivotCount(spark, 500L) == 500)  // clamped to n
+      assert(AnnIndex.pivotCount(spark, 1L << 40) == 2000)
+      spark.conf.set("spark.graft.ann.pivots", "1")
+      assert(AnnIndex.pivotCount(spark, 200000L) == AnnIndex.MinPivots)
+      spark.conf.set("spark.graft.ann.pivots", (1 << 20).toString)
+      assert(AnnIndex.pivotCount(spark, 1L << 62) == AnnIndex.MaxPivots)
+    } finally spark.conf.unset("spark.graft.ann.pivots")
+    assert(AnnIndex.probeCount(spark, 447) == AnnIndex.probeCount(447))
+    spark.conf.set("spark.graft.ann.nprobe", "64")
+    try {
+      assert(AnnIndex.probeCount(spark, 447) == 64)
+      assert(AnnIndex.probeCount(spark, 10) == 10) // clamped to k
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
+    // tag follows k: the sf corpus trains a different codebook under an
+    // override and the tag names it (cards re-key; stores re-version via
+    // the centroid hash)
+    val ver = AnnIndex.corpusVersion(spark, sf)
+    val tagLaw = AnnIndex.assignTag(spark, sf, ver)
+    val kLaw = AnnIndex.centroids(spark, sf, ver).size
+    assert(tagLaw.endsWith(s"-k$kLaw"))
+    spark.conf.set("spark.graft.ann.pivots", "20")
+    try {
+      val kOver = AnnIndex.centroids(spark, sf, ver).size
+      assert(kOver == 20 && AnnIndex.assignTag(spark, sf, ver).endsWith("-k20"))
+    } finally spark.conf.unset("spark.graft.ann.pivots")
+    // law codebook still resident after the A/B (retain-2 eviction)
+    assert(AnnIndex.centroids(spark, sf, ver).size == kLaw)
+  }
+
   test("probedCellsConsistent: global ⊆ union, bounded at 2·nprobe, exact/flat fall back") {
     // r18 DevAnnScaleBench n=200k finding: probes-mode filing scatters
     // misfiles two ways, and the global and group-restricted rankings
