@@ -56,9 +56,12 @@ object DevJobFloor {
       spark.range(0, 100000, 1, 8).groupBy(col("id") % 10).count().count())
     bench("1-shuffle noAQE")(
       noAqe.range(0, 100000, 1, 8).groupBy(col("id") % 10).count().count())
+    // alias the grouping expression: referencing Spark's auto-generated
+    // "(id % 100)" name is brittle against expression-naming changes and
+    // would break the probe silently if it shifted (r18 ADVICE)
     bench("2-shuffle AQE")(
-      spark.range(0, 100000, 1, 8).groupBy(col("id") % 100).count()
-        .groupBy(col("(id % 100)") % 10).count().count())
+      spark.range(0, 100000, 1, 8).groupBy((col("id") % 100).as("g")).count()
+        .groupBy(col("g") % 10).count().count())
     bench("parquet count")(
       spark.read.parquet(s"$sfDir/orders.parquet").count())
     // the reused-frame twin: what a memoized DataFrame would measure —

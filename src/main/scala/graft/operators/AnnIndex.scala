@@ -159,12 +159,17 @@ object AnnIndex {
         Ordering.Double.TotalOrdering.reverse, Ordering.Int))
       .take(nprobe).map(_._1)
 
-  // driver memo of [[pivotGroups]] per (dir, corpus version): the grouping
-  // is O(g·k·d) (a second or two at the 65,536-pivot cap) and a pure
-  // function of the rounded centroids — a served probe must not re-derive
-  // it per query. Same supersede-on-prefix discipline as centroidCache.
+  // driver memo of [[pivotGroups]] per (dir, corpus version, k): the
+  // grouping is O(g·k·d) (a second or two at the 65,536-pivot cap) and a
+  // pure function of the rounded centroids — a served probe must not
+  // re-derive it per query. Retain-2 per dir like centroidCache (values
+  // carry an insertion tick): the earlier evict-all-siblings form threw
+  // away the OTHER k on every `spark.graft.ann.pivots` alternation (the
+  // r18 A/B pattern), regrouping O(g·k·d) per flip — exactly the thrash
+  // the centroid cache's discipline exists to prevent (r18 ADVICE).
   private val pivotGroupCache =
-    new ConcurrentHashMap[String, Seq[(Array[Double], Seq[Int])]]()
+    new ConcurrentHashMap[String, (Long, Seq[(Array[Double], Seq[Int])])]()
+  private val pivotGroupTick = new java.util.concurrent.atomic.AtomicLong()
 
   private[graft] def pivotGroupsCached(
       spark: SparkSession, dir: String, version: String,
@@ -173,8 +178,17 @@ object AnnIndex {
     // cents.size in the key: a `spark.graft.ann.pivots` flip under the
     // same corpus version regroups the OTHER codebook
     val key = s"$prefix$version|k${cents.size}"
-    pivotGroupCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
-    pivotGroupCache.computeIfAbsent(key, _ => pivotGroups(cents))
+    val entry = pivotGroupCache.computeIfAbsent(
+      key, _ => pivotGroupTick.incrementAndGet() -> pivotGroups(cents))
+    // evict AFTER insertion, keeping the two newest entries under the dir
+    // (current + one sibling: the other k of an A/B, or one superseded
+    // corpus version); remove(k, v) so a racing re-insert survives
+    val mine = new scala.collection.mutable.ArrayBuffer[
+      (String, (Long, Seq[(Array[Double], Seq[Int])]))]()
+    pivotGroupCache.forEach((k, v) => if (k.startsWith(prefix)) mine += (k -> v))
+    mine.sortBy(-_._2._1).drop(2)
+      .foreach { case (k, v) => pivotGroupCache.remove(k, v) }
+    entry._2
   }
 
   /** Assignment-CONSISTENT probe-cell ranking — use this, not raw

@@ -33,11 +33,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    check pays), so external appends/overwrites rebuild the plan,
   *    and a superseded fingerprint eagerly invalidates [[Tables]]'
   *    pinned listings for the dir;
-  *  - a conf signature over every `spark.graft.*` entry plus
-  *    `spark.sql.autoBroadcastJoinThreshold` (the one spark.sql conf
-  *    the operators read at BUILD time, via `Present.fitsBroadcast`) —
-  *    a knob flip serves the other plan, never a stale one. Optimizer/
+  *  - a conf signature over every `spark.graft.*` entry plus the
+  *    spark.sql confs that bind BEFORE execution: at build time
+  *    (`spark.sql.autoBroadcastJoinThreshold`, read by
+  *    `Present.fitsBroadcast`) or at ANALYSIS time — Catalyst resolves
+  *    `spark.sql.session.timeZone` (ResolveTimeZone stamps it into
+  *    timestamp expressions), `spark.sql.ansi.enabled`, and
+  *    `spark.sql.caseSensitive` into the analyzed plan, so a cached
+  *    plan pins them; folding them into the key means a mid-session
+  *    flip serves the other plan, never stale semantics (r18 ADVICE:
+  *    q_sessionize/q_asof_align are timezone-sensitive). Optimizer/
   *    AQE confs bind at execution and need no key: execution is fresh.
+  *    The signature is the FULL sorted conf string, not a hash — a
+  *    32-bit hashCode collision between two conf states would silently
+  *    serve the wrong plan (the same reason AnnIndex.dirFamily rejects
+  *    String.hashCode for key identity); keys are bounded by the 4096
+  *    cap, so the longer string costs nothing that matters.
   *
   * Keyed by session identity like [[SessionCache]]; build-once under
   * concurrency via the same unevaluated-Memo publish. Disable with
@@ -58,8 +69,14 @@ object PlanCache {
     val graft = spark.conf.getAll.iterator
       .filter { case (k, _) => k.startsWith("spark.graft.") }
       .toSeq.sorted.map { case (k, v) => s"$k=$v" }
-    val bc = spark.sessionState.conf.autoBroadcastJoinThreshold
-    Integer.toHexString((graft.mkString(";") + s";bc=$bc").hashCode)
+    val sqlState = spark.sessionState.conf
+    // build-time + analysis-time SQL confs the cached plan pins (see
+    // scaladoc); full string, never a hash — collisions must be impossible
+    (graft :+
+      s"bc=${sqlState.autoBroadcastJoinThreshold}" :+
+      s"tz=${sqlState.sessionLocalTimeZone}" :+
+      s"ansi=${sqlState.ansiEnabled}" :+
+      s"case=${sqlState.caseSensitiveAnalysis}").mkString(";")
   }
 
   def enabled(spark: SparkSession): Boolean =

@@ -36,11 +36,13 @@ class PlanCacheSpec extends SparkSpec {
     assert(d1 ne d2)
     assert(d1.queryExecution ne d2.queryExecution)
     assert(builds("qpc_reuse|") == b1, "no rebuild on repeat call")
-    // and the repeat call still RUNS jobs — reused plan, real execution
-    Thread.sleep(300) // listener bus is async; settle before the delta
+    // and the repeat call still RUNS jobs — reused plan, real execution.
+    // The listener bus is async: drain it deterministically before each
+    // delta read (fixed sleeps flake on a loaded host — r18 ADVICE)
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
     val j0 = jobs.sum
     assert(d2.head().getLong(0) == 50L)
-    Thread.sleep(300)
+    org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
     assert(jobs.sum > j0, "a cache hit must still execute jobs")
   }
 
@@ -73,6 +75,58 @@ class PlanCacheSpec extends SparkSpec {
       q()
       assert(builds("qpc_mut|") == afterA, "both conf variants stay resident")
     } finally spark.conf.unset("spark.graft.spec.knob")
+  }
+
+  test("conf signature is collision-proof: equal-hashCode conf states build separately") {
+    // "Aa" and "BB" have identical String.hashCode contributions at any
+    // offset, so the two FULL conf strings below collide under the old
+    // 32-bit signature (r18 ADVICE + verdict ask #6) — the string-keyed
+    // signature must keep them apart
+    assert("Aa".hashCode == "BB".hashCode, "fixture premise")
+    val dir = Files.createTempDirectory("plancache_coll").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "name").write.parquet(s"$dir/events.parquet")
+    def q() = PlanCache.cached(spark, "qpc_coll", dir) {
+      spark.read.parquet(s"$dir/events.parquet").select("id")
+    }
+    try {
+      spark.conf.set("spark.graft.spec.knob", "Aa")
+      q(); val afterAa = builds("qpc_coll|")
+      spark.conf.set("spark.graft.spec.knob", "BB")
+      q()
+      assert(builds("qpc_coll|") == afterAa + 1,
+        "equal-hashCode conf states must key separate plans")
+    } finally spark.conf.unset("spark.graft.spec.knob")
+  }
+
+  test("analysis-time SQL confs key the plan: a timezone flip rebuilds") {
+    // Catalyst's ResolveTimeZone stamps spark.sql.session.timeZone into
+    // the ANALYZED plan, which is exactly what this cache stores — a
+    // mid-session flip must serve a re-analyzed plan, not stale
+    // semantics (r18 ADVICE medium; q_sessionize/q_asof_align class)
+    val dir = Files.createTempDirectory("plancache_tz").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-01 00:30:00")).toDF("id", "ts_s")
+      .write.parquet(s"$dir/events.parquet")
+    def q() = PlanCache.cached(spark, "qpc_tz", dir) {
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(hour(to_timestamp(col("ts_s"))).as("h"))
+    }
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(q().head().getInt(0) == 0)
+      val b = builds("qpc_tz|")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // the flipped-tz call must BUILD a sibling plan and parse the wall
+      // string in the new zone (hour is zone-stable for a wall-clock
+      // parse; the rebuild itself is the semantics gate)
+      assert(q().head().getInt(0) == 0)
+      assert(builds("qpc_tz|") == b + 1, "timezone flip must re-analyze")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      q()
+      assert(builds("qpc_tz|") == b + 1, "flip-back reuses the resident plan")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
   test("spark.graft.planCache=false bypasses the cache") {
