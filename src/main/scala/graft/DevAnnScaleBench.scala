@@ -45,6 +45,9 @@ object DevAnnScaleBench {
       spark.conf.set("spark.graft.ann.nprobe", a.stripPrefix("nprobe=")))
     args.find(_.startsWith("pivots=")).foreach(a =>
       spark.conf.set("spark.graft.ann.pivots", a.stripPrefix("pivots=")))
+    // seed=hash|plusplus: the r19 codebook-seeding A/B
+    args.find(_.startsWith("seed=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.seed", a.stripPrefix("seed=")))
     DevAnnFixture.ensure(spark, dir, n)
     val ver = AnnIndex.corpusVersion(spark, dir)
     val k = AnnIndex.centroids(spark, dir, ver).size

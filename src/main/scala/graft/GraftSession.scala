@@ -23,6 +23,7 @@ object GraftSession {
         graft.plans.SimHash64.inject(ext)
         graft.plans.DecimalFolds.inject(ext)
         graft.plans.IvfArgmaxFlat.inject(ext)
+        graft.plans.IvfMaxCos.inject(ext)
         graft.plans.IvfArgmaxTwo.inject(ext)
         graft.plans.PqEncode.inject(ext)
         graft.plans.PqAdc.inject(ext)

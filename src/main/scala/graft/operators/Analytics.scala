@@ -228,8 +228,13 @@ object Analytics {
     * SCALING.md records both rows.
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame =
-    profileEvents(spark, dir,
-      spark.conf.get("spark.graft.profile.approxDistinct", "false").toBoolean)
+    spark.conf.getOption("spark.graft.profile.approxDistinct") match {
+      // conf EXPLICITLY set: the pure single-mode plan — the documented
+      // 100 TB flip, and the lever ShuffleAuditSpec's bytes gate measures
+      // (exact partials grow with cardinality; HLL stays sketch-constant)
+      case Some(v) => profileEvents(spark, dir, v.toBoolean)
+      case None => presentProfile(profileCard(spark, dir), approx = false)
+    }
 
   /** The HLL path of [[profileEvents]] as its own registry entry
     * (r17 verdict #6): `q_profile_events` stays the exact, oracle-checked
@@ -242,14 +247,62 @@ object Analytics {
     * 10× data.
     */
   def profileEventsApprox(spark: SparkSession, dir: String): DataFrame =
-    profileEvents(spark, dir, approx = true)
+    spark.conf.getOption("spark.graft.profile.approxDistinct") match {
+      // explicit conf keeps the pure plan (this row always forces approx —
+      // unchanged contract; the gate's constant-bytes leg measures it)
+      case Some(_) => profileEvents(spark, dir, approx = true)
+      case None => presentProfile(profileCard(spark, dir), approx = true)
+    }
+
+  /** ONE corpus scan for the q_profile_events / q_profile_events_hll PAIR
+    * (r18 verdict #3: both top-pole rows scanned the same events fact for
+    * one card family, ~0.7–0.9 s/lap combined at sf0.1). The combined agg
+    * computes the exact distincts AND the HLL++ estimates in the same
+    * pass — the multi-distinct Expand already materializes per-column
+    * rows, and the HLL buffers ride the same exchange for KB — then the
+    * 5-row card is a corpus-fingerprint-keyed session artifact
+    * ([[graft.sources.SessionCache]] discipline; mutation-pinned in
+    * ArtifactMatrixSpec) both registry rows project from. The exact row's
+    * values are bit-identical to the pure exact plan (countDistinct either
+    * way), so the oracle check is unchanged. Explicitly setting
+    * `spark.graft.profile.approxDistinct` bypasses the artifact and builds
+    * the pure single-mode plan — the 100 TB posture never computes the
+    * exact distincts at all, and the bytes gate keeps its per-path lever.
+    */
+  private def profileCard(spark: SparkSession, dir: String): DataFrame = {
+    val cols = ProfileCols
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cached(spark, "profile_card", dir, dfp) {
+      Tables.events(spark, dir).agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          approx_count_distinct(col(c), rsd = 0.05).as(s"${c}__hll"))): _*)
+        .select(
+          col("n_rows"),
+          expr("stack(" + cols.size + ", " + cols.map(c =>
+            s"'$c', ${c}__nulls, ${c}__distinct, ${c}__hll").mkString(", ") +
+            ") AS (col_name, n_nulls, n_distinct, n_distinct_hll)"))
+    }
+  }
+
+  private def presentProfile(card: DataFrame, approx: Boolean): DataFrame =
+    card.select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        round(col("n_nulls").cast("double") / col("n_rows"), 6).as("null_rate"),
+        (if (approx) col("n_distinct_hll") else col("n_distinct")).as("n_distinct"))
+      .transform(Present.cardSort(_, col("col_name")))
+
+  private val ProfileCols =
+    Seq("event_id", "user_id", "event_type", "value", "props")
 
   private def profileEvents(
       spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     def distinctOf(c: String) =
       if (approx) approx_count_distinct(col(c), rsd = 0.05)
       else countDistinct(col(c))
-    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val cols = ProfileCols
     // NO spread here (A/B'd r16): the single-file local scan runs the
     // Expand in one task, but a round-robin repartition would shuffle the
     // full row payload (props strings dominate) and measured SLOWER than

@@ -84,10 +84,37 @@ object AnnIndex {
   val MinPivots = 16
   val MaxPivots = 65536
 
-  /** Codebook size for a corpus of `n` vectors: √n in [MinPivots,
-    * MaxPivots]. */
+  /** Target expected rows per IVF cell in the width-driven regime — the
+    * IVF twin of [[LshTargetWidth]] (r19). The r18 200k decade measured
+    * the pure-√n codebook as the recall bottleneck: 2,000 natural
+    * clusters vs √n = 447 cells left even an exact-filed index at
+    * recall@10 0.3–0.4 at law nprobe, while k = n/100 read 0.6 (hash
+    * seeding) / 0.7 (k-means++) AND probed half the rows — cells ≈
+    * clusters, so nprobe·n/k falls as k rises (BASELINE §r18 addendum,
+    * §r19). */
+  val IvfTargetCellRows = 100
+
+  /** Width-driven codebook ceiling: past this k the training cost curve
+    * (D² seeding + flat Lloyd over a 32·k-row sample are each O(32·k²·d))
+    * outruns what a build should pay, so the width target stops driving
+    * and √n takes over until it reaches [[MaxPivots]] on its own. At the
+    * ceiling the trainer touches ~8192²·32·d ≈ 1.4e14 flops — minutes,
+    * the documented build envelope. */
+  val IvfWidthPivotCap = 8192
+
+  /** Codebook size for a corpus of `n` vectors:
+    * max(√n, min(n/[[IvfTargetCellRows]], [[IvfWidthPivotCap]])) clamped
+    * to [MinPivots, MaxPivots] — √n floored, WIDTH-TARGETED in the
+    * mid-scale regime (see [[IvfTargetCellRows]]): expected cell width is
+    * bounded at ~100 rows from n = 10⁴ (where the two terms cross) until
+    * the width cap at n ≈ 8.2·10⁵, then grows as n/√n until MaxPivots.
+    * Both terms are monotone in n, so k never shrinks as a corpus grows.
+    */
   def pivotCount(n: Long): Int = {
-    val k = math.round(math.sqrt(math.max(n, 1L).toDouble))
+    val nn = math.max(n, 1L).toDouble
+    val k = math.max(
+      math.round(math.sqrt(nn)),
+      math.min(math.round(nn / IvfTargetCellRows), IvfWidthPivotCap.toLong))
     math.max(MinPivots.toLong, math.min(MaxPivots.toLong, k)).toInt
   }
 
@@ -267,6 +294,36 @@ object AnnIndex {
   val KmeansIters = 4
   val SampleIds = 4096L
   def sampleSize(k: Int): Long = math.max(SampleIds, 32L * k)
+
+  /** k-means‖ seeding rounds (Bahmani et al., "Scalable k-means++",
+    * VLDB 2012): D²-weighted draws in [[SeedRounds]] distributed batches
+    * instead of k sequential driver passes. Total seeding work is ONE
+    * extra flat-assignment-equivalent pass over the sample (each round
+    * updates the running min-distance² against the round's NEW seeds
+    * only — Σ|new|·d per row = k·d), so the build pays ~+1 Lloyd
+    * iteration. See [[seedPlusPlus]].
+    */
+  val SeedRounds = 8
+
+  /** Codebook seeding mode: `plusplus` (default — distributed k-means‖
+    * D² seeding) or `hash` (the pre-r19 uniform hash draw, kept as the
+    * measured A/B lever). The r18 200k fixture measured the hash-seeded
+    * 4-iteration Lloyd plateauing at ivf recall@10 0.6–0.7 REGARDLESS of
+    * k (447/2000/4000 cells vs 2,000 natural clusters): uniform seeding
+    * drops multiple seeds into the same natural cluster and leaves
+    * sibling clusters sharing a blended pivot, and 4 Lloyd iterations
+    * cannot migrate a pivot across cluster boundaries. D² seeding picks
+    * spread-out DATA POINTS, so distinct natural clusters get their own
+    * pivot when k affords one. Folded into the centroid-cache key (a
+    * flip retrains, never serves the other mode's codebook); downstream
+    * store versions hash the centroids so they re-key automatically.
+    */
+  private[graft] def seedMode(spark: SparkSession): String = {
+    val m = spark.conf.get("spark.graft.ann.seed", "plusplus")
+    require(m == "plusplus" || m == "hash",
+      s"spark.graft.ann.seed must be plusplus|hash, got $m")
+    m
+  }
 
   /** LSH geometry: `bands` bands (a pair collides if ANY band agrees) of
     * `bandBits` hyperplane bits each — BOTH corpus-size-adaptive, the
@@ -801,15 +858,19 @@ object AnnIndex {
     // serve this one (downstream store versions hash the centroids, so
     // they follow automatically)
     val kTarget = pivotCount(spark, corpusCount(spark, dir, version))
-    val key = s"$dir|$version|k$kTarget"
+    // seed mode is IN the key: a `spark.graft.ann.seed` flip must train
+    // the other codebook, not serve this one (the kTarget discipline)
+    val key = s"$dir|$version|k$kTarget|s${seedMode(spark)}"
     val entry = centroidCache.computeIfAbsent(key, _ => centroidTick.incrementAndGet() -> {
       val sample = kmeansSample(spark, dir, sampleSize(kTarget))
-      var cents: Seq[Array[Double]] = sample
-        // dropDuplicates: an appended corpus may repeat ids (same vector)
-        .dropDuplicates("vec_id")
-        .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
-        .limit(kTarget)
-        .collect().map(_.getSeq[Double](1).toArray).toSeq
+      var cents: Seq[Array[Double]] =
+        if (seedMode(spark) == "plusplus") seedPlusPlus(spark, sample, kTarget)
+        else sample
+          // dropDuplicates: an appended corpus may repeat ids (same vector)
+          .dropDuplicates("vec_id")
+          .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
+          .limit(kTarget)
+          .collect().map(_.getSeq[Double](1).toArray).toSeq
       val k = cents.size // corpus smaller than kTarget degrades gracefully
       for (_ <- 1 to KmeansIters) {
         val means = assign(sample, codebookOf(spark, cents))
@@ -849,6 +910,80 @@ object AnnIndex {
     mine.sortBy(-_._2._1).drop(2)
       .foreach { case (k, v) => centroidCache.remove(k, v) }
     entry._2
+  }
+
+  /** Distributed, DETERMINISTIC k-means‖ D² seeding over the (already
+    * checkpointed) sample — the r19 fix for the hash-seeded recall
+    * plateau (see [[seedMode]]):
+    *  - seed 0 is the hash-order first sample vector (the old draw's
+    *    first pick — cross-run stable);
+    *  - the sample carries a running `mind2 = 2·(1 − max cos to the seed
+    *    set)` (squared Euclidean for unit vectors; the index's own
+    *    similarity), updated map-side per round against the round's NEW
+    *    seeds only via the native codegen'd `ivf_maxcos`;
+    *  - each of [[SeedRounds]] rounds draws the next ⌈remaining/rounds
+    *    left⌉ seeds by D²-weighted sampling WITHOUT replacement via the
+    *    Efraimidis–Spirakis key (ln u / w, u a per-(vec_id, round)
+    *    xxhash64 uniform — no RNG state, identical across runs,
+    *    partitionings, and engines), `orderBy(key desc, vec_id).limit(m)`
+    *    — a total order, so the draw is exact and deterministic;
+    *  - points already coincident with a seed (mind2 ≈ 0) and degenerate
+    *    rows (NaN cosine — zero vectors) are excluded from the draw;
+    *    if the draw dries up (corpus has < k distinct points) seeding
+    *    stops short and Lloyd degrades gracefully exactly as the hash
+    *    seed did.
+    * Driver traffic: m×d doubles per round (the drawn seeds) — never the
+    * sample. Distributed work: Σ rounds n·m·d = n·k·d, one extra
+    * flat-assignment-equivalent pass.
+    */
+  private[graft] def seedPlusPlus(
+      spark: SparkSession, sample: DataFrame, k: Int): Seq[Array[Double]] = {
+    val first = sample
+      .dropDuplicates("vec_id")
+      .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
+      .limit(1)
+      .collect().map(_.getSeq[Double](1).toArray)
+    if (first.isEmpty || k <= 1) return first.toSeq
+    val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]](first: _*)
+    // against whatever pivot set the row's joined `pvs` carries
+    val mind2Expr =
+      greatest(lit(0.0), lit(2.0) - lit(2.0) * expr("ivf_maxcos(v, pvs)"))
+    var state = sample.dropDuplicates("vec_id")
+      .crossJoin(broadcast(codebookOf(spark, seeds.toSeq)))
+      .withColumn("mind2", mind2Expr)
+      .drop("pvs")
+      .localCheckpoint(true)
+    var r = 0
+    var dry = false
+    while (r < SeedRounds && seeds.size < k && !dry) {
+      val m = math.max(1, math.ceil(
+        (k - seeds.size).toDouble / (SeedRounds - r)).toInt)
+      // u ∈ (0, 1] from the top 63 bits of xxhash64(vec_id, round-salt);
+      // Efraimidis–Spirakis: P(i drawn) ∝ w_i under top-m of u^(1/w) —
+      // ln(u)/w is the monotone, overflow-free form. NaN mind2 (zero
+      // vector) sorts GREATEST under desc in Spark, so it is filtered
+      // explicitly alongside the coincident points.
+      val u = (shiftrightunsigned(xxhash64(col("vec_id"), lit(4200 + r)), 1)
+        .cast("double") + lit(1.0)) / lit(9.223372036854776e18)
+      val drawn = state
+        .where(col("mind2") > lit(1e-12) && !isnan(col("mind2")))
+        .withColumn("skey", log(u) / col("mind2"))
+        .orderBy(col("skey").desc, col("vec_id"))
+        .limit(m)
+        .select("v")
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      if (drawn.isEmpty) dry = true
+      else {
+        seeds ++= drawn
+        state = state
+          .crossJoin(broadcast(codebookOf(spark, drawn)))
+          .withColumn("mind2", least(col("mind2"), mind2Expr))
+          .drop("pvs")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    seeds.take(k).toSeq
   }
 
   private def codebookOf(spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
@@ -1532,8 +1667,17 @@ object AnnIndex {
   private[graft] def int8Quantize(vectors: DataFrame): DataFrame = {
     val m = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
     val scale = when(m === 0.0, lit(1.0)).otherwise(m)
-    vectors.select(col("vec_id"), scale.as("scale"),
-      transform(col("v"), x => round(x / scale).cast("tinyint")).as("qv"))
+    // scale is materialized as a COLUMN before the per-element lambda
+    // references it: inlining it would re-evaluate the array_max fold —
+    // itself a fresh d-element transform — PER ELEMENT inside the
+    // interpreted HOF, O(d²) boxed work per row. That inlined form was
+    // the r18 int8 build-wall anomaly (158 s at 200k for the cheapest
+    // transform — 2× the dearest trained build; the hoist reads ~4 s,
+    // BASELINE §r19). Same arithmetic bit-for-bit, spec-pinned against
+    // the streaming ingester and the quantizeEmbed audit.
+    vectors.select(col("vec_id"), scale.as("scale"), col("v"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x / col("scale")).cast("tinyint")).as("qv"))
   }
 
   /** The int8 store as a DataFrame (see [[Int8Schema]]). */

@@ -266,6 +266,15 @@ object Dedup {
     * into executor block storage; a cluster deployment with lossy executors
     * uses reliable `checkpoint` to the distributed FS instead.
     */
+  /** Diagnostic: (iterations run, converged-before-bound) of the LAST
+    * [[propagateLabels]] call in this JVM — the decade-bench observable
+    * (r19 verdict #5: "does propagation still converge at 500k docs?"
+    * needs a number, not a wall). Write-once per call, read by dev
+    * mains/specs; not part of any query result.
+    */
+  private[graft] val lastPropagation =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Boolean)]((0, true))
+
   def propagateLabels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))

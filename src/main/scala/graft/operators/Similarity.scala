@@ -65,8 +65,12 @@ object Similarity {
     * label-sized hash aggregate with map-side partials.
     */
   def quantizeEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val v = col("v")
+    // scale hoisted to a COLUMN before the lambdas reference it — an
+    // inlined scale re-evaluates its array_max fold per element inside
+    // the interpreted HOF, O(d²) boxed work per row (the int8Quantize
+    // build-wall lesson, r19). Same arithmetic bit-for-bit.
+    val scale = col("scale")
     // order-insensitive per-vector sum: each double term rounds to
     // DECIMAL scale 12 and sums exactly — the native `dsum12` fold
     // (plans/DecimalFolds) runs the identical arithmetic to the old
@@ -76,6 +80,9 @@ object Similarity {
       (x, q) => pow(x - q, 2)))
     val normSq = dsum(transform(v, x => pow(x, 2)))
     Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
       .select(col("label"),
         round(sqrt(errSq / normSq), 6).as("rel_err"))
       .groupBy("label")

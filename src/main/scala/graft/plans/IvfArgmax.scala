@@ -109,6 +109,57 @@ object IvfArgmaxFlat {
       (children: Seq[Expression]) => IvfArgmaxFlat(children(0), children(1))))
 }
 
+/** `ivf_maxcos(v, pvs)` — the MAX cosine similarity of `v` against a
+  * pivot set (same `pvs` layout as [[IvfArgmaxFlat]]). The D²-update
+  * kernel for k-means++/k-means|| seeding: each seeding round folds the
+  * newly drawn centers into every sample row's running
+  * `min distance² = 2·(1 − max cos)` map-side, so the whole D² state
+  * update is one codegen'd primitive loop — the HOF
+  * `array_max(transform(…))` form allocates a boxed struct per pivot per
+  * row, the same 20× penalty [[IvfArgmaxFlat]] exists to avoid.
+  * Semantics: the [[IvfArgmaxKernel.cos]] fold verbatim, max under
+  * Spark's double ordering (NaN greatest); null for an empty pivot set.
+  */
+case class IvfMaxCos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "ivf_maxcos"
+  // empty pivot array yields null (see IvfArgmaxFlat's nullable note)
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfMaxCos =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData, pvs: ArrayData): Any =
+    if (pvs.numElements() == 0) null
+    else {
+      val (s, _) = IvfArgmaxKernel.scanMembers(
+        v, pvs, Double.NegativeInfinity, Long.MinValue)
+      s
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("ivfMaxCos", this, classOf[IvfMaxCos].getName)
+      val r = ctx.freshName("r")
+      s"""Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }""".stripMargin
+    })
+}
+
+object IvfMaxCos {
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("ivf_maxcos"),
+      new ExpressionInfo(classOf[IvfMaxCos].getName, "ivf_maxcos"),
+      (children: Seq[Expression]) => IvfMaxCos(children(0), children(1))))
+}
+
 /** `ivf_argmax_two(v, groups)` — EXACT two-level coarse assignment via
   * spherical triangle-inequality pruning
   * (`groups: array<struct<gid: int, sp: array<double>, radius: double,

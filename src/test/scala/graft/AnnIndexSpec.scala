@@ -33,8 +33,17 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.probeCount(AnnIndex.MinPivots) == AnnIndex.NProbe)
     // √n regime: k grows with the corpus — the r12 fixed-16 scale killer
     assert(AnnIndex.pivotCount(10_000L) == 100)
-    assert(AnnIndex.pivotCount(1_000_000L) == 1000)
     assert(AnnIndex.probeCount(100) == 10)
+    // width-targeted regime (r19): past the √n/width crossover at n=10⁴,
+    // cells hold ~IvfTargetCellRows rows — the r18 200k finding made law
+    // (2,000 cells at 200k was the recall- AND cost-winning geometry)
+    assert(AnnIndex.pivotCount(200_000L) == 2000)
+    assert(AnnIndex.pivotCount(500_000L) == 5000)
+    // width-cap regime: the trainer's cost ceiling — k parks at the cap
+    // until √n outruns it
+    assert(AnnIndex.pivotCount(1_000_000L) == AnnIndex.IvfWidthPivotCap)
+    assert(AnnIndex.pivotCount(64_000_000L) == AnnIndex.IvfWidthPivotCap)
+    assert(AnnIndex.pivotCount(100_000_000L) == 10000) // √n resumed
     // cap regime: codebook (and its broadcast/driver cost) stays bounded
     assert(AnnIndex.pivotCount(Long.MaxValue) == AnnIndex.MaxPivots)
     // monotone: more corpus never means fewer cells
@@ -346,13 +355,28 @@ class AnnIndexSpec extends SparkSpec {
       assert(math.abs(lshExpectedWidth(2 * n) / lshExpectedWidth(n) - 2.0) < 1e-9)
       assert(math.abs(lshProbeCandidates(2 * n) / lshProbeCandidates(n) - 2.0) < 1e-9)
     }
-    // IVF probe rows stay SUB-linear (~n^(3/4) in the √n-codebook regime):
-    // 100× the corpus costs ≤ ~32× the probed rows — the property that
-    // makes IVF the tier that keeps scaling where LSH has gone linear
+    // IVF probe rows stay SUB-linear — the property that makes IVF the
+    // tier that keeps scaling where LSH has gone linear. Under the r19
+    // width-targeted law the 100× growth factor reads ~35–51× (the k
+    // plateau at IvfWidthPivotCap stretches one decade band) instead of
+    // the pure-√n law's ~32×, but the law DOMINATES √n absolutely: more
+    // cells → fewer rows per cell, while nprobe grows only as √k, so at
+    // every scale the probed rows are at or below what √n would scan
     Seq(100000L, 10000000L).foreach { n =>
       val ratio = ivfProbeRows(100 * n) / ivfProbeRows(n)
-      assert(ratio <= 33.0, s"n=$n ratio=$ratio")
+      assert(ratio <= 52.0, s"n=$n ratio=$ratio")
     }
+    def sqrtLawRows(n: Long): Double = {
+      val k = math.max(MinPivots.toLong, math.min(MaxPivots.toLong,
+        math.round(math.sqrt(math.max(n, 1L).toDouble)))).toInt
+      probeCount(k).toDouble * math.max(n, 1L) / k
+    }
+    Seq(2048L, 20000L, 200000L, 820000L, 10000000L, 67000000L, 1L << 30)
+      .foreach { n =>
+        assert(ivfProbeRows(n) <= sqrtLawRows(n) + 1e-9,
+          s"width law must not scan more than √n law at n=$n: " +
+            s"${ivfProbeRows(n)} vs ${sqrtLawRows(n)}")
+      }
     // and past the pivot cap IVF probe rows are n/256 — still 256× under
     // a corpus scan, while saturated-LSH candidates are n/12.5K KEY rows
     // whose payloads need per-id fetches; the tier table in SCALING.md
@@ -657,23 +681,25 @@ class AnnIndexSpec extends SparkSpec {
     // more than one neighbor in ten on mean recall...
     assert(mean(probes) >= mean(exactMode) - 0.1,
       s"probes-mode recall ${mean(probes)} sags >0.1 below exact-mode ${mean(exactMode)}")
-    // ...and carries absolute floors in this geometry (measured 2026-08-15:
-    // mean probes=0.88 vs exact=0.86 — probes-mode slightly ABOVE, its
-    // different cell boundaries happen to keep one more straddling
-    // neighbor; the shared ~0.87 residual is the nprobe width tradeoff,
-    // not the assignment mode)
-    assert(mean(probes) >= 0.8,
+    // ...and carries absolute floors in this geometry (re-measured
+    // 2026-08-16 under the default k-means++ seeding: d16 probes=0.80 /
+    // exact=0.78, d64 probes=0.80 / exact=0.76 — a 4-slot-in-50 dip vs
+    // the hash-seeded draw at these 5-query CI fixtures, where k sits at
+    // 0.7× the natural-cluster count; at the 200k decade the same
+    // seeding lifted ivf law-geometry recall 0.4 → 0.6, BASELINE §r19.
+    // The shared residual is the k-vs-cluster-count representation
+    // tradeoff, not the assignment mode)
+    assert(mean(probes) >= 0.75,
       s"probes-mode mean recall@10 ${mean(probes)} below the measured-regime floor")
     probes.foreach { case (q, r) =>
       assert(r >= 0.5, s"qid=$q probes-mode recall@10 $r below floor") }
   }
 
   test("recall@10 in the two-level regime: probes-mode assignment costs no recall vs exact") {
-    // 16-d / 6,000 vectors → k = 77: the r15 fixture (measured 2026-08-15:
-    // mean probes=0.88 vs exact=0.86 — probes-mode slightly ABOVE, its
-    // different cell boundaries happen to keep one more straddling
-    // neighbor; the shared ~0.87 residual is the nprobe width tradeoff,
-    // not the assignment mode). Noise 0.35 σ/dim on unit centers.
+    // 16-d / 6,000 vectors → k = 77: the r15 fixture (re-measured
+    // 2026-08-16 under k-means++ seeding: mean probes=0.80 vs exact=0.78
+    // — probes-mode still slightly ABOVE; see the harness floor note).
+    // Noise 0.35 σ/dim on unit centers.
     twoLevelRecallHarness(d = 16, n = 6000L, nCenters = 100,
       noise = 0.35, label = "d16")
   }

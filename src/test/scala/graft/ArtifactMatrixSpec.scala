@@ -66,6 +66,8 @@ class ArtifactMatrixSpec extends SparkSpec {
       Seq(Pin("cap_hist", "q_domain_cap", "documents")),
     "user_counts" ->
       Seq(Pin("user_counts", "q_heavy_hitters", "events")),
+    "profile_card" ->
+      Seq(Pin("profile_card", "q_profile_events", "events")),
     "embed_centroids" ->
       Seq(Pin("embed_centroids", "q_embed_outliers", "embeddings")),
     "ann_recall_*" ->
