@@ -219,15 +219,39 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // exact-Jaccard verification joins the shingle sets back for candidate
-    // ids only
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // exact-Jaccard verification, once per DISTINCT CONTENT pair — the
+    // r19 500k decade finding: on an 8×-duplicated corpus the per-ID
+    // verification shipped 1.75M shingle-ARRAY pairs (~2×1.6 KB each,
+    // ~5.6 GB through two join exchanges — 135 s of a 150 s cold build;
+    // the id-pair enumeration itself was 12 s). Identical texts have
+    // identical shingle sets, so the Jaccard of an id pair IS the Jaccard
+    // of its (content_a, content_b) pair: map ids to content keys (one
+    // cheap md5 scan, no shingles), verify each distinct content pair
+    // against one representative's arrays, and join the score back to the
+    // id pairs — 24 B key rows everywhere except the content-pair-sized
+    // verify. Output pair set and every jaccard value are bit-identical
+    // to the per-id form (spec-pinned on a duplicated fixture); on a
+    // fully-distinct corpus this adds only the md5 scan and key joins.
+    val keyed = docs.select(col("doc_id"),
+      coalesce(md5(col("text")), lit("∅")).as("ck"))
+    val cpairs = pairs
+      .join(keyed.select(col("doc_id").as("doc_a"), col("ck").as("ck_a")), Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("ck").as("ck_b")), Seq("doc_b"))
+    // one representative's shingles per content — from the SAME sh
+    // materialization point the banding consumed (identical columns, so
+    // AQE stage reuse holds and the corpus is still shingled once)
+    val reps = keyed.groupBy("ck").agg(min("doc_id").as("doc_id"))
+    val shRep = sh.join(reps, Seq("doc_id")).select(col("ck"), col("sh"))
+    val verified = cpairs.select("ck_a", "ck_b").distinct()
+      .join(shRep.select(col("ck").as("ck_a"), col("sh").as("sh_a")), Seq("ck_a"))
+      .join(shRep.select(col("ck").as("ck_b"), col("sh").as("sh_b")), Seq("ck_b"))
       .withColumn("ca", size(array_distinct(col("sh_a"))).cast("double"))
       .withColumn("cb", size(array_distinct(col("sh_b"))).cast("double"))
       .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
+      .select("ck_a", "ck_b", "jaccard")
+    cpairs
+      .join(verified, Seq("ck_a", "ck_b"))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -302,6 +326,7 @@ object Dedup {
       labels = next.select("doc_id", "label")
       it += 1
     }
+    lastPropagation.set((it, converged))
     labels
   }
 
@@ -1110,26 +1135,70 @@ object Dedup {
       .repartition(par, col("doc_id"))
     // capBuckets on the STORE side: a boilerplate flood persisted in the
     // band store would otherwise hand every colliding batch doc the whole
-    // hot bucket as candidates (O(batch × width)); capped it is O(batch × cap)
-    val cand = bandRows(batchSh)
-      .join(capBuckets(
-          bandStore
-            .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id")),
-          Seq("band_id", "band_hash"), "match_id", cap),
+    // hot bucket as candidates (O(batch × width)); capped it is O(batch × cap).
+    // The store is pruned to the batch's TOUCHED buckets BEFORE the cap
+    // window — the r19 500k-doc decade measured the unpruned form
+    // shuffling the ENTIRE store through the window per probe (9M recs /
+    // 531 MB steady-state: O(corpus), the exact scale-killer the shuffle
+    // audit hunts, invisible at sf0.01 where the store is 7.6k rows).
+    // Pruned, the window shuffles only touched-bucket rows — O(batch ×
+    // width). The semi-join key frame is batch-band-sized (bands × drop
+    // docs × 12 B — MBs for any real daily drop), and the broadcast is
+    // FORCED: AQE's size estimate for the distinct-agg output read ~tens
+    // of MB and kept the sort-merge plan, which re-shuffled the whole
+    // store anyway (measured: the hinted form cut the 500k probe's
+    // shuffle 535 MB → O(touched); a drop too large to broadcast is past
+    // the point where per-batch probing beats re-running the batch pair
+    // search — the documented envelope). Member sets WITHIN a touched
+    // bucket are unchanged, so the capped candidate set is identical to
+    // the unpruned form's.
+    val batchBands = bandRows(batchSh)
+    val touched = bandStore
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id"))
+      .join(broadcast(batchBands.select("band_id", "band_hash").distinct()),
+        Seq("band_id", "band_hash"))
+    val cand = batchBands
+      .join(capBuckets(touched, Seq("band_id", "band_hash"), "match_id", cap),
         Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("match_id")).distinct()
-    val candSh = corpusDocs
-      .join(cand.select(col("match_id").as("doc_id")).distinct(), Seq("doc_id"))
+    // exact-Jaccard verification once per DISTINCT CONTENT pair (the
+    // minhashPairsOf r19 discipline): the per-ID form shipped the shingle
+    // arrays per candidate pair (~280 MB of the 500k decade probe's
+    // 416 MB steady shuffle — copies of one content re-verified per
+    // copy). Identical texts have identical shingle sets, so each
+    // (batch content, match content) pair is scored once against
+    // representatives and the score joins back to the 16 B id pairs.
+    val batchKeys = batchDocs.select(col("doc_id"),
+      coalesce(md5(col("text")), lit("∅")).as("ck"))
+    val matchKeys = corpusDocs.select(col("doc_id").as("match_id"),
+      coalesce(md5(col("text")), lit("∅")).as("ck_c"))
+    val candK = cand.join(batchKeys, Seq("doc_id")).join(matchKeys, Seq("match_id"))
+    val shB = batchSh
+      .join(batchKeys.groupBy("ck").agg(min("doc_id").as("doc_id")), Seq("doc_id"))
+      .select(col("ck"), col("sh"))
+    // candidate-content representatives are shingled fresh — matched
+    // contents only (at production this is the doc-store point-fetch).
+    // The rep-id frame is FORCE-broadcast: candidate-content-sized
+    // (≤ batch × cap ids), while a plan-estimated join here shuffled the
+    // corpus TEXT table itself (~430 MB of the 500k decade probe —
+    // payloads moving for a point-fetch of ~65k reps)
+    val shC = corpusDocs
+      .join(broadcast(candK.groupBy("ck_c").agg(min("match_id").as("match_id"))
+          .select(col("match_id").as("doc_id"))),
+        Seq("doc_id"))
       .repartition(par)
-      .select(col("doc_id").as("match_id"),
+      .select(coalesce(md5(col("text")), lit("∅")).as("ck_c"),
         expr("ngram_hashes(text, 3, 'word')").as("sh_c"))
-    val verified = cand
-      .join(batchSh, Seq("doc_id"))
-      .join(candSh, Seq("match_id"))
+    val verifiedC = candK.select("ck", "ck_c").distinct()
+      .join(shB, Seq("ck"))
+      .join(shC, Seq("ck_c"))
       .withColumn("ca", size(array_distinct(col("sh"))).cast("double"))
       .withColumn("cb", size(array_distinct(col("sh_c"))).cast("double"))
       .withColumn("c", size(array_intersect(col("sh"), col("sh_c"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
+      .select("ck", "ck_c", "jaccard")
+    val verified = candK
+      .join(verifiedC, Seq("ck", "ck_c"))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
         .orderBy(desc("jaccard"), asc("match_id"))))
       .groupBy("doc_id")

@@ -824,6 +824,51 @@ class DedupSimilaritySpec extends SparkSpec {
         s"(got ${pDup.size} vs ${pDistinct.size})")
   }
 
+  test("minhash content-collapsed verification: every pair's jaccard equals a per-id recomputation on a duplicated corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the r19 500k-decade fix verifies each DISTINCT CONTENT pair once
+    // and joins the score back to id pairs (the per-id form shipped the
+    // shingle arrays per pair — 135 s of a 150 s cold build at 500k on
+    // an 8×-dup corpus). This pin recomputes the exact per-id jaccard
+    // independently for EVERY emitted pair on a duplicated fixture —
+    // values must be bit-identical, and exact-copy pairs must read 1.0
+    val rnd = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)(rnd.nextInt(5000).toString).mkString(" ")
+    val base = (1 to 80).map(i => (i.toLong, words(80)))
+    val nearDups = base.take(20).map { case (i, t) =>
+      (500L + i, t + " " + rnd.nextInt(5000).toString)
+    }
+    val dup = (base ++ nearDups) ++ (1 to 3).flatMap(c =>
+      (base ++ nearDups).map { case (i, t) => (10000L * c + i, t) })
+    val docs = dup.toDF("doc_id", "text").localCheckpoint(true)
+    val got = Dedup.minhashPairsOf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "fixture must produce candidate pairs")
+    // independent per-id reference: join texts back, shingle both sides
+    val pairIds = got.keys.toSeq.toDF("doc_a", "doc_b")
+    val sh = docs.select(col("doc_id"),
+      expr("ngram_hashes(text, 3, 'word')").as("sh"))
+    val ref = pairIds
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("ca", size(array_distinct(col("sh_a"))).cast("double"))
+      .withColumn("cb", size(array_distinct(col("sh_b"))).cast("double"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("j", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
+      // getAs by NAME: the two key joins reorder columns (doc_b lands first)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("j")).toMap
+    got.foreach { case (k, j) =>
+      assert(ref(k) == j, s"pair $k: content-collapsed $j vs per-id ${ref(k)}")
+    }
+    // exact copies pair at 1.0 and near-dup plants are found across copies
+    val copyPair = got.keys.find { case (a, b) => b == a + 10000L }
+    assert(copyPair.exists(got(_) == 1.0), "an exact-copy pair must read 1.0")
+    assert(got.keys.exists { case (a, b) => a <= 80 && (b % 10000L) == a + 500L },
+      "a planted near-dup must pair with its original")
+  }
+
   test("simhash recovery band: ≥95% radius-≤3 recall at the default cap on a vocabulary-biased fixture") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -800,6 +801,174 @@ class StreamingSpec extends SparkSpec {
     val expected = AnnIndex.lshGeom(spark, corpus, ver)
     assert(AnnIndex.readLshGeomMarker(spark, path).contains(expected),
       "ensureLsh must stamp its layout so streams pointed at it are guarded")
+  }
+
+  // ---------- r19 geometry-law parity: batch-built stores × streamed
+  // ingesters under the r18 adaptive band law and the ann.pivots override
+  // (r18 verdict #7: no silent geometry drift between batch-built and
+  // stream-grown stores) ----------
+
+  private def geomCorpus(label: String, n: Int = 2000, d: Int = 16): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def unit(v: Array[Double]) = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Seq.fill(40)(unit(Array.fill(d)(rnd.nextGaussian())))
+    val corpus = java.nio.file.Files
+      .createTempDirectory(s"geom_parity_$label").toString
+    (0 until n).map { i =>
+      (i.toLong, unit(centers(i % 40).map(_ + 0.1 * rnd.nextGaussian()))
+        .map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    corpus
+  }
+
+  test("streamed LSH append bootstraps the batch store's ADAPTIVE-law marker; floor stream refused") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = geomCorpus("lsh")
+    val root = java.nio.file.Files.createTempDirectory("geom_lsh_root").toString
+    spark.conf.set("spark.graft.ann.indexRoot", s"$root/graft_ann")
+    try {
+      val ver = AnnIndex.corpusVersion(spark, corpus)
+      val law = AnnIndex.lshGeom(spark, corpus, ver)
+      assert(law.bandBits > AnnIndex.LshFloorGeom.bandBits,
+        "fixture must band above the floor — the adaptive-law regime")
+      val store = AnnIndex.ensureLsh(spark, corpus, ver)
+      // restart protocol: the stream derives its geometry FROM THE MARKER
+      // (not from a conf a deployment could get wrong)
+      val marked = AnnIndex.readLshGeomMarker(spark, store)
+      assert(marked.contains(law), s"batch store must carry the law marker, got $marked")
+      val fresh = Seq((900001L, Seq.fill(16)(0.25)), (900002L, 0.1 +: Seq.fill(15)(-0.2)))
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val ckpt = java.nio.file.Files.createTempDirectory("geom_lsh_c1").toString
+      val q = Streams.lshIngestSink(
+        mem.toDF().toDF("vec_id", "v"), store, ckpt, marked.get).start()
+      try {
+        mem.addData(fresh: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      AnnIndex.invalidateResolved(store)
+      // streamed rows landed in the buckets the LAW banding assigns —
+      // probes of the grown store keep finding them
+      val streamed = spark.read
+        .schema("vec_id BIGINT, band_key BIGINT, band_id INT, band_grp INT")
+        .parquet(store)
+        .where(col("vec_id") >= 900000L)
+        .select("vec_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val expected = AnnIndex.bandify(fresh.toDF("vec_id", "v"), law)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == expected,
+        "streamed rows must band under the marker's adaptive-law geometry")
+      // a floor-geometry stream (the no-arg bootstrap default) on this
+      // store must be REFUSED at first append — not silently band rows no
+      // law-geometry probe can reach
+      val mem2 = MemoryStream[(Long, Seq[Double])]
+      val ckpt2 = java.nio.file.Files.createTempDirectory("geom_lsh_c2").toString
+      val q2 = Streams.lshIngestSink(
+        mem2.toDF().toDF("vec_id", "v"), store, ckpt2).start()
+      try {
+        mem2.addData((900003L, Seq.fill(16)(0.5)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(e).exists(_.contains("banded under geometry")),
+          s"floor stream on a law store must hit the marker guard: ${messages(e)}")
+      } finally q2.stop()
+    } finally {
+      spark.conf.unset("spark.graft.ann.indexRoot")
+    }
+  }
+
+  test("streamed IVF append at a non-default ann.pivots matches the batch store's cells; the override re-keys the store") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    import graft.sources.Tables
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = geomCorpus("ivf")
+    val root = java.nio.file.Files.createTempDirectory("geom_ivf_root").toString
+    spark.conf.set("spark.graft.ann.indexRoot", s"$root/graft_ann")
+    try {
+      val ver = AnnIndex.corpusVersion(spark, corpus)
+      val defaultStore = AnnIndex.ensureIvf(spark, corpus, ver)
+      spark.conf.set("spark.graft.ann.pivots", "96")
+      // 96 > TwoLevelMinPivots: the override pushes this corpus into the
+      // two-level regime a default build never enters
+      val store96 = AnnIndex.ensureIvf(spark, corpus, ver)
+      assert(store96 != defaultStore,
+        "the pivots override must re-key the store — THAT is the IVF " +
+          "geometry guard (mismatched geometries cannot share a layout)")
+      assert(AnnIndex.centroids(spark, corpus, ver).size == 96)
+      // a restarted stream under the same override assigns fresh vectors
+      // to exactly the cells the batch dispatch filed the corpus under
+      val sample = Tables.embeddings(spark, corpus)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .where(col("vec_id") < 50).collect()
+        .map(r => (r.getLong(0) + 900000L, r.getSeq[Double](1)))
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val out = java.nio.file.Files.createTempDirectory("geom_ivf_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("geom_ivf_c").toString
+      val q = Streams.annIngestSink(
+        mem.toDF().toDF("vec_id", "v"),
+        AnnIndex.hierCodebook(spark, corpus), out, ckpt).start()
+      try {
+        mem.addData(sample: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Number]("cluster").longValue).toMap
+      // the batch store's cells for the ORIGINAL twins of those vectors
+      val batch = spark.read
+        .schema("vec_id BIGINT, v ARRAY<DOUBLE>, cluster INT").parquet(store96)
+        .where(col("vec_id") < 50).collect()
+        .map(r => r.getLong(0) + 900000L -> r.getAs[Number]("cluster").longValue)
+        .toMap
+      assert(streamed == batch,
+        "streamed cells under the override must equal the batch store's")
+    } finally {
+      spark.conf.unset("spark.graft.ann.pivots")
+      spark.conf.unset("spark.graft.ann.indexRoot")
+    }
+  }
+
+  test("int8 ingest is pivots-independent: same store path and bit-identical rows under the override") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    import graft.sources.Tables
+    val corpus = geomCorpus("int8")
+    val root = java.nio.file.Files.createTempDirectory("geom_int8_root").toString
+    spark.conf.set("spark.graft.ann.indexRoot", s"$root/graft_ann")
+    try {
+      val ver = AnnIndex.corpusVersion(spark, corpus)
+      val p1 = AnnIndex.ensureInt8(spark, corpus, ver)
+      spark.conf.set("spark.graft.ann.pivots", "96")
+      val p2 = AnnIndex.ensureInt8(spark, corpus, ver)
+      // no trained state → no geometry to pin: the documented contract is
+      // that ANY stream may append to ANY int8 layout, which is only safe
+      // because the store identity ignores the codebook knobs entirely
+      assert(p1 == p2, "int8 store identity must not fold the pivots knob")
+      val vecs = Tables.embeddings(spark, corpus)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .where(col("vec_id") < 20)
+      val rows = Streams.int8Ingest(vecs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2))).toSet
+      val batch = spark.read
+        .schema("vec_id BIGINT, scale DOUBLE, qv ARRAY<TINYINT>").parquet(p1)
+        .where(col("vec_id") < 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2))).toSet
+      assert(rows == batch,
+        "streamed int8 rows must be bit-identical to the batch store's")
+    } finally {
+      spark.conf.unset("spark.graft.ann.pivots")
+      spark.conf.unset("spark.graft.ann.indexRoot")
+    }
   }
 
   test("streaming shard ingest lands docs in the same shards as the batch writer") {
