@@ -1058,21 +1058,29 @@ object TextAnalysis {
     * long; the one double division is rounded to 6.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val pc = passageCounts(spark, dir)
-    val docsPerPassage = pc.groupBy("h")
-      .agg(count(lit(1)).as("n_docs"))
-    pc.join(docsPerPassage, Seq("h"))
-      .withColumn("dup", (col("n_docs") >= 2).cast("long"))
-      .groupBy("source")
-      .agg(
-        sum(col("n_occ")).as("n_shingles"),
-        sum(col("n_occ") * col("dup")).as("n_dup_shingles"),
-        countDistinct(col("h")).as("n_passages"),
-        countDistinct(when(col("dup") === 1, col("h"))).as("n_dup_passages"))
-      .withColumn("dup_ratio",
-        round(col("n_dup_shingles").cast("double") /
-          col("n_shingles").cast("double"), 6))
-      .transform(Present.cardSort(_, col("source")))
+    // the CARD is the session artifact (per-source rows), not just the
+    // passage-count intermediate: the r19 500k decade measured the
+    // per-call re-aggregation at 101 MB / 2.9M shuffled records — the
+    // passage table is corpus-SHINGLE-sized, and a card read at 100 TB
+    // must not re-shuffle it (the cluster_profile card discipline).
+    // Unsorted in the artifact; the presentation sort is per-call.
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cached(spark, "boilerplate_card", dir, dfp) {
+      val pc = passageCounts(spark, dir)
+      val docsPerPassage = pc.groupBy("h")
+        .agg(count(lit(1)).as("n_docs"))
+      pc.join(docsPerPassage, Seq("h"))
+        .withColumn("dup", (col("n_docs") >= 2).cast("long"))
+        .groupBy("source")
+        .agg(
+          sum(col("n_occ")).as("n_shingles"),
+          sum(col("n_occ") * col("dup")).as("n_dup_shingles"),
+          countDistinct(col("h")).as("n_passages"),
+          countDistinct(when(col("dup") === 1, col("h"))).as("n_dup_passages"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_shingles").cast("double") /
+            col("n_shingles").cast("double"), 6))
+    }.transform(Present.cardSort(_, col("source")))
   }
 
   /** Top repeated passages — the WHAT behind [[boilerplate]]'s ratio:
@@ -1087,12 +1095,18 @@ object TextAnalysis {
     * TakeOrdered top-20 (no global sort materializes). Determinism:
     * exact-long ordering, ties broken on the hash.
     */
-  def topPassages(spark: SparkSession, dir: String): DataFrame =
-    passageCounts(spark, dir)
-      .groupBy("h")
-      .agg(count(lit(1)).as("n_docs"), sum("n_occ").as("n_occ"),
-        min("preview").as("preview"))
-      .where(col("n_docs") >= 2)
-      .orderBy(desc("n_docs"), asc("h"))
-      .limit(20)
+  def topPassages(spark: SparkSession, dir: String): DataFrame = {
+    // 20-row artifact for the same reason as [[boilerplate]]'s card: the
+    // per-call hash-agg runs over the corpus-shingle-sized passage table
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cached(spark, "passage_top20", dir, dfp) {
+      passageCounts(spark, dir)
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), sum("n_occ").as("n_occ"),
+          min("preview").as("preview"))
+        .where(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), asc("h"))
+        .limit(20)
+    }
+  }
 }

@@ -96,6 +96,10 @@ class ArtifactMatrixSpec extends SparkSpec {
       Seq(Pin("bigram_counts", "q_ngram_counts", "documents")),
     "passage_counts" ->
       Seq(Pin("passage_counts", "q_boilerplate", "documents", expectChange = false)),
+    "boilerplate_card" ->
+      Seq(Pin("boilerplate_card", "q_boilerplate", "documents")),
+    "passage_top20" ->
+      Seq(Pin("passage_top20", "q_top_passages", "documents", expectChange = false)),
     "simhash_fps" ->
       Seq(Pin("simhash_fps", "q_dedup_simhash", "documents")),
     "minhash_pairs_c* / simhash_pairs_c* / ngram_pairs_c* / embed_pairs" -> Seq(
