@@ -58,11 +58,28 @@ object DevDedupScaleBench {
     }
     println(s"[dedupscale] corpus rows=${spark.read.parquet(docsPath).count()}")
 
-    val names = Seq(
-      "q_dedup_exact", "q_dup_inflation", "q_dedup_minhash",
-      "q_dedup_clusters", "q_dedup_keep", "q_dedup_simhash",
-      "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_source_overlap",
-      "q_dedup_incremental", "q_boilerplate", "q_top_passages")
+    // family=dedup|text|curation (r19: the decade corpus serves every
+    // documents-fed family, not just the dedup searchers)
+    val family = args.find(_.startsWith("family="))
+      .map(_.stripPrefix("family=")).getOrElse("dedup")
+    val names = family match {
+      case "text" => Seq(
+        "q_text_stats", "q_text_tokens", "q_text_quality", "q_text_langid",
+        "q_text_chunks", "q_text_tfidf", "q_lm_quality", "q_lm_filter",
+        "q_text_compress", "q_text_fingerprint", "q_text_redact",
+        "q_pii_card", "q_decontaminate", "q_ngram_counts", "q_corpus_filter",
+        "q_source_drift", "q_topic_terms", "q_source_quality",
+        "q_text_repetition", "q_mix_report")
+      case "curation" => Seq(
+        "q_sample_balanced", "q_split_assign", "q_length_bins",
+        "q_domain_cap", "q_mix_sample", "q_shuffle_shards",
+        "q_pack_sequences")
+      case _ => Seq(
+        "q_dedup_exact", "q_dup_inflation", "q_dedup_minhash",
+        "q_dedup_clusters", "q_dedup_keep", "q_dedup_simhash",
+        "q_dedup_simhash_pairs", "q_dedup_ngram", "q_dedup_source_overlap",
+        "q_dedup_incremental", "q_boilerplate", "q_top_passages")
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -79,12 +96,18 @@ object DevDedupScaleBench {
         println(s"[dedupscale]   propagation iters=$iters converged=$conv")
       }
     }
-    // steady-state shuffle bytes: the pair searchers must move band keys,
+    // steady-state shuffle bytes: the searchers must move band keys,
     // never the 450 MB text payload — per-record B and absolute bytes
-    val audited = ShuffleAudit.measure(spark, dir, Seq(
-      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash_pairs",
-      "q_dedup_ngram", "q_dedup_incremental", "q_dedup_clusters",
-      "q_boilerplate"))
+    val audited = ShuffleAudit.measure(spark, dir, family match {
+      case "text" => Seq("q_text_tfidf", "q_decontaminate",
+        "q_corpus_filter", "q_ngram_counts", "q_lm_filter")
+      case "curation" => Seq("q_domain_cap", "q_pack_sequences",
+        "q_sample_balanced", "q_shuffle_shards")
+      case _ => Seq(
+        "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash_pairs",
+        "q_dedup_ngram", "q_dedup_incremental", "q_dedup_clusters",
+        "q_boilerplate")
+    })
     audited.toSeq.sortBy(_._1).foreach { case (n, a) =>
       println(f"[dedupscale] shuffle $n%-24s ${a.shuffleBytes}%12d B  " +
         f"(${a.shuffleRecords}%9d recs, input ${a.inputRecords}%9d)")
