@@ -819,16 +819,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("boilerplate family shares the passage artifact; warm path never rescans docs") {
-    // cold call builds the checkpointed (hash, source, doc) shingle table
+    // cold calls build the checkpointed (hash, source, doc) shingle table
+    // AND (r19) the per-source/top-20 CARD artifacts derived from it —
+    // the 500k decade measured the per-call card re-aggregation at
+    // 101 MB of shuffle, so a warm card read is now an artifact probe
     graft.operators.TextAnalysis.boilerplate(spark, sf).collect()
+    graft.operators.TextAnalysis.topPassages(spark, sf).collect()
     val p = plan(graft.operators.TextAnalysis.boilerplate(spark, sf))
     assert(!p.contains("documents.parquet"),
-      "warm path = two aggs + a hash join over the cached key-only artifact")
+      "warm path must not rescan the corpus")
+    assert(p.contains("ExistingRDD"),
+      "warm card read = a probe of the checkpointed card artifact")
+    assert(!p.contains("HashAggregate"),
+      "warm card read must not re-aggregate the shingle table " +
+        "(presentation sort only)")
     val tp = plan(graft.operators.TextAnalysis.topPassages(spark, sf))
     assert(!tp.contains("documents.parquet"),
-      "the companion card reads the same artifact — zero extra corpus work")
-    assert(tp.contains("TakeOrdered"),
-      "top-20 must plan as TakeOrdered, not a global sort")
+      "the companion card is its own 20-row artifact — zero corpus work")
+    assert(tp.contains("ExistingRDD") && !tp.contains("HashAggregate"),
+      "warm top-20 = a probe of the checkpointed 20-row artifact")
   }
 
   test("dedupIncremental probes the warm band store without re-shingling the corpus") {
