@@ -975,14 +975,21 @@ object AnnIndex {
       if (drawn.isEmpty) dry = true
       else {
         seeds ++= drawn
+        val prev = state
         state = state
           .crossJoin(broadcast(codebookOf(spark, drawn)))
           .withColumn("mind2", least(col("mind2"), mind2Expr))
           .drop("pvs")
           .localCheckpoint(true)
+        // the eager checkpoint above fully materialized the new state, so
+        // the superseded round's blocks are dead — release them now rather
+        // than letting up to SeedRounds copies of the (sample × d) frame
+        // pile up in executor storage until the ContextCleaner gets there
+        prev.unpersist(false)
         r += 1
       }
     }
+    state.unpersist(false) // last round's checkpoint — the draws are done
     seeds.take(k).toSeq
   }
 

@@ -231,9 +231,13 @@ object Dedup {
     // id pairs — 24 B key rows everywhere except the content-pair-sized
     // verify. Output pair set and every jaccard value are bit-identical
     // to the per-id form (spec-pinned on a duplicated fixture); on a
-    // fully-distinct corpus this adds only the md5 scan and key joins.
+    // fully-distinct corpus this adds only the hash scan and key joins.
+    // sha2-256 rather than the repo's md5 convention: this key ASSERTS
+    // content identity (a collision scores two different texts jaccard
+    // 1.0), and chosen-prefix md5 collisions are practical to plant in an
+    // adversarial corpus; no published sha-256 collision exists.
     val keyed = docs.select(col("doc_id"),
-      coalesce(md5(col("text")), lit("∅")).as("ck"))
+      coalesce(sha2(col("text"), 256), lit("∅")).as("ck"))
     val cpairs = pairs
       .join(keyed.select(col("doc_id").as("doc_a"), col("ck").as("ck_a")), Seq("doc_a"))
       .join(keyed.select(col("doc_id").as("doc_b"), col("ck").as("ck_b")), Seq("doc_b"))

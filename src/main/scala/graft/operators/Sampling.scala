@@ -128,18 +128,28 @@ object Sampling {
     val bucket = substring(hash, 1, 3)
     val withB = df.withColumn("__h", hash).withColumn("__b", bucket)
 
-    // one pass over the data: keep everything below the boundary bucket,
-    // rank only inside it — (stratum, bucket) partitioning has no skew
+    // the sliver discipline (r19 verdict #2, q_domain_cap's shape): rows
+    // STRICTLY below the boundary bucket pass unconditionally — ranking
+    // them is wasted exchange (the old form shuffled O(kept) key rows per
+    // call; only ~1/4096 of them could ever consult their rank). So the
+    // window sees ONLY the boundary-bucket sliver; the passthrough half
+    // is map-only. Output is provably identical: the window partitions by
+    // (stratum, bucket), so restricting its input to one bucket per
+    // stratum cannot change any rank inside that bucket, and non-boundary
+    // rows never read __rk (BalanceSliverSpec pins sliver ≡ whole-window).
     val wEdge = Window.partitionBy(col(strataCol), col("__b"))
       .orderBy(col("__h"), col(keyCol))
     // null-safe equality: a NULL stratum is a stratum of its own (the
     // histogram and the windows already group it as one) — plain === would
     // silently drop every null-stratum row at this join
-    withB.join(broadcast(boundary), col(strataCol) <=> col("__s"))
-      .where(col("__b") <= col("__bb"))
+    val joined = withB.join(broadcast(boundary), col(strataCol) <=> col("__s"))
+    val keepCols = df.columns.map(col)
+    val below = joined.where(col("__b") < col("__bb")).select(keepCols: _*)
+    val sliver = joined.where(col("__b") === col("__bb"))
       .withColumn("__rk", row_number().over(wEdge))
-      .where(col("__b") < col("__bb") || col("__rk") <= col("__take"))
-      .drop("__h", "__b", "__s", "__bb", "__take", "__rk")
+      .where(col("__rk") <= col("__take"))
+      .select(keepCols: _*)
+    below.unionAll(sliver)
   }
 
   /** Deterministic sampled corpus view over `documents` — oracle-checked:

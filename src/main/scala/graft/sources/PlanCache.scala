@@ -65,18 +65,25 @@ object PlanCache {
   /** Diagnostic build counter (specs): builds, not hits. */
   private[graft] val buildLog = ConcurrentHashMap.newKeySet[String]()
 
+  /** Injective pair encoding: length-prefix both key and value so no
+    * value containing ';'/'=' can make two distinct conf states collide
+    * (escaping would work too; length prefixes are simpler to prove).
+    */
+  private def pair(k: String, v: String): String =
+    s"${k.length}:$k=${v.length}:$v"
+
   private def confSignature(spark: SparkSession): String = {
     val graft = spark.conf.getAll.iterator
       .filter { case (k, _) => k.startsWith("spark.graft.") }
-      .toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .toSeq.sortBy(_._1).map { case (k, v) => pair(k, v) }
     val sqlState = spark.sessionState.conf
     // build-time + analysis-time SQL confs the cached plan pins (see
     // scaladoc); full string, never a hash — collisions must be impossible
     (graft :+
-      s"bc=${sqlState.autoBroadcastJoinThreshold}" :+
-      s"tz=${sqlState.sessionLocalTimeZone}" :+
-      s"ansi=${sqlState.ansiEnabled}" :+
-      s"case=${sqlState.caseSensitiveAnalysis}").mkString(";")
+      pair("bc", sqlState.autoBroadcastJoinThreshold.toString) :+
+      pair("tz", sqlState.sessionLocalTimeZone) :+
+      pair("ansi", sqlState.ansiEnabled.toString) :+
+      pair("case", sqlState.caseSensitiveAnalysis.toString)).mkString(";")
   }
 
   def enabled(spark: SparkSession): Boolean =

@@ -903,6 +903,35 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("int8 hoist survives the optimizer: scale stays a materialized attribute") {
+    // r19 verdict #6 gate. int8Quantize hoists `scale` (an array_max fold)
+    // to its own projection BELOW the per-element lambda; if a future
+    // optimizer (CollapseProject or kin) ever inlines it back, the lambda
+    // re-evaluates the d-element fold PER ELEMENT — the O(d²) r18
+    // build-wall anomaly (158 s → 1.3 s at 200k). Plan-shape pin,
+    // window-immune: in the OPTIMIZED plan, the expression producing `qv`
+    // must reference scale as an attribute, never embed the array_max fold.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    // parquet-backed, not a local Seq: ConvertToLocalRelation would fold a
+    // LocalRelation fixture's projections away and leave nothing to pin
+    val dir = s"${Files.createTempDirectory("int8_hoist")}/vecs.parquet"
+    Seq((1L, Seq(1.0, -3.0, 2.0)), (2L, Seq(0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v").write.parquet(dir)
+    val fixture = spark.read.parquet(dir)
+    val opt = AnnIndex.int8Quantize(fixture).queryExecution.optimizedPlan
+    val qvExprs = opt.collect { case p: Project => p.projectList }
+      .flatten.filter(_.name == "qv").map(_.toString)
+    assert(qvExprs.nonEmpty, "optimized plan must still project qv")
+    assert(qvExprs.forall(e => !e.toLowerCase.contains("array_max")),
+      s"scale was re-inlined into the qv lambda (the O(d²) form): $qvExprs")
+    // and the fold must still exist somewhere below as the scale alias
+    val scaleExprs = opt.collect { case p: Project => p.projectList }
+      .flatten.filter(_.name == "scale").map(_.toString)
+    assert(scaleExprs.exists(_.toLowerCase.contains("array_max")),
+      "scale must stay the materialized array_max attribute")
+  }
+
   test("candidate pools refresh after a corpus mutation: a planted twin tops every pooled tier") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -99,6 +99,31 @@ class PlanCacheSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.spec.knob")
   }
 
+  test("conf signature is injective: a ';k=v' smuggled inside a value keys apart") {
+    // Under a naive `k=v` join with ';', state A {a -> "1;...b=2"} and
+    // state B {a -> "1", b -> "2"} render the SAME signature string —
+    // the r19 ADVICE hole. Length-prefixed pairs must keep them apart.
+    val dir = Files.createTempDirectory("plancache_inj").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "name").write.parquet(s"$dir/events.parquet")
+    def q() = PlanCache.cached(spark, "qpc_inj", dir) {
+      spark.read.parquet(s"$dir/events.parquet").select("id")
+    }
+    try {
+      spark.conf.set("spark.graft.spec.a", "1;spark.graft.spec.b=2")
+      q(); val afterSmuggled = builds("qpc_inj|")
+      spark.conf.unset("spark.graft.spec.a")
+      spark.conf.set("spark.graft.spec.a", "1")
+      spark.conf.set("spark.graft.spec.b", "2")
+      q()
+      assert(builds("qpc_inj|") == afterSmuggled + 1,
+        "a value embedding ';k=v' must not collide with the split conf state")
+    } finally {
+      spark.conf.unset("spark.graft.spec.a")
+      spark.conf.unset("spark.graft.spec.b")
+    }
+  }
+
   test("analysis-time SQL confs key the plan: a timezone flip rebuilds") {
     // Catalyst's ResolveTimeZone stamps spark.sql.session.timeZone into
     // the ANALYZED plan, which is exactly what this cache stores — a

@@ -43,6 +43,32 @@ class SamplingAggSpec extends SparkSpec {
     assert(got.sameElements(want), "histogram-driven selection must equal naive selection")
   }
 
+  test("balanceStrata sliver ≡ whole-window: fat boundary bucket, NULL stratum") {
+    // r19 verdict #2 pin: the ranked scan now sees ONLY the boundary
+    // bucket's sliver; this fixture makes that sliver nontrivial (30k rows
+    // over 4096 buckets ⇒ the boundary bucket holds several rows and
+    // __take truncates INSIDE it) and includes a NULL stratum (its own
+    // stratum per the null-safe join). Reference is the naive
+    // whole-stratum window — the semantics both the old whole-window and
+    // the sliver form must equal.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1L to 30000L)
+      .map(i => (if (i % 6 < 3) "a" else if (i % 6 < 5) "b" else null, i))
+      .toDF("lang", "doc_id") // strata sizes 15000 / 10000 / 5000 ⇒ floor 5000
+    val got = Sampling.balanceStrata(df, "lang", "doc_id")
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5000)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(got.length == 15000, s"3 strata × floor 5000, got ${got.length}")
+    assert(got.sameElements(want), "sliver selection must equal the naive window")
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val docs = Tables.documents(spark, sf)
     val sampled = Sampling.stratifiedSample(
