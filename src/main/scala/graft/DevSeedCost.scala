@@ -18,6 +18,8 @@ object DevSeedCost {
     val spark = GraftSession.create()
     args.find(_.startsWith("pivots=")).foreach(a =>
       spark.conf.set("spark.graft.ann.pivots", a.stripPrefix("pivots=")))
+    args.find(_.startsWith("l=")).foreach(a =>
+      spark.conf.set("spark.graft.ann.seedOversample", a.stripPrefix("l=")))
     val ver = AnnIndex.corpusVersion(spark, dir)
 
     def lap(mode: String, salt: Int): Double = {

@@ -202,9 +202,14 @@ object AnnIndex {
       spark: SparkSession, dir: String, version: String,
       cents: Seq[Array[Double]]): Seq[(Array[Double], Seq[Int])] = {
     val prefix = s"${spark.sparkContext.applicationId}|$dir|"
-    // cents.size in the key: a `spark.graft.ann.pivots` flip under the
-    // same corpus version regroups the OTHER codebook
-    val key = s"$prefix$version|k${cents.size}"
+    // cents.size AND the centroid digest in the key (r20, the assignTag
+    // finding's sibling): a `spark.graft.ann.pivots` flip regroups the
+    // other codebook, and a SAME-k retrain (seed-mode/oversample/iters
+    // flip) must regroup too — the k-only key served the first variant's
+    // super-pivot groups to every later same-k codebook of a session,
+    // distorting probes-mode cell rankings (caught by DevSeedLaw's
+    // cross-session disagreement on deterministic batch recall)
+    val key = s"$prefix$version|k${cents.size}|c${centsDigest(cents)}"
     val entry = pivotGroupCache.computeIfAbsent(
       key, _ => pivotGroupTick.incrementAndGet() -> pivotGroups(cents))
     // evict AFTER insertion, keeping the two newest entries under the dir
@@ -323,6 +328,47 @@ object AnnIndex {
     require(m == "plusplus" || m == "hash",
       s"spark.graft.ann.seed must be plusplus|hash, got $m")
     m
+  }
+
+  /** k-means‖ oversampling factor ℓ (Bahmani et al.'s second phase, which
+    * the r19 seeding skipped): [[seedPlusPlus]] draws ℓ·k D² candidates,
+    * weights them by one sample-assignment pass, and prunes to k with a
+    * deterministic weighted greedy k-means++ on the driver. ℓ=1 is the
+    * bare r19 draw (no prune). Why it exists: a bare D² draw is
+    * noise-seeking — at small d / high per-dim noise the largest D²
+    * points are cluster-edge OUTLIERS, and Lloyd then anchors a pivot on
+    * each (the r19 d16 regression, probes-mean 0.88 → 0.80 vs hash).
+    * Weighting kills exactly those candidates: an outlier attracts few
+    * sample points, so w·D² prunes it while well-supported spread-out
+    * candidates survive. Folded into the centroid-cache key.
+    *
+    * Default ℓ=3, measured (DevSeedRecall / DevSeedLaw, deterministic
+    * recalls): d16 probes 0.80 (ℓ=1) → 0.88, d64 0.92 → 0.94, and at the
+    * 200k law geometry batch recall 0.66 → 0.62 with the single-query
+    * card 0.7 → 0.8/0.7 — the r19 d16 regression closed at law parity.
+    * Cost (DevBuildCost, interleaved): full cold ivf build ratio
+    * ℓ3/ℓ1 = 1.01 at 200k (the sample-sized train is not the build's
+    * pole); train-only reads 1.73× vs hash (DevSeedCost — the draws +
+    * weighting are ~2ℓ sample passes against Lloyd's 4). The driver
+    * prune is O(ℓ·k²·d) flops (~2.6e10 at the 8192-pivot cap with
+    * d64 — seconds, against a minutes-scale train).
+    */
+  private[graft] def seedOversample(spark: SparkSession): Int = {
+    val l = spark.conf.get("spark.graft.ann.seedOversample", "3").toInt
+    require(l >= 1 && l <= 8,
+      s"spark.graft.ann.seedOversample must be in [1, 8], got $l")
+    l
+  }
+
+  /** Lloyd iteration count (conf-overridable; default [[KmeansIters]]).
+    * Folded into the centroid-cache key like every other trained-state
+    * knob. */
+  private[graft] def lloydIters(spark: SparkSession): Int = {
+    val it = spark.conf.get(
+      "spark.graft.ann.kmeansIters", KmeansIters.toString).toInt
+    require(it >= 1 && it <= 64,
+      s"spark.graft.ann.kmeansIters must be in [1, 64], got $it")
+    it
   }
 
   /** LSH geometry: `bands` bands (a pair collides if ANY band agrees) of
@@ -858,9 +904,11 @@ object AnnIndex {
     // serve this one (downstream store versions hash the centroids, so
     // they follow automatically)
     val kTarget = pivotCount(spark, corpusCount(spark, dir, version))
-    // seed mode is IN the key: a `spark.graft.ann.seed` flip must train
-    // the other codebook, not serve this one (the kTarget discipline)
-    val key = s"$dir|$version|k$kTarget|s${seedMode(spark)}"
+    // seed mode, oversample factor, and Lloyd iteration count are IN the
+    // key: a trained-state knob flip must train the other codebook, not
+    // serve this one (the kTarget discipline)
+    val key = s"$dir|$version|k$kTarget|s${seedMode(spark)}" +
+      s"|l${seedOversample(spark)}|i${lloydIters(spark)}"
     val entry = centroidCache.computeIfAbsent(key, _ => centroidTick.incrementAndGet() -> {
       val sample = kmeansSample(spark, dir, sampleSize(kTarget))
       var cents: Seq[Array[Double]] =
@@ -872,7 +920,7 @@ object AnnIndex {
           .limit(kTarget)
           .collect().map(_.getSeq[Double](1).toArray).toSeq
       val k = cents.size // corpus smaller than kTarget degrades gracefully
-      for (_ <- 1 to KmeansIters) {
+      for (_ <- 1 to lloydIters(spark)) {
         val means = assign(sample, codebookOf(spark, cents))
           .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cluster", "pos")
@@ -933,11 +981,16 @@ object AnnIndex {
     *    stops short and Lloyd degrades gracefully exactly as the hash
     *    seed did.
     * Driver traffic: m×d doubles per round (the drawn seeds) — never the
-    * sample. Distributed work: Σ rounds n·m·d = n·k·d, one extra
-    * flat-assignment-equivalent pass.
+    * sample. Distributed work: Σ rounds n·m·d = n·ℓ·k·d for the draws
+    * plus one n·ℓ·k·d weighting pass when ℓ > 1 ([[seedOversample]]) —
+    * ~2ℓ flat-assignment-equivalent passes over the SAMPLE, priced by
+    * DevSeedCost against the ≤1.5×-vs-hash build gate.
     */
   private[graft] def seedPlusPlus(
       spark: SparkSession, sample: DataFrame, k: Int): Seq[Array[Double]] = {
+    // oversample: draw ℓ·k candidates with the same machinery, then prune
+    // to k by sample-support weight (see [[seedOversample]] for why)
+    val target = k * seedOversample(spark)
     val first = sample
       .dropDuplicates("vec_id")
       .orderBy(xxhash64(col("vec_id"), lit(42)), col("vec_id"))
@@ -948,16 +1001,33 @@ object AnnIndex {
     // against whatever pivot set the row's joined `pvs` carries
     val mind2Expr =
       greatest(lit(0.0), lit(2.0) - lit(2.0) * expr("ivf_maxcos(v, pvs)"))
+    // LAZY persist, not an eager localCheckpoint: the next round's draw
+    // job materializes the state while computing the draw — one job per
+    // round instead of two (the r20 DevSeedCost decomposition: at the
+    // 20k card the seeding wall is ~pure job overhead, and the eager
+    // checkpoint doubled it). At most two generations stay persisted
+    // (parent until the child materializes — the r19 ADVICE discipline);
+    // lineage chains ≤ rounds cached layers instead of truncating, which
+    // only matters on executor loss.
     var state = sample.dropDuplicates("vec_id")
       .crossJoin(broadcast(codebookOf(spark, seeds.toSeq)))
       .withColumn("mind2", mind2Expr)
       .drop("pvs")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevState: DataFrame = null
+    // oversampled mode collapses the draw rounds (Bahmani: total draws
+    // ≈ ℓ·k in O(log n) rounds — the ADAPTIVITY a per-k draw needs 8
+    // rounds for is bought by the ℓ× sample width instead): each round
+    // is a job, and at ℓ=3 the 8-round schedule priced 1.99× vs hash on
+    // the 20k card — pure job overhead at small corpora, same total
+    // compute at scale either way
+    val rounds = if (target > k) math.max(4, SeedRounds / seedOversample(spark))
+      else SeedRounds
     var r = 0
     var dry = false
-    while (r < SeedRounds && seeds.size < k && !dry) {
+    while (r < rounds && seeds.size < target && !dry) {
       val m = math.max(1, math.ceil(
-        (k - seeds.size).toDouble / (SeedRounds - r)).toInt)
+        (target - seeds.size).toDouble / (rounds - r)).toInt)
       // u ∈ (0, 1] from the top 63 bits of xxhash64(vec_id, round-salt);
       // Efraimidis–Spirakis: P(i drawn) ∝ w_i under top-m of u^(1/w) —
       // ln(u)/w is the monotone, overflow-free form. NaN mind2 (zero
@@ -972,25 +1042,137 @@ object AnnIndex {
         .limit(m)
         .select("v")
         .collect().map(_.getSeq[Double](0).toArray).toSeq
+      // the draw's global sort just materialized every partition of
+      // `state` into the cache, so the PARENT's blocks are dead — release
+      // them now rather than letting up to `rounds` copies of the
+      // (sample × d) frame pile up (the r19 ADVICE)
+      if (prevState != null) { prevState.unpersist(false); prevState = null }
       if (drawn.isEmpty) dry = true
       else {
         seeds ++= drawn
-        val prev = state
+        prevState = state
         state = state
           .crossJoin(broadcast(codebookOf(spark, drawn)))
           .withColumn("mind2", least(col("mind2"), mind2Expr))
           .drop("pvs")
-          .localCheckpoint(true)
-        // the eager checkpoint above fully materialized the new state, so
-        // the superseded round's blocks are dead — release them now rather
-        // than letting up to SeedRounds copies of the (sample × d) frame
-        // pile up in executor storage until the ContextCleaner gets there
-        prev.unpersist(false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r += 1
       }
     }
-    state.unpersist(false) // last round's checkpoint — the draws are done
-    seeds.take(k).toSeq
+    if (prevState != null) prevState.unpersist(false)
+    state.unpersist(false) // the draws are done
+    if (seeds.size <= k) return seeds.take(k).toSeq
+    // the prune: weight every candidate by its sample support (one
+    // distributed assignment pass — the same argmax the Lloyd iterations
+    // run), then reduce ℓ·k → k driver-side. Driver work is O(ℓ·k²·d)
+    // primitive flops over the candidate matrix the driver already holds.
+    val cands = seeds.toSeq
+    val support = assign(sample, codebookOf(spark, cands))
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    pruneWeighted(cands, cands.indices.map(i => support.getOrElse(i, 0L)), k)
+  }
+
+  /** Deterministic weighted greedy k-means++ reduction of an oversampled
+    * candidate set to k seeds (the driver-side phase of Bahmani k-means‖;
+    * greedy argmax of w·D² instead of a random D² draw so the result is a
+    * pure function of the candidates — no RNG state, stable across runs):
+    * start from the heaviest candidate, then repeatedly take the candidate
+    * maximizing weight × distance² to the chosen set (distance² =
+    * 2·(1 − cos), the index's own metric). Outliers carry near-zero
+    * weight, so they lose to well-supported spread-out candidates — the
+    * exact failure the bare D² draw has at small d / high noise. Strict
+    * `>` comparisons make every tie resolve to the lowest candidate
+    * index. Stops short (Lloyd degrades gracefully) if all remaining
+    * scores are 0 — candidates coincident with the chosen set or with no
+    * sample support.
+    */
+  private[graft] def pruneWeighted(
+      cands: Seq[Array[Double]], w: Seq[Long], k: Int): Seq[Array[Double]] = {
+    val n = cands.size
+    if (n <= k) return cands
+    val arr = cands.toArray
+    var heaviest = 0
+    var i = 1
+    while (i < n) { if (w(i) > w(heaviest)) heaviest = i; i += 1 }
+    val chosen = new scala.collection.mutable.ArrayBuffer[Int](k)
+    chosen += heaviest
+    val mind2 = Array.tabulate(n) { j =>
+      math.max(0.0, 2.0 - 2.0 * cosRawArr(arr(j), arr(heaviest))) }
+    var dry = false
+    while (chosen.size < k && !dry) {
+      var bi = -1; var bs = 0.0
+      var j = 0
+      while (j < n) {
+        val s = w(j).toDouble * mind2(j)
+        if (s > bs) { bs = s; bi = j }
+        j += 1
+      }
+      if (bi < 0) dry = true
+      else {
+        chosen += bi
+        var j2 = 0
+        while (j2 < n) {
+          val d2 = math.max(0.0, 2.0 - 2.0 * cosRawArr(arr(j2), arr(bi)))
+          if (d2 < mind2(j2)) mind2(j2) = d2
+          j2 += 1
+        }
+      }
+    }
+    refineWeighted(arr, w, chosen.map(arr(_)).toSeq)
+  }
+
+  /** The weighted-Lloyd refinement k-means‖ prescribes after the
+    * reduction (Bahmani et al. §3.3 run k-means++ then Lloyd ON THE
+    * WEIGHTED CANDIDATE SET): [[PruneRefineRounds]] rounds of
+    * assign-candidates-to-nearest-seed / recompute weighted means, all
+    * driver-side over the ℓ·k candidate matrix. The greedy picks are
+    * DATA POINTS (basin corners at best); the refined seeds are weighted
+    * basin centers, which is what the distributed sample-Lloyd that
+    * follows converges from. Deterministic: the per-candidate argmax is
+    * an independent pure function (strict `>`, lowest seed index on
+    * ties — safe to compute in parallel), accumulation is sequential in
+    * candidate order, and an emptied seed keeps its previous vector.
+    */
+  val PruneRefineRounds = 4
+  private def refineWeighted(
+      arr: Array[Array[Double]], w: Seq[Long],
+      init: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val n = arr.length
+    if (init.isEmpty || n == 0) return init
+    val d = arr(0).length
+    var seeds = init.map(_.clone()).toArray
+    val assignTo = new Array[Int](n)
+    for (_ <- 1 to PruneRefineRounds) {
+      val snap = seeds
+      java.util.stream.IntStream.range(0, n).parallel().forEach { j =>
+        var bi = 0; var bs = -2.0
+        var s = 0
+        while (s < snap.length) {
+          val c = cosRawArr(arr(j), snap(s))
+          if (c > bs) { bs = c; bi = s }
+          s += 1
+        }
+        assignTo(j) = bi
+      }
+      val sums = Array.fill(snap.length)(new Array[Double](d))
+      val ws = new Array[Double](snap.length)
+      var j = 0
+      while (j < n) {
+        val wj = w(j).toDouble
+        if (wj > 0) {
+          val t = sums(assignTo(j)); val v = arr(j)
+          var p = 0
+          while (p < d) { t(p) += wj * v(p); p += 1 }
+          ws(assignTo(j)) += wj
+        }
+        j += 1
+      }
+      seeds = snap.indices.map { s =>
+        if (ws(s) > 0) sums(s).map(_ / ws(s)) else snap(s)
+      }.toArray
+    }
+    seeds.toSeq
   }
 
   private def codebookOf(spark: SparkSession, cents: Seq[Array[Double]]): DataFrame = {
@@ -1368,19 +1550,40 @@ object AnnIndex {
     * probe-width-dependent on non-clustered codebooks — the r13-ADVICE
     * bucketCap key-class, applied here).
     */
+  /** Memoized 3-byte digest of a codebook's centroid bytes, keyed by the
+    * cached Seq's identity (the centroid cache hands out one reference
+    * per trained codebook, so the SHA runs once per training, not per
+    * tag derivation).
+    */
+  private val centsDigestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, String]())
+  private def centsDigest(cents: Seq[Array[Double]]): String =
+    centsDigestCache.computeIfAbsent(cents, _ => {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      cents.foreach(_.foreach(x =>
+        md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
+      md.digest().take(3).map("%02x".format(_)).mkString
+    })
+
   def assignTag(spark: SparkSession, dir: String, version: String): String = {
-    val k = centroids(spark, dir, version).size
-    // k is part of the tag (r18): the `spark.graft.ann.pivots` override
-    // retrains the codebook, and every consumer keyed by the tag (cards,
-    // probe-conf artifact keys) must follow — the store versions follow
-    // via the centroid hash regardless, but a card keyed only by
-    // mode+probes would serve the other codebook's answer
-    if (k <= TwoLevelMinPivots) s"flat-k$k"
+    val cents = centroids(spark, dir, version)
+    val k = cents.size
+    // k AND the centroid bytes are part of the tag: any retrain of the
+    // codebook — a `spark.graft.ann.pivots` override, a seed-mode or
+    // oversample flip, different Lloyd iterations — must re-key every
+    // consumer keyed by the tag (cards, probe-conf artifact keys). The
+    // r20 DevSeedLaw sweep caught the k-only tag serving the FIRST
+    // variant's ann_recall card to every later same-k codebook of the
+    // session — the store versions followed the centroid hash, the card
+    // didn't.
+    val cb = centsDigest(cents)
+    if (k <= TwoLevelMinPivots) s"flat-k$k-c$cb"
     // exact mode equals the flat argmax by construction, so the two tags
     // share an identity on purpose: flipping between them must NOT
     // invalidate the index — the cells are provably identical
-    else if (assignMode(spark) == "probes") s"two${groupProbes(spark)}-k$k"
-    else s"flat-k$k"
+    else if (assignMode(spark) == "probes") s"two${groupProbes(spark)}-k$k-c$cb"
+    else s"flat-k$k-c$cb"
   }
 
   /** Read schema for the inverted file. `cluster` is declared INT (its

@@ -1011,31 +1011,23 @@ object TextAnalysis {
 
   /** The (passage-hash, source, doc_id, n_occ) table behind
     * [[boilerplate]] — one row per distinct (50-token shingle, doc)
-    * pair, one corpus scan per (session, corpus version). The shingles
-    * are NON-overlapping full windows (tail fragments dropped), so the
-    * artifact is ≤ corpus_tokens/50 key-only rows (hash + ids + a
-    * count, no text) — the same "band table" shape as the MinHash
-    * index, and the standard scale for exact passage-level dedup.
+    * pair. The shingles are NON-overlapping full windows (tail fragments
+    * dropped), so the table is ≤ corpus_tokens/50 key-only rows (hash +
+    * ids + a count, no text) — the same "band table" shape as the
+    * MinHash index, and the standard scale for exact passage-level
+    * dedup. Since r20 this is the INCREMENTAL on-disk store
+    * ([[PassageStore]]): an appended corpus shingles only the new files
+    * (O(drop)), a non-append mutation rebuilds, and the session no
+    * longer pins a corpus-shingle-sized frame in executor storage at
+    * all — the cards below aggregate from the disk rows once per
+    * corpus version.
     */
   private def passageCounts(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, "passage_counts", dir) {
-      val toks = words(col("text"))
-      val starts = sequence(lit(0), size(col("toks")) - 50, lit(50))
-      Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("source"), toks.as("toks"))
-        .where(size(col("toks")) >= 50)
-        .select(col("doc_id"), col("source"),
-          explode(transform(starts, s => struct(
-            md5(concat_ws(" ", slice(col("toks"), s + 1, lit(50)))).as("h"),
-            // bounded human-readable evidence for [[topPassages]] — 8
-            // tokens, not the passage (the artifact stays key-only-sized)
-            concat_ws(" ", slice(col("toks"), s + 1, lit(8))).as("preview"))))
-            .as("sh"))
-        .select(col("doc_id"), col("source"),
-          col("sh.h").as("h"), col("sh.preview").as("preview"))
-        .groupBy("h", "source", "doc_id")
-        .agg(count(lit(1)).as("n_occ"), min("preview").as("preview"))
-    }
+    passageCounts(spark, dir, SessionCache.dirFingerprint(spark, dir))
+
+  private def passageCounts(
+      spark: SparkSession, dir: String, dfp: String): DataFrame =
+    PassageStore.rows(spark, dir, dfp)
 
   /** Per-source boilerplate card — what fraction of each source's text
     * is a passage that also appears verbatim in ANOTHER document
@@ -1066,7 +1058,7 @@ object TextAnalysis {
     // Unsorted in the artifact; the presentation sort is per-call.
     val dfp = SessionCache.dirFingerprint(spark, dir)
     SessionCache.cached(spark, "boilerplate_card", dir, dfp) {
-      val pc = passageCounts(spark, dir)
+      val pc = passageCounts(spark, dir, dfp)
       val docsPerPassage = pc.groupBy("h")
         .agg(count(lit(1)).as("n_docs"))
       pc.join(docsPerPassage, Seq("h"))
@@ -1100,7 +1092,7 @@ object TextAnalysis {
     // per-call hash-agg runs over the corpus-shingle-sized passage table
     val dfp = SessionCache.dirFingerprint(spark, dir)
     SessionCache.cached(spark, "passage_top20", dir, dfp) {
-      passageCounts(spark, dir)
+      passageCounts(spark, dir, dfp)
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), sum("n_occ").as("n_occ"),
           min("preview").as("preview"))

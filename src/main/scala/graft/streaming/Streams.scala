@@ -446,6 +446,42 @@ object Streams {
       dedupBandIngest(docs), path, checkpointDir, Seq("band_id"),
       maintainEvery)
 
+  /** Streaming passage ingestion — the admit path of the incremental
+    * passage store ([[graft.operators.PassageStore]]): each arriving
+    * document is windowed into 50-token shingle rows with the EXACT
+    * transform the batch store build and its incremental deltas use
+    * ([[graft.operators.PassageStore.passageRows]] — a doc arrives whole
+    * in one row, so its per-(h, doc) counts are complete within the
+    * micro-batch that carries it), so streamed docs land bit-identical
+    * to a batch rebuild's rows (StreamingSpec pins the parity).
+    */
+  def passageIngest(docs: DataFrame): DataFrame =
+    graft.operators.PassageStore.passageRows(docs)
+
+  /** Parquet sink for [[passageIngest]]: flat append (the store prunes
+    * nothing by partition — consumers aggregate the whole key-only
+    * table; a per-hash layout would be a directory-per-row explosion,
+    * the dedupBandIngestSink argument). The shingle transform runs
+    * INSIDE foreachBatch on the static micro-batch: its per-(h, doc)
+    * count is an aggregation, which a streaming plan in append mode
+    * would reject (and would be WRONG to run with cross-batch state —
+    * a doc's counts are complete within the one batch that carries it).
+    */
+  def passageIngestSink(
+      docs: DataFrame, path: String, checkpointDir: String,
+      maintainEvery: Int = 0) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val appended = graft.sources.Layout.appendPartitionedIdempotent(
+          passageIngest(batch), batchId, path,
+          s"$checkpointDir/graft_batch_ledger", Nil)
+        if (appended && maintainEvery > 0 && batchId % maintainEvery == 0)
+          graft.sources.Layout.compactPartitions(batch.sparkSession, path)
+        ()
+      }
+
   /** Streaming training-shard ingestion — the incremental path of the
     * [[graft.operators.Sampling.writeTrainingShards]] layout: each
     * arriving doc gets its shard MAP-SIDE from the same pure md5 key

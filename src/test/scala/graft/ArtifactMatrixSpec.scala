@@ -94,8 +94,6 @@ class ArtifactMatrixSpec extends SparkSpec {
       Seq(Pin("eval_gram_set_13", "q_decontaminate", "documents", expectChange = false)),
     "bigram_counts" ->
       Seq(Pin("bigram_counts", "q_ngram_counts", "documents")),
-    "passage_counts" ->
-      Seq(Pin("passage_counts", "q_boilerplate", "documents", expectChange = false)),
     "boilerplate_card" ->
       Seq(Pin("boilerplate_card", "q_boilerplate", "documents")),
     "passage_top20" ->

@@ -529,6 +529,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming passage ingest matches the batch store transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def toks(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${(i * 7 + seed * 13) % 97}x$seed").mkString(" ")
+    val shared = (0 until 50).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (11L, "sa", s"$shared ${toks(1, 70)}"),
+      (12L, "sb", s"$shared ${toks(2, 70)}"),
+      (13L, "sb", toks(3, 130)),
+      (14L, "sa", "short doc under fifty tokens"))
+    val mem = MemoryStream[(Long, String, String)]
+    val out = java.nio.file.Files.createTempDirectory("psg_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("psg_ckpt").toString
+    val q = Streams.passageIngestSink(
+      mem.toDF().toDF("doc_id", "source", "text"), out, ckpt).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*) // later batch appends into the store
+      q.processAllAvailable()
+      val streamed = spark.read
+        .schema(graft.operators.PassageStore.RowsSchema).parquet(out)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      val batch = graft.operators.PassageStore.passageRows(
+          docs.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(streamed == batch,
+        "streamed docs must shingle exactly as the batch store build")
+      // the shared 50-token passage is one hash across both its docs —
+      // what the boilerplate card aggregates on
+      assert(streamed.groupBy(_._1).exists(_._2.map(_._3).toSet == Set(11L, 12L)))
+      // the sub-50-token doc contributes nothing (full windows only)
+      assert(!streamed.exists(_._3 == 14L))
+    } finally q.stop()
+  }
+
   test("streaming dedup-band ingest matches the batch banding transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
