@@ -2082,6 +2082,15 @@ object AnnIndex {
   }
   private val poolCache = new ConcurrentHashMap[String, PoolMemo]()
 
+  /** Test seam: the live pool keys (spec pins that conf knobs a pool's
+    * compute depends on — nprobe, re-rank depth — are folded into its
+    * tag; the r20 cap-sweep found the ivfpq pools nprobe-less).
+    */
+  private[graft] def pooledKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    poolCache.keySet.asScala.toSet
+  }
+
   /** Memoized candidate pool for one tier × conf × corpus version.
     * `tag` names the tier AND every conf knob that changes the pool
     * (re-rank depth, assignment geometry, query-set size — the r13

@@ -492,10 +492,14 @@ object Similarity {
     val ver = AnnIndex.corpusVersion(spark, dir)
     val q = Seq(Tuple1(
       AnnIndex.queryVector(spark, dir, 0L, ver).toSeq)).toDF("qv0")
-    // pool key folds the assignment geometry (probed cells move with it)
-    // and the re-rank depth — the r13 ADVICE cap-key discipline
+    // pool key folds the assignment geometry (probed cells move with it),
+    // the re-rank depth, AND nprobe — the r20 cap-sweep caught the
+    // nprobe-less key serving the law-nprobe pool to every override
+    // (card frozen at 0.2 across the whole sweep)
     val ids = AnnIndex.candidatePool(spark, dir,
-      s"ivfpq_${AnnIndex.assignTag(spark, dir, ver)}_r${PqIndex.rerank(spark)}",
+      s"ivfpq_${AnnIndex.assignTag(spark, dir, ver)}" +
+        s"_r${PqIndex.rerank(spark)}_np${AnnIndex.probeCount(spark,
+          AnnIndex.centroids(spark, dir, ver).size)}",
       ver) {
       ivfPqCandidates(spark, dir, ver)
         .select("vec_id").collect().map(r => (0L, r.getLong(0))).toSeq
@@ -531,7 +535,9 @@ object Similarity {
     val qvs = AnnIndex.queryVectors(spark, dir, qids, ver)
     val cand = AnnIndex.candidatePool(spark, dir,
       s"ivfpqb_${AnnIndex.assignTag(spark, dir, ver)}" +
-        s"_r${PqIndex.rerank(spark)}_k$BatchQueries", ver) {
+        s"_r${PqIndex.rerank(spark)}_k$BatchQueries" +
+        s"_np${AnnIndex.probeCount(spark,
+          AnnIndex.centroids(spark, dir, ver).size)}", ver) {
       ivfPqBatchCandidates(spark, dir, ver, qvs)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
@@ -1065,9 +1071,19 @@ object Similarity {
     * rand_rows, with R = `spark.graft.ann.randomCostFactor` (default
     * 10 — memory-resident store; ~100 SSD parquet, ~1000 object store
     * — the access-pattern asymmetry the envelope table documents).
-    * `chosen` marks the cheapest tier per n. The card prices IO ONLY:
-    * recall is its sibling `q_ann_recall`'s measured job, and exact
-    * is the one tier whose recall is 1 by construction.
+    * `chosen` marks the cheapest tier per n AMONG THE ELIGIBLE: when
+    * this session has already measured the `q_ann_recall` card (a
+    * SessionCache PEEK — the advisor itself never triggers the five
+    * store builds the card needs), tiers whose MEASURED recall@10 sits
+    * below `spark.graft.ann.advisorRecallFloor` (default 0.5) are
+    * priced but not choosable, and the card's values ride along in a
+    * `recall` column (null = unmeasured this session; `exact` is 1 by
+    * construction). The r20 2M width-cap decade is why: past the
+    * 8192-pivot cap, IVF's cost stays the table's cheapest while its
+    * measured recall collapses (0.44 at law nprobe, and the sweep
+    * shows ~12% of the corpus must be probed to buy 0.72) — a cost-only
+    * `chosen` would steer a deployment into the one tier the
+    * measurement disqualifies.
     *
     * Scale: pure driver math over the cached corpus count, the cached
     * query dimension, and the published law functions
@@ -1081,6 +1097,17 @@ object Similarity {
     val n0 = AnnIndex.corpusCount(spark, dir, ver)
     val d = AnnIndex.queryVector(spark, dir, 0L, ver).length
     val r = spark.conf.get("spark.graft.ann.randomCostFactor", "10").toDouble
+    val floor = spark.conf.get("spark.graft.ann.advisorRecallFloor", "0.5").toDouble
+    // ≤ 1 keeps `exact` (recall 1 by construction) always eligible, so
+    // the per-n best over eligible tiers can never be empty
+    require(floor >= 0.0 && floor <= 1.0,
+      s"spark.graft.ann.advisorRecallFloor must be in [0, 1], got $floor")
+    val measured: Map[String, Double] =
+      SessionCache.peekPrefix(spark, "ann_recall_", dir, ver)
+        .map(_.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+        .getOrElse(Map.empty)
+    def recallOf(t: String): Option[Double] =
+      if (t == "exact") Some(1.0) else measured.get(t)
     val rawRow = 8.0 + 4.0 * d // vec_id + f32 payload
     def tiers(n: Long): Seq[(String, Double, Double, Double)] = {
       val lshCand = AnnIndex.lshProbeCandidates(n)
@@ -1097,13 +1124,16 @@ object Similarity {
       mult <- Seq(1L, 10L, 100L, 1000L, 10000L)
       n = n0 * mult
       scored = tiers(n).map { case (t, pr, sb, rr) =>
-        (t, pr, sb, rr, sb / rawRow + r * rr) }
-      best = scored.map(_._5).min
-      (t, pr, sb, rr, c) <- scored
+        // an unmeasured tier stays eligible (cost-only, the pre-r20
+        // behavior); a measured one must clear the recall floor
+        (t, pr, sb, rr, sb / rawRow + r * rr,
+          recallOf(t).forall(_ >= floor)) }
+      best = scored.collect { case (_, _, _, _, c, true) => c }.min
+      (t, pr, sb, rr, c, ok) <- scored
     } yield (n, t, math.round(pr), math.round(sb / 1024.0),
-      math.round(rr), math.round(c), c == best)
+      math.round(rr), math.round(c), recallOf(t), ok && c == best)
     rows.toDF("n", "tier", "probe_rows", "seq_kb", "rand_rows",
-        "cost_rows", "chosen")
+        "cost_rows", "recall", "chosen")
       .transform(Present.cardSort(_, col("n"), col("cost_rows"), col("tier")))
   }
 

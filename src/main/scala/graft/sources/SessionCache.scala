@@ -69,6 +69,26 @@ object SessionCache {
       (build: => DataFrame): DataFrame =
     cached(spark, artifact, dir, dirFingerprint(spark, dir))(build)
 
+  /** Non-building probe: a cached artifact whose name starts with
+    * `artifactPrefix` under this (session, dir, fingerprint), if the
+    * session has ALREADY built one — else None, and nothing is built.
+    * For consumers that reconcile with a measurement that happens to
+    * exist (r20: tierAdvisor × the ann_recall card — the advisor must
+    * never trigger the five store builds the card's own build needs).
+    * Deterministic under multiple matches (max key).
+    */
+  def peekPrefix(spark: SparkSession, artifactPrefix: String,
+                 dir: String, fp: String): Option[DataFrame] = {
+    val sessionKey =
+      s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
+    val suffix = s"|$dir|$fp"
+    import scala.jdk.CollectionConverters._
+    cache.entrySet().asScala
+      .filter(e => e.getKey._1 == sessionKey &&
+        e.getKey._2.startsWith(artifactPrefix) && e.getKey._2.endsWith(suffix))
+      .toSeq.sortBy(_.getKey._2).lastOption.map(_.getValue.get)
+  }
+
   /** As [[cached]] with the corpus fingerprint precomputed by the caller —
     * the same resolve-once-and-thread discipline as AnnIndex's
     * corpusVersion: a fingerprint is ONE metadata listing on an unmanaged

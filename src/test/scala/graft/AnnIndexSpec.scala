@@ -727,6 +727,23 @@ class AnnIndexSpec extends SparkSpec {
       "same-k group cache served the other codebook's super-pivots")
   }
 
+  test("ivfpq candidate pools fold nprobe: an override computes a fresh pool") {
+    // r20 cap-sweep finding: the nprobe-less pool tag served the
+    // law-nprobe candidates to every override — the recall card sat
+    // frozen at its law value across the entire sweep
+    import graft.operators.Similarity
+    Similarity.simAnnIvfPq(spark, sf).collect()
+    val before = AnnIndex.pooledKeys.filter(_.contains("|ivfpq_"))
+    assert(before.nonEmpty, "law-nprobe pool must exist")
+    spark.conf.set("spark.graft.ann.nprobe", "7")
+    try {
+      Similarity.simAnnIvfPq(spark, sf).collect()
+      val after = AnnIndex.pooledKeys.filter(_.contains("|ivfpq_"))
+      assert(after.exists(k => !before.contains(k) && k.contains("_np7")),
+        s"nprobe override must key a fresh ivfpq pool, keys: $after")
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
+  }
+
   test("pruneWeighted: zero-support outliers lose, spread wins, coincident dry-stops") {
     // d=2 unit vectors. The far outlier (−1,0) has the LARGEST D² to
     // every other candidate but zero sample support — the bare D² draw's

@@ -541,6 +541,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tierAdvisor reconciles with the MEASURED recall card (r20 width-cap lesson)") {
+    // Once the session has measured q_ann_recall, the advisor must stop
+    // recommending a tier whose measured recall sits under the floor —
+    // at the 2M width-cap decade IVF stays the cost table's cheapest
+    // while its measured recall collapses to 0.44. The card is a PEEK:
+    // the advisor never builds the stores itself.
+    Similarity.annRecall(spark, sf).collect() // measure (cheap at sf)
+    val card = Similarity.tierAdvisor(spark, sf).collect()
+    val withRecall = card.filter(!_.isNullAt(card.head.fieldIndex("recall")))
+    assert(withRecall.nonEmpty, "measured session must surface recall values")
+    // floor = 1.0: only tiers measuring a perfect card (plus exact, 1.0
+    // by construction) may be chosen
+    spark.conf.set("spark.graft.ann.advisorRecallFloor", "1.0")
+    try {
+      val strict = Similarity.tierAdvisor(spark, sf).collect()
+      val chosen = strict.filter(_.getAs[Boolean]("chosen"))
+      assert(chosen.length == 5, "one chosen per projected n")
+      chosen.foreach { r =>
+        val rec = r.getAs[java.lang.Double]("recall")
+        assert(rec != null && rec >= 1.0,
+          s"chosen tier ${r.getAs[String]("tier")} below the floor: $rec")
+      }
+    } finally spark.conf.unset("spark.graft.ann.advisorRecallFloor")
+  }
+
   test("dupInflation: histogram reconciles with dedupExact; surplus exact on an injected corpus") {
     import graft.sources.Tables
     val hist = Dedup.dupInflation(spark, sf).collect()
