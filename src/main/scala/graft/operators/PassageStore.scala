@@ -104,8 +104,15 @@ object PassageStore {
     */
   def rows(spark: SparkSession, dir: String, fp: String): DataFrame = {
     val fam = ensure(spark, dir, fp)
+    val famPath = new Path(fam)
+    val fs = famPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit delta paths, not a `delta_*` glob: same file set (every
+    // listed delta is rename-committed), but the source resolution's
+    // streaming-metadata probe stats the FIRST path literally and logs a
+    // noisy FileNotFoundException WARN for a glob string
+    val deltaRows = listDeltas(fs, famPath).map(d => s"$d/rows")
     Tables.spread(
-      spark.read.schema(RowsSchema).parquet(s"$fam/delta_*/rows"))
+      spark.read.schema(RowsSchema).parquet(deltaRows: _*))
   }
 
   def ensure(spark: SparkSession, dir: String, fp: String): String = {
