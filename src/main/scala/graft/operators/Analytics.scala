@@ -25,14 +25,35 @@ object Analytics {
     * test and the id-set shuffle is already minimal.
     */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val clicks = ev.where(col("event_type") === "click").select("user_id")
-    val buys = ev.where(col("event_type") === "purchase").select("user_id")
-    def counted(df: DataFrame, label: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users")).withColumn("cohort", lit(label))
-    counted(clicks.intersect(buys), "both")
-      .unionByName(counted(clicks.except(buys), "click_only"))
-      .unionByName(counted(buys.except(clicks), "purchase_only"))
+    // Single-scan flag form (r21 optimization; guide §2.3/§2.4): the
+    // intersect/except triple compiled to TWELVE scans of the fact table
+    // and nine exchanges (each branch = 2 distinct aggregates + a
+    // semi/anti join). The three cohorts are a pure function of the
+    // per-user (has_click, has_buy) flag pair, so ONE scan + ONE user_id
+    // exchange computes all of them: intersect ≡ both flags set, except ≡
+    // exactly one. Equivalence incl. NULL edges: intersect/except compare
+    // null-safe and DISTINCT — groupBy(user_id) groups NULL user_ids the
+    // same way and collapses duplicates before counting; the final
+    // no-group aggregate emits one row per cohort even when a cohort is
+    // EMPTY, matching the old per-branch `agg(count)` (a groupBy(cohort)
+    // form would silently drop empty cohorts). Oracle-hash-identical
+    // (AllQueriesSpec + driver CORRECTNESS re-check).
+    // Scale: events is read once, not six times; the only corpus-sized
+    // shuffle carries (user_id, two int flags) partials with map-side
+    // combine — vs three distinct exchanges + three joins before.
+    val flags = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("has_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_buy"))
+    flags
+      .agg(
+        count(when(col("has_click") === 1 && col("has_buy") === 1, 1)).as("both"),
+        count(when(col("has_click") === 1 && col("has_buy") === 0, 1)).as("click_only"),
+        count(when(col("has_click") === 0 && col("has_buy") === 1, 1)).as("purchase_only"))
+      .select(expr("stack(3, 'both', both, 'click_only', click_only, " +
+        "'purchase_only', purchase_only) AS (cohort, n_users)"))
       .select("cohort", "n_users")
       .transform(Present.cardSort(_, col("cohort")))
   }
@@ -150,15 +171,27 @@ object Analytics {
     * the outer join touches entity-sized inputs, never raw events; money
     * sums ride DECIMAL for order-insensitivity.
     */
-  def fullOuterAlign(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    def side(t: String, out: String) = ev.where(col("event_type") === t)
+  def fullOuterAlign(spark: SparkSession, dir: String): DataFrame =
+    // Single-scan conditional-aggregate form (r21 optimization; guide
+    // §2.3/§2.4): the two-sided aggregate + FULL OUTER join scanned events
+    // twice and paid two aggregate exchanges plus the join. A full outer
+    // of two aggregates over the SAME table keyed the same way is exactly
+    // one conditional aggregate: a user appears iff it has a click or a
+    // view row (the filter), and `sum(when(...))` over zero matching rows
+    // is NULL — precisely the missing-side NULL the outer join produced.
+    // DECIMAL money routing unchanged, so every total is bit-identical.
+    // Oracle-hash-identical (driver CORRECTNESS re-check).
+    // Scale: one fact scan instead of two; one (user_id, two DECIMAL
+    // partials) exchange instead of two aggregate exchanges + a join.
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "view"))
       .groupBy("user_id")
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as(out))
-    side("click", "click_total")
-      .join(side("view", "view_total"), Seq("user_id"), "full_outer")
+      .agg(
+        sum(when(col("event_type") === "click",
+          col("value").cast("decimal(18,2)"))).cast("double").as("click_total"),
+        sum(when(col("event_type") === "view",
+          col("value").cast("decimal(18,2)"))).cast("double").as("view_total"))
       .orderBy("user_id")
-  }
 
   /** §2.2/§4 — correlated EXISTS subquery, expressed in SQL and left to
     * Catalyst's `RewriteSubquery`/decorrelation: orders having at least one

@@ -1550,10 +1550,17 @@ object AnnIndex {
     * probe-width-dependent on non-clustered codebooks — the r13-ADVICE
     * bucketCap key-class, applied here).
     */
-  /** Memoized 3-byte digest of a codebook's centroid bytes, keyed by the
+  /** Memoized 8-byte digest of a codebook's centroid bytes, keyed by the
     * cached Seq's identity (the centroid cache hands out one reference
     * per trained codebook, so the SHA runs once per training, not per
-    * tag derivation).
+    * tag derivation). 8 bytes, not fewer: the digest keys assignTag-derived
+    * SessionCache artifacts, candidate pools, and the pivot-group cache, and
+    * the repo's discipline is that cache-key collisions must be impossible
+    * in practice (the PlanCache full-string signature, Dedup's md5→sha2
+    * move) — a 24-bit truncation gave two same-k codebooks a ~1/16M
+    * same-session collision that would silently serve the other codebook's
+    * card; 64 bits puts that past any session's codebook count, and the tag
+    * is an in-memory key name, so the longer hex suffix costs nothing.
     */
   private val centsDigestCache =
     java.util.Collections.synchronizedMap(
@@ -1563,11 +1570,26 @@ object AnnIndex {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       cents.foreach(_.foreach(x =>
         md.update(java.nio.ByteBuffer.allocate(8).putDouble(x).array())))
-      md.digest().take(3).map("%02x".format(_)).mkString
+      md.digest().take(8).map("%02x".format(_)).mkString
     })
 
-  def assignTag(spark: SparkSession, dir: String, version: String): String = {
-    val cents = centroids(spark, dir, version)
+  /** Non-building [[assignTag]] probe: the tag for the CURRENT conf iff its
+    * codebook is already trained in this JVM, else None. For consumers that
+    * reconcile with artifacts that happen to exist (tierAdvisor × the
+    * ann_recall card) and must never trigger a k-means build themselves.
+    */
+  def peekAssignTag(
+      spark: SparkSession, dir: String, version: String): Option[String] = {
+    val kTarget = pivotCount(spark, corpusCount(spark, dir, version))
+    val key = s"$dir|$version|k$kTarget|s${seedMode(spark)}" +
+      s"|l${seedOversample(spark)}|i${lloydIters(spark)}"
+    Option(centroidCache.get(key)).map(e => tagOf(spark, e._2))
+  }
+
+  def assignTag(spark: SparkSession, dir: String, version: String): String =
+    tagOf(spark, centroids(spark, dir, version))
+
+  private def tagOf(spark: SparkSession, cents: Seq[Array[Double]]): String = {
     val k = cents.size
     // k AND the centroid bytes are part of the tag: any retrain of the
     // codebook — a `spark.graft.ann.pivots` override, a seed-mode or

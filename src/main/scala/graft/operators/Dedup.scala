@@ -1172,10 +1172,15 @@ object Dedup {
     // copy). Identical texts have identical shingle sets, so each
     // (batch content, match content) pair is scored once against
     // representatives and the score joins back to the 16 B id pairs.
+    // sha2-256, not md5 (r20 verdict #2, completing the minhashPairsOf
+    // migration): this key ASSERTS content identity for the admit/reject
+    // verdict an adversarial daily drop actually hits — chosen-prefix md5
+    // collisions are practical to plant; no published sha-256 collision
+    // exists. Same one-line swap as Dedup.scala:240.
     val batchKeys = batchDocs.select(col("doc_id"),
-      coalesce(md5(col("text")), lit("∅")).as("ck"))
+      coalesce(sha2(col("text"), 256), lit("∅")).as("ck"))
     val matchKeys = corpusDocs.select(col("doc_id").as("match_id"),
-      coalesce(md5(col("text")), lit("∅")).as("ck_c"))
+      coalesce(sha2(col("text"), 256), lit("∅")).as("ck_c"))
     val candK = cand.join(batchKeys, Seq("doc_id")).join(matchKeys, Seq("match_id"))
     val shB = batchSh
       .join(batchKeys.groupBy("ck").agg(min("doc_id").as("doc_id")), Seq("doc_id"))
@@ -1191,7 +1196,7 @@ object Dedup {
           .select(col("match_id").as("doc_id"))),
         Seq("doc_id"))
       .repartition(par)
-      .select(coalesce(md5(col("text")), lit("∅")).as("ck_c"),
+      .select(coalesce(sha2(col("text"), 256), lit("∅")).as("ck_c"),
         expr("ngram_hashes(text, 3, 'word')").as("sh_c"))
     val verifiedC = candK.select("ck", "ck_c").distinct()
       .join(shB, Seq("ck"))

@@ -161,16 +161,28 @@ object PassageStore {
     def writeDelta(seq: Int, files: Seq[(String, Long, Long)]): Unit = {
       val staging = new Path(famPath,
         s".staging_${UUID.randomUUID().toString.take(8)}")
-      val docs = spark.read.parquet(files.map(_._1): _*)
+      // explicit schema on the delta read: a cold ensure over a corpus
+      // whose documents.parquet holds no data files must produce an EMPTY
+      // store, not an AnalysisException from zero-path schema inference
+      val docs = spark.read
+        .schema("doc_id BIGINT, source STRING, text STRING")
+        .parquet(files.map(_._1): _*)
         .select(col("doc_id"), col("source"), col("text"))
       passageRows(Tables.spread(docs))
         .write.options(Layout.CommitterV2).parquet(s"$staging/rows")
       files.toDF("path", "bytes", "mtime")
         .coalesce(1)
         .write.options(Layout.CommitterV2).parquet(s"$staging/covered")
-      val target = new Path(famPath,
-        f"delta_$seq%03d_${UUID.randomUUID().toString.take(4)}")
-      require(fs.rename(staging, target), s"delta commit lost a race: $target")
+      // FIXED rename target (no nonce), mirroring AnnIndex.ensureBuilt: two
+      // processes ensuring the same append race to one name, the loser's
+      // rename FAILS and it adopts the winner's delta — a nonce-suffixed
+      // target would let both commit and the union read double-count n_occ
+      val target = new Path(famPath, f"delta_$seq%03d")
+      if (!fs.rename(staging, target)) {
+        require(fs.exists(target),
+          s"delta commit failed with no winner present: $target")
+        fs.delete(staging, true) // adopt the winner, drop our staging copy
+      }
     }
 
     val deltas = listDeltas(fs, famPath)
@@ -183,7 +195,11 @@ object PassageStore {
       val currentSet = current.toSet
       if (covered.exists(!currentSet.contains(_))) {
         // a covered file vanished or changed: delete/compaction/rewrite —
-        // the append contract is broken, rebuild from scratch
+        // the append contract is broken, rebuild from scratch. NOTE: this
+        // delete can yank deltas out from under a reader that resolved its
+        // path list concurrently — acceptable only because a rewrite means
+        // the corpus VERSION changed, so such a reader holds a superseded
+        // fp and its ensure would re-run on the next call anyway.
         fs.delete(famPath, true)
         writeDelta(0, current)
       } else {

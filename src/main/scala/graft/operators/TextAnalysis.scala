@@ -181,8 +181,13 @@ object TextAnalysis {
     // frame would pin O(corpus rows) of executor storage for the session
     // lifetime, so the gate falls back to inline scoring per query —
     // identical answers, no pinned state (spec-pinned both modes).
+    // compactBy doc_id (r21): the map-only scoring build inherits the
+    // scan-spread's defaultParallelism partitions, and every steady probe
+    // of the checkpoint paid one task floor per block (~200 ms/probe at
+    // sf0.1 vs ~40 ms for the aggregate-built lm_scores). The AQE-sized
+    // compaction exchange runs once per corpus version inside the build.
     val scored = SessionCache.cachedBounded(spark, "langid_scored", dir, dfp,
-      Tables.cachedCount(spark, dir, "documents", dfp)) {
+      Tables.cachedCount(spark, dir, "documents", dfp), Seq("doc_id")) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           expr("ngram_hashes(text, 2, 'char_counts')").as("bgs"))
@@ -966,8 +971,12 @@ object TextAnalysis {
     // O(corpus rows) of pinned storage — past the ceiling, score inline.
     // One fingerprint resolution shared by gate count + artifact key.
     val dfp = SessionCache.dirFingerprint(spark, dir)
+    // compactBy doc_id (r21): same steady-probe task-floor argument as
+    // langid_scored — the verdict build is map-only, so its checkpoint
+    // otherwise pins defaultParallelism blocks that every consumer
+    // (corpusFilter, sourceQuality, domainCap family) re-pays per probe.
     SessionCache.cachedBounded(spark, "filter_verdicts", dir, dfp,
-      Tables.cachedCount(spark, dir, "documents", dfp)) {
+      Tables.cachedCount(spark, dir, "documents", dfp), Seq("doc_id")) {
       filterVerdicts(Tables.spread(Tables.documents(spark, dir)),
         passthrough = Seq("source"))
     }

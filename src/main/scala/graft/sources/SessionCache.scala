@@ -77,6 +77,21 @@ object SessionCache {
     * never trigger the five store builds the card's own build needs).
     * Deterministic under multiple matches (max key).
     */
+  /** Non-building EXACT-key probe: the cached artifact named `artifact`
+    * under this (session, dir, fingerprint) if already built, else None.
+    * For consumers that know the current conf's key (r21 ADVICE:
+    * tierAdvisor must prefer the card measured under the CURRENT geometry
+    * over peekPrefix's lexicographic-max pick when both exist — after an
+    * nprobe/seed A/B the session can hold several ann_recall_* cards and
+    * "np16" sorts above "np4").
+    */
+  def peek(spark: SparkSession, artifact: String,
+           dir: String, fp: String): Option[DataFrame] = {
+    val sessionKey =
+      s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}"
+    Option(cache.get((sessionKey, s"$artifact|$dir|$fp"))).map(_.get)
+  }
+
   def peekPrefix(spark: SparkSession, artifactPrefix: String,
                  dir: String, fp: String): Option[DataFrame] = {
     val sessionKey =
@@ -167,6 +182,26 @@ object SessionCache {
   def cachedBounded(
       spark: SparkSession, artifact: String, dir: String, fp: String,
       rows: => Long)(
+      build: => DataFrame): DataFrame =
+    cachedBounded(spark, artifact, dir, fp, rows, Nil)(build)
+
+  /** As [[cachedBounded]] with an artifact-compaction key (r21): a MAP-ONLY
+    * build inherits its scan-spread partitioning (defaultParallelism
+    * splits), so the checkpoint pins that many blocks and every steady
+    * probe pays that many task floors — measured 32 blocks × ~6 ms ≈
+    * 200 ms/probe on the sf0.1 langid card vs ~40 ms over the 1-block
+    * lm_scores artifact (whose build ends in an AQE-coalesced aggregate).
+    * A `repartition(compactBy)` WITHOUT an explicit partition count lets
+    * AQE size the exchange from the artifact's bytes (advisory 64 MB —
+    * 1 block at local SFs, thousands at 100 TB), so the fix is
+    * scale-adaptive, not a local constant. Applied ONLY on the cached
+    * path: the once-per-version build pays one skinny exchange; the
+    * past-ceiling inline path keeps the pre-r21 plan (an extra exchange
+    * per query is exactly what that regime avoids).
+    */
+  def cachedBounded(
+      spark: SparkSession, artifact: String, dir: String, fp: String,
+      rows: => Long, compactBy: Seq[String])(
       build: => DataFrame): DataFrame = {
     val max = spark.conf.get(
       "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
@@ -181,7 +216,10 @@ object SessionCache {
       cache.keySet.removeIf(k =>
         k._1 == sessionKey && k._2.startsWith(s"$artifact|$dir|"))
       build
-    } else cached(spark, artifact, dir, fp)(build)
+    } else cached(spark, artifact, dir, fp) {
+      if (compactBy.isEmpty) build
+      else build.repartition(compactBy.map(org.apache.spark.sql.functions.col): _*)
+    }
   }
 
   /** As [[cachedBounded]] for artifacts whose checkpoint is ALSO a
