@@ -659,10 +659,25 @@ object TextAnalysis {
     * n, and spread can never diverge between the card and the removal.
     */
   private def corpusContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    contaminationCountsAgainst(
-      Tables.spread(docs.where(col("doc_id") % EvalSliceMod =!= 0)),
-      evalGramSet(spark, dir), 13)
+    // Session artifact (r21): the steady state used to RE-SHINGLE the
+    // whole train side's 13-grams per probe (~180 ms/call at sf0.1 —
+    // map-side but corpus-proportional compute at any scale). The
+    // contamination frame is a pure function of the corpus version,
+    // contaminated-doc-sized (one slim (doc_id, count) row per HIT), and
+    // feeds two consumers (the top-20 card + the contaminatedIds drop
+    // set) — exactly the lm_scores shape, with the same size gate: past
+    // the artifact ceiling it scores inline per query (a deployment at
+    // that scale persists the contamination table next to its
+    // fingerprints). Cache probe FIRST, docs frame resolved inside the
+    // block (the dedupEmbed mutation discipline).
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    SessionCache.cachedBounded(spark, "contamination_13", dir, dfp,
+      Tables.cachedCount(spark, dir, "documents", dfp)) {
+      val docs = Tables.documents(spark, dir)
+      contaminationCountsAgainst(
+        Tables.spread(docs.where(col("doc_id") % EvalSliceMod =!= 0)),
+        evalGramSet(spark, dir), 13)
+    }
   }
 
   /** The FULL contamination frame behind [[decontaminateAgainst]]'s top-20

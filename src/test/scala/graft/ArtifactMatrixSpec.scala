@@ -92,6 +92,8 @@ class ArtifactMatrixSpec extends SparkSpec {
       Seq(Pin("source_sketches", "q_dedup_source_overlap", "documents")),
     "eval_gram_set_13" ->
       Seq(Pin("eval_gram_set_13", "q_decontaminate", "documents", expectChange = false)),
+    "contamination_13" ->
+      Seq(Pin("contamination_13", "q_decontaminate", "documents", expectChange = false)),
     "bigram_counts" ->
       Seq(Pin("bigram_counts", "q_ngram_counts", "documents")),
     "boilerplate_card" ->

@@ -591,6 +591,7 @@ class PlanSpec extends SparkSpec {
     val cachedAnswers = Seq(
       "textLangId" -> TextAnalysis.textLangId(spark, sf),
       "lmQuality" -> TextAnalysis.lmQuality(spark, sf),
+      "decontaminate" -> TextAnalysis.decontaminate(spark, sf),
       "corpusFilter" -> TextAnalysis.corpusFilter(spark, sf),
       "packSequences" -> graft.operators.Sampling.packSequences(spark, sf),
       "dedupSimhash" -> graft.operators.Dedup.dedupSimhash(spark, sf),
@@ -606,6 +607,7 @@ class PlanSpec extends SparkSpec {
       Seq(
         "textLangId" -> (() => TextAnalysis.textLangId(spark, sf)),
         "lmQuality" -> (() => TextAnalysis.lmQuality(spark, sf)),
+        "decontaminate" -> (() => TextAnalysis.decontaminate(spark, sf)),
         "corpusFilter" -> (() => TextAnalysis.corpusFilter(spark, sf)),
         "packSequences" -> (() => graft.operators.Sampling.packSequences(spark, sf))
       ).foreach { case (name, mk) =>
