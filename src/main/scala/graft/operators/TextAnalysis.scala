@@ -358,14 +358,18 @@ object TextAnalysis {
     * itself (id + lang + two numbers, no text) is orders of magnitude
     * under the corpus — exactly what [[SessionCache]] is for.
     */
-  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
+  private def lmScored(spark: SparkSession, dir: String): DataFrame =
+    lmScored(spark, dir, SessionCache.dirFingerprint(spark, dir))
+
+  /** As above with the fingerprint precomputed by the caller (the
+    * resolve-once-and-thread discipline — lmBucketed shares one
+    * resolution between this artifact and the tercile card).
+    */
+  private def lmScored(spark: SparkSession, dir: String, dfp: String): DataFrame =
     // size-gated like langid_scored: the score frame is O(corpus rows),
     // so past the artifact ceiling it scores inline instead of pinning.
-    // One fingerprint resolution shared by gate count + artifact key.
-    val dfp = SessionCache.dirFingerprint(spark, dir)
     SessionCache.cachedBounded(spark, "lm_scores", dir, dfp,
       Tables.cachedCount(spark, dir, "documents", dfp))(lmScoredBuild(spark, dir))
-  }
 
   /** The uncached builder behind [[lmScored]] (PlanSpec pins ITS shape —
     * the cached consumers read a checkpoint leaf).
@@ -443,12 +447,21 @@ object TextAnalysis {
     * session score artifact joins broadcast tercile boundaries map-side.
     */
   private[graft] def lmBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val scored = lmScored(spark, dir) // session artifact, read twice below
-    val bounds = scored.groupBy("lang")
-      .agg(percentile(col("avg_logp"),
-        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
-      .select(col("lang"), col("qs").getItem(0).as("q1"),
-        col("qs").getItem(1).as("q2"))
+    val dfp = SessionCache.dirFingerprint(spark, dir)
+    val scored = lmScored(spark, dir, dfp) // session artifact, read twice below
+    // tercile boundaries are a CARD (≤1 row per lang, a pure function of
+    // the corpus version) — the length_bins_bounds discipline (r21): the
+    // exact percentile aggregate over the corpus-row-sized score frame ran
+    // per probe (0.43 s steady at the 500k decade); as an artifact the
+    // steady probe pays the bucket rollup alone. Same dfp as the score
+    // frame, so mutation supersedes both together.
+    val bounds = SessionCache.cached(spark, "lm_terciles", dir, dfp) {
+      scored.groupBy("lang")
+        .agg(percentile(col("avg_logp"),
+          array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+        .select(col("lang"), col("qs").getItem(0).as("q1"),
+          col("qs").getItem(1).as("q2"))
+    }
     scored.join(broadcast(bounds), Seq("lang"))
       .withColumn("bucket",
         when(col("avg_logp") <= col("q1"), "tail")

@@ -82,6 +82,8 @@ class ArtifactMatrixSpec extends SparkSpec {
       Seq(Pin("langid_scored", "q_text_langid", "documents")),
     "lm_scores" ->
       Seq(Pin("lm_scores", "q_lm_quality", "documents")),
+    "lm_terciles" ->
+      Seq(Pin("lm_terciles", "q_lm_filter", "documents")),
     "filter_verdicts" ->
       Seq(Pin("filter_verdicts", "q_corpus_filter", "documents")),
     "tfidf_stats" ->
