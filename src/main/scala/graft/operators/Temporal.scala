@@ -29,19 +29,23 @@ object Temporal {
     * window state is O(1) per row (running last), never a buffered group.
     */
   def asofAlign(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val clicks = ev.where(col("event_type") === "click")
+    // One-scan tagged form (r21 optimization; guide §2.4): the two-branch
+    // self-union planned TWO scans of the fact table — but the tag is just
+    // `event_type = 'view'`, so one scan with an In-pushed filter produces
+    // the identical tagged row set (union order is irrelevant: the window
+    // re-sorts per user, and the final orderBy is a total order). At
+    // 100 TB this halves the fact reads of every as-of alignment.
+    val tagged = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        lit(false).as("is_view"), col("value").as("view_value"))
-    val views = ev.where(col("event_type") === "view")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        lit(true).as("is_view"), col("value").as("view_value"))
+        (col("event_type") === "view").as("is_view"),
+        col("value").as("view_value"))
 
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), desc("is_view"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    clicks.unionByName(views)
+    tagged
       .withColumn("last_view_value",
         last(when(col("is_view"), col("view_value")), ignoreNulls = true).over(w))
       .where(!col("is_view"))
