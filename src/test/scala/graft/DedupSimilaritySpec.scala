@@ -566,6 +566,37 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.advisorRecallFloor")
   }
 
+  test("tierAdvisor prefers the CURRENT conf's recall card over the lexicographic-max pick (r21 ADVICE)") {
+    import graft.operators.AnnIndex
+    // Measure the card under TWO nprobe geometries in one session, then
+    // ask the advisor under each conf in turn: it must surface the card
+    // measured under the CURRENT conf — peekPrefix's lexicographic max
+    // would pin whichever key string sorts last (e.g. "np16" < "np4"),
+    // applying a superseded geometry's floor after an A/B.
+    def ivfRecall(rows: Array[org.apache.spark.sql.Row]): java.lang.Double =
+      rows.find(r => r.getAs[String]("tier") == "ivf" &&
+          r.getAs[Long]("n") == rows.map(_.getAs[Long]("n")).min)
+        .map(_.getAs[java.lang.Double]("recall")).orNull
+    def cardIvf(): Double =
+      Similarity.annRecall(spark, sf).collect()
+        .find(_.getAs[String]("method") == "ivf").get.getAs[Double]("recall_at_10")
+    val lawIvf = cardIvf() // card under the law nprobe
+    try {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      val narrowIvf = cardIvf() // second card, same session, np1 key
+      assert(narrowIvf != lawIvf,
+        s"fixture must discriminate the two geometries (law=$lawIvf np1=$narrowIvf) " +
+          "or this pin is vacuous — widen the gap (different nprobe) if this fires")
+      val advNarrow = ivfRecall(Similarity.tierAdvisor(spark, sf).collect())
+      assert(advNarrow != null && advNarrow.doubleValue() == narrowIvf,
+        s"advisor under np1 must read the np1 card ($narrowIvf), got $advNarrow")
+      spark.conf.unset("spark.graft.ann.nprobe")
+      val advLaw = ivfRecall(Similarity.tierAdvisor(spark, sf).collect())
+      assert(advLaw != null && advLaw.doubleValue() == lawIvf,
+        s"advisor back under the law conf must read the law card ($lawIvf), got $advLaw")
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
+  }
+
   test("dupInflation: histogram reconciles with dedupExact; surplus exact on an injected corpus") {
     import graft.sources.Tables
     val hist = Dedup.dupInflation(spark, sf).collect()

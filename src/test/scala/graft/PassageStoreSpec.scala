@@ -81,6 +81,39 @@ class PassageStoreSpec extends SparkSpec {
     }
   }
 
+  test("delta names are deterministic (delta_NNN, no nonce) — the rename-race guard's contract") {
+    // r21 ADVICE: a nonce-suffixed rename target let two racing ensures
+    // BOTH commit a delta covering the same corpus files, double-counting
+    // n_occ in the union read. With the fixed name the loser's rename
+    // fails and it adopts the winner — which requires the target name to
+    // be a pure function of the delta sequence. Pin exactly that.
+    withStoreRoot { root =>
+      val dir = Files.createTempDirectory("psg_name").toString
+      writeDocs(dir, baseDocs)
+      storeRows(dir) // cold ensure
+      writeDocs(dir, dropDocs, mode = "append")
+      storeRows(dir) // append ensure
+      assert(deltasOf(root, dir) == Seq("delta_000", "delta_001"),
+        s"delta names must be nonce-free and sequential: ${deltasOf(root, dir)}")
+    }
+  }
+
+  test("cold ensure over an empty documents table yields an EMPTY store, not a throw") {
+    // r21 ADVICE: the cold/rebuild path passed a zero-path file list to a
+    // schema-less parquet read, which threw AnalysisException from schema
+    // inference; the declared-schema read must produce an empty store.
+    withStoreRoot { root =>
+      val dir = Files.createTempDirectory("psg_empty").toString
+      // documents.parquet exists but holds no data files (fresh table dir)
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      assert(storeRows(dir).isEmpty, "empty corpus must ensure to an empty store")
+      val fam = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("passages_")).head
+      assert(fam.listFiles().exists(_.getName.startsWith("_fp_")),
+        "the version marker must still land on an empty ensure")
+    }
+  }
+
   test("append adds ONE delta holding only the new files' docs (O(drop))") {
     withStoreRoot { root =>
       val dir = Files.createTempDirectory("psg_app").toString
