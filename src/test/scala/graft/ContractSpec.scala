@@ -46,6 +46,28 @@ class ContractSpec extends SparkSpec {
       s"queries entries missing from SURVEY.md: $undocumented")
   }
 
+  test("the SURVEY §2.12 'why no oracle' table covers EXACTLY the rows-only set") {
+    // r20 verdict #3: q_sim_ann_pq was the one rows-only query with no
+    // justification-table row, and the registry↔§2 sync above could not
+    // see it. Parse the table (rows of `| \`q_...\` | class | ... |`
+    // between its header and the next non-table line) and pin two-way
+    // equality against the no-oracle set (queries minus oracleSql keys).
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("SURVEY.md")).toArray(Array.empty[String])
+    val header = lines.indexWhere(
+      _.trim.startsWith("| query | class | what DuckDB lacks"))
+    assert(header >= 0, "SURVEY §2.12 justification-table header not found")
+    val justified = lines.drop(header + 2)
+      .takeWhile(_.trim.startsWith("|"))
+      .flatMap(l => "`(q_[a-z0-9_]+)`".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly -- justified == Set.empty,
+      s"rows-only queries missing a justification row: ${(rowsOnly -- justified).toSeq.sorted}")
+    assert(justified -- rowsOnly == Set.empty,
+      s"justification rows for queries that ARE oracle-checked (or unknown): ${(justified -- rowsOnly).toSeq.sorted}")
+  }
+
   test("entry returns >0 rows at sf0.001 (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
