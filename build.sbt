@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW instead of re-logging each
+// line with an "[info] " prefix: the driver parses Bench's machine-readable
+// JSON lines out of a ~2 KB stdout tail, and 12 rounds of BENCH artifacts
+// carry parsed:null — the prefix (and the tail clipping the headline's
+// front) are the two candidate causes, and this removes the first while
+// costing nothing (r21 verdict, next-round item 1).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

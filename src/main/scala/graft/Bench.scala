@@ -1,6 +1,43 @@
 package graft
 import scala.collection.immutable.ListMap
 object Bench {
+  // ---- final machine line (r21 verdict, next-round item 1) ----
+  // The driver keeps only a ~2 KB tail of stdout and needs ONE complete
+  // parseable JSON line in it. The full 107-query headline is ~2.7 KB —
+  // its query names ALONE are ~1.9 KB — so it can never fit whole inside
+  // the tail no matter the print order; 12 consecutive BENCH artifacts
+  // carry parsed:null because the tail clips the headline's front.
+  // The LAST line is therefore a COMPLETE JSON object bounded to
+  // `budgetBytes`: every headline scalar (value/n_errors/sf), a bounded
+  // error sample, and the SLOWEST queries that fit the byte budget (the
+  // perf-relevant set — everything omitted is floor-bound small fry).
+  // The full map still prints on the contract headline line above and is
+  // written whole to bench_full.json for any file-reading consumer.
+  // Scalars sit at the END of the line so that even a clipped front
+  // leaves them parseable by a tail-anchored reader.
+  private[graft] def compactLine(
+      mins: Seq[(String, Double)],
+      errors: Seq[(String, String)],
+      sf: String,
+      budgetBytes: Int = 1250): String = {
+    def num(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val errSample = errors.take(3).map { case (k, m) =>
+      s"${Verify.q(k)}:${Verify.q(m.take(60))}"
+    }.mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
+    val suffix = s""","queries_total":${mins.size},"errors":$errSample,""" +
+      s""""sf":${Verify.q(sf)},"value":${num(total)},"n_errors":${errors.size}}"""
+    val prefix = s"""{"metric":"total","unit":"sec","queries":{"""
+    var used = prefix.length + suffix.length + """"queries_in_line":000,""".length
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    // slowest first: the omitted tail is the floor-bound cheap queries
+    mins.sortBy(-_._2).foreach { case (k, v) =>
+      val cell = s"${Verify.q(k)}:${num(v)}"
+      if (used + cell.length + 1 <= budgetBytes) { kept += cell; used += cell.length + 1 }
+    }
+    prefix + kept.mkString(",") + s"""},"queries_in_line":${kept.size}""" + suffix
+  }
+
   // machine-load snapshot around the run: the driver's bench and the
   // builder's quiet bench have disagreed ~2× across rounds, and without a
   // load record in the artifact a regression cannot be told apart from a
@@ -187,9 +224,10 @@ object Bench {
     // before it is gone — r12 printed load/concurrent before the headline
     // and both were truncated out of BENCH_r12.json, leaving that round's
     // only >2% regression unadjudicable. Order now: long laps detail first
-    // (sacrificial), then the headline (its trailing value/n_errors/errors
-    // scalars sit ~300 B from EOF and survive), then the two ~100-250 B
-    // load/concurrent detail lines LAST so they always survive the tail.
+    // (sacrificial), then the full headline (its trailing value/n_errors
+    // scalars survive for a hand-parse), then load/concurrent detail, and
+    // the byte-bounded COMPLETE machine line LAST (compactLine above) —
+    // the only line guaranteed to sit whole inside the tail.
     println(s"""{"detail":"laps","lap_totals":$lapTotals,"laps":$lapsJson}""")
     // headline scalars AFTER the 100-entry query map: the tail keeps the
     // END of this line — r9's tail cut metric/value/n_errors off the front
@@ -197,12 +235,25 @@ object Bench {
     // map): in a many-failure run the per-query error messages could
     // otherwise push the two scalars out of the 2 KB window too.
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total,"n_errors":${errors.size}}""")
-    println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"waited_s":${num("%.1f", waitedS)},"quiet_threshold":${num("%.2f", quietThreshold)},"cpus":${Runtime.getRuntime.availableProcessors()}}""")
+    // "cpus" is the session's EFFECTIVE parallelism (local[N] from
+    // $SPARK_GRAFT_CPUS — defaultParallelism == N in local mode), not the
+    // host's core count: BENCH_r21_c8.json printed cpus:32 under CPUS=8,
+    // which made the scaling artifact self-contradictory (r21 verdict
+    // item 2). The host count stays as cpus_host.
+    println(s"""{"detail":"load","loadavg_before":$load0,"loadavg_after":$load1,"steal_jiffies_delta":$stealDelta,"waited_s":${num("%.1f", waitedS)},"quiet_threshold":${num("%.2f", quietThreshold)},"cpus":${spark.sparkContext.defaultParallelism},"cpus_host":${Runtime.getRuntime.availableProcessors()}}""")
     // wall = MIN of the three; walls/steals arrays let a reader pair each
     // lap with its own steal window (the line stays well under the tail)
     val concWalls = concLaps.map(l => num("%.3f", l._1)).mkString("[", ",", "]")
     val concSteals = concLaps.map(_._2).mkString("[", ",", "]")
     println(s"""{"detail":"concurrent","pool":$concPool,"wall":${num("%.3f", concWall)},"walls":$concWalls,"steals":$concSteals,"sequential_total":${num("%.3f", total)},"overlap_x":${num("%.2f", total / math.max(concWall, 1e-9))},"loadavg_after":$concLoad,"n_errors":${concErrors.get},"completed":$concDone}""")
+    // sidecar with the COMPLETE headline (full per-query map, no byte
+    // bound) for any consumer that reads files rather than the 2 KB tail
+    val fullLine = s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total,"n_errors":${errors.size}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // LAST stdout line: complete, byte-bounded, parseable (see compactLine)
+    println(compactLine(mins, errors, sfDir))
     spark.stop()
   }
 }
