@@ -517,8 +517,17 @@ object Dedup {
     // through the BARRIER-preserving gate: past the ceiling the frame
     // still materializes per query (the pushdown barrier above is load-
     // bearing), it just stops pinning session storage
+    // compactBy(doc_id) — r22 A/B (DevR22Compact, min-of-7 interleaved,
+    // sf0.1): the r21 claim that this artifact's consumers "do real
+    // per-row compute and want the parallel blocks" measured FALSE at
+    // bench scale — the steady probe reads 33→2 tasks (75→53 ms) AND the
+    // heavy banding consumer (simhashPairsOf) runs 1.171→0.566 s
+    // (105→12 tasks): the per-task floors dominate the per-row banding
+    // work. Scale-adaptive: AQE sizes the compacted checkpoint into
+    // byte-proportional blocks at 100 TB, so the parallel compute
+    // returns exactly when the data justifies it.
     SessionCache.cachedBoundedBarrier(spark, "simhash_fps", dir, fp,
-      Tables.cachedCount(spark, dir, "documents", fp)) {
+      Tables.cachedCount(spark, dir, "documents", fp), Seq("doc_id")) {
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), expr("simhash64(text)").as("fp"))
     }
@@ -691,7 +700,13 @@ object Dedup {
     // serve-many session pays once per corpus version like the minhash
     // and simhash pair sets; the cap folds into the key
     SessionCache.cached(spark, s"ngram_pairs_c$cap", dir, dfp) {
-      ngramPairsOf(spark, Tables.spread(Tables.documents(spark, dir)), cap)
+      // compacted on the full pair key — r22 A/B (DevR22Compact): the
+      // TakeOrdered steady probe fell 71→44 ms (33→1 tasks); the single
+      // pair key would be elided against the build's existing output
+      // partitioning (see SessionCache.compacted)
+      SessionCache.compacted(
+        ngramPairsOf(spark, Tables.spread(Tables.documents(spark, dir)), cap),
+        Seq("doc_a", "doc_b"))
     }
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
@@ -972,7 +987,11 @@ object Dedup {
     // corpus also triggers cached()'s Tables.invalidate(dir) — one
     // redundant catalog re-listing, no correctness impact.
     SessionCache.cached(spark, "embed_pairs", dir, s"$dfp/c$effectiveCap") {
-      embedPairsBuild(spark, dir, dfp, effectiveCap)
+      // compacted on the full pair key — r22 A/B (DevR22Compact): steady
+      // probe 89→57 ms (33→1 tasks); repartition(id_a) alone is a no-op
+      // against the build's id_a-partitioned join output (DevR22CompactWhy)
+      SessionCache.compacted(
+        embedPairsBuild(spark, dir, dfp, effectiveCap), Seq("id_a", "id_b"))
     }
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(20)

@@ -216,11 +216,27 @@ object SessionCache {
       cache.keySet.removeIf(k =>
         k._1 == sessionKey && k._2.startsWith(s"$artifact|$dir|"))
       build
-    } else cached(spark, artifact, dir, fp) {
-      if (compactBy.isEmpty) build
-      else build.repartition(compactBy.map(org.apache.spark.sql.functions.col): _*)
-    }
+    } else cached(spark, artifact, dir, fp)(compacted(build, compactBy))
   }
+
+  /** The r21/r22 artifact-compaction exchange, centralized: a
+    * `repartition(cols)` with NO explicit count, sized by AQE from the
+    * artifact's bytes (1 block at local SFs, thousands at 100 TB).
+    * Two measured preconditions (r22):
+    *   - AQE must be ON — with it off the count-free repartition falls
+    *     back to spark.sql.shuffle.partitions (200 on a stock session),
+    *     making the checkpoint WORSE than the splits it replaces, so the
+    *     compaction is skipped entirely in that regime (r21 ADVICE #3);
+    *   - the key must NOT equal the build's existing output partitioning —
+    *     the optimizer elides a repartition its child already satisfies
+    *     (measured on the embed pair build: repartition(id_a) over the
+    *     id_a-partitioned join output was a no-op; the full pair key
+    *     forces a fresh sizable exchange — DevR22CompactWhy).
+    */
+  private[graft] def compacted(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty ||
+      !df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").toBoolean) df
+    else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
 
   /** As [[cachedBounded]] for artifacts whose checkpoint is ALSO a
     * pushdown/recompute BARRIER the consumers' plan shape depends on
@@ -237,6 +253,17 @@ object SessionCache {
   def cachedBoundedBarrier(
       spark: SparkSession, artifact: String, dir: String, fp: String,
       rows: => Long)(
+      build: => DataFrame): DataFrame =
+    cachedBoundedBarrier(spark, artifact, dir, fp, rows, Nil)(build)
+
+  /** As [[cachedBoundedBarrier]] with the [[compacted]] artifact key —
+    * applied ONLY on the cached path, exactly like [[cachedBounded]]'s
+    * compactBy: the past-ceiling regime materializes per query, where an
+    * extra exchange per query is what that regime exists to avoid.
+    */
+  def cachedBoundedBarrier(
+      spark: SparkSession, artifact: String, dir: String, fp: String,
+      rows: => Long, compactBy: Seq[String])(
       build: => DataFrame): DataFrame = {
     val max = spark.conf.get(
       "spark.graft.artifact.maxRows", DefaultArtifactMaxRows.toString).toLong
@@ -249,7 +276,7 @@ object SessionCache {
       cache.keySet.removeIf(k =>
         k._1 == sessionKey && k._2.startsWith(s"$artifact|$dir|"))
       build.localCheckpoint(true)
-    } else cached(spark, artifact, dir, fp)(build)
+    } else cached(spark, artifact, dir, fp)(compacted(build, compactBy))
   }
 
   /** Drop every cached artifact derived from `dir` (all sessions): write

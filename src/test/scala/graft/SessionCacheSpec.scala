@@ -159,4 +159,34 @@ class SessionCacheSpec extends SparkSpec {
       "superseded version must have been evicted, not served")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("compacted: AQE-sized artifact exchange; no-op with AQE off (r22, ADVICE #3)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sc-compact").toString
+    val par = spark.sparkContext.defaultParallelism
+    // a map-only build inheriting a wide spread — the shape whose
+    // checkpoint pins `par` blocks without compaction
+    def build() = spark.range(0, 1000, 1, par).select(
+      $"id".as("k"), ($"id" * 2).as("v"))
+    val fp = "v1"
+    val plain = SessionCache.cached(spark, "sc_cmp_plain", dir, fp)(build())
+    assert(plain.rdd.getNumPartitions == par,
+      s"uncompacted checkpoint must keep the $par input splits")
+    val compact = SessionCache.cached(spark, "sc_cmp_keyed", dir, fp)(
+      SessionCache.compacted(build(), Seq("k")))
+    assert(compact.rdd.getNumPartitions < par,
+      s"AQE must size the compacted exchange below $par at fixture bytes, " +
+        s"got ${compact.rdd.getNumPartitions}")
+    // identical rows either way — compaction is layout-only
+    assert(compact.exceptAll(plain).isEmpty && plain.exceptAll(compact).isEmpty)
+    // with AQE off the count-free repartition would fall back to
+    // spark.sql.shuffle.partitions — compacted() must decline instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val declined = SessionCache.compacted(build(), Seq("k"))
+      assert(!declined.queryExecution.logical.toString.contains("RepartitionByExpression"),
+        "AQE off must return the build unchanged (no repartition node)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
