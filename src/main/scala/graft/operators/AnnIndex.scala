@@ -1704,7 +1704,17 @@ object AnnIndex {
           // partial (no marker) right before the swap
           if (!fs.exists(marker)) {
             if (fs.exists(p)) fs.delete(p, true) // crashed partial build
-            renamed = fs.rename(staging, p)      // false = lost the race
+            renamed = fs.rename(staging, p)
+            // a lost race does NOT surface as rename==false on a
+            // POSIX-mv FS (LocalFileSystem renames src INTO an existing
+            // dst and returns true — DevR22RenameProbe): if the winner
+            // re-created `p` between the delete above and our rename, our
+            // staging is now NESTED inside the winner's committed index,
+            // polluting its directory listings. Detect and drop it.
+            if (renamed) {
+              val nested = new Path(p, staging.getName)
+              if (fs.exists(nested)) { fs.delete(nested, true); renamed = false }
+            }
           }
         } finally {
           if (!renamed && fs.exists(staging)) fs.delete(staging, true)

@@ -54,6 +54,13 @@ object PassageStore {
   val RowsSchema = "h STRING, source STRING, doc_id BIGINT, n_occ BIGINT, preview STRING"
   private val CoveredSchema = "path STRING, bytes BIGINT, mtime BIGINT"
 
+  /** Test seam: invoked with the delta seq just before the commit rename,
+    * so PassageStoreSpec can plant a RACING WINNER between the staging
+    * write and the rename (the divergent-coverage race is a timing window
+    * a spec cannot hit otherwise — the CompactionSpec crash-hook pattern).
+    */
+  private[graft] var testBeforeDeltaCommit: Int => Unit = _ => ()
+
   /** Ensure-once guard per (family, corpus version) per JVM. */
   private val ensured = new ConcurrentHashMap[String, String]()
 
@@ -177,11 +184,37 @@ object PassageStore {
       // processes ensuring the same append race to one name, the loser's
       // rename FAILS and it adopts the winner's delta — a nonce-suffixed
       // target would let both commit and the union read double-count n_occ
+      testBeforeDeltaCommit(seq)
       val target = new Path(famPath, f"delta_$seq%03d")
-      if (!fs.rename(staging, target)) {
+      // Lost-race detection CANNOT rely on rename()==false: Hadoop's
+      // LocalFileSystem (and any POSIX-mv-semantics FS) renames src INTO
+      // an existing directory and returns TRUE, nesting our staging under
+      // the winner's delta where the union read never sees it (measured —
+      // DevR22RenameProbe; the r21 adopt-the-winner guard was therefore
+      // unreachable on local FS). A loss is: rename returned false, OR our
+      // staging dir now sits nested inside the target.
+      val renamed = fs.rename(staging, target)
+      val nested = new Path(target, staging.getName)
+      if (!renamed || fs.exists(nested)) {
         require(fs.exists(target),
           s"delta commit failed with no winner present: $target")
-        fs.delete(staging, true) // adopt the winner, drop our staging copy
+        // adopt the winner, drop our copy (nested under it, or still staged)
+        fs.delete(if (renamed) nested else staging, true)
+        // r22 (ADVICE #1): the winner listed the corpus at ITS OWN time.
+        // If a second append landed between the racers' listings (or a
+        // cold ensure raced a rebuild), the winner's delta covers a
+        // DIFFERENT file set — blindly adopting it would let the marker
+        // write below permanently serve a store missing our uncovered
+        // docs (the marker short-circuits every future coverage check for
+        // this version). Diff our intent against the winner's covered
+        // frame and commit any residue as the next delta; a further lost
+        // race re-enters this same check one seq higher.
+        val winnerCovered = spark.read.schema(CoveredSchema)
+          .parquet(s"$target/covered")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val residual = files.filterNot(winnerCovered.contains)
+        if (residual.nonEmpty) writeDelta(seq + 1, residual)
       }
     }
 

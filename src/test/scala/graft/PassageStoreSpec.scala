@@ -98,6 +98,44 @@ class PassageStoreSpec extends SparkSpec {
     }
   }
 
+  test("a lost delta commit with DIVERGENT winner coverage commits the residual (r22 ADVICE #1)") {
+    // The r21 adopt-the-winner fix assumed both racers listed the same
+    // corpus. If an append lands between the two listings, the winner's
+    // delta covers a DIFFERENT (smaller) file set — blind adoption then
+    // writes the version marker over a store missing the uncovered docs,
+    // permanently (the marker short-circuits every later coverage check).
+    // The loser must diff the winner's covered frame and commit the
+    // residue as the next delta.
+    withStoreRoot { root =>
+      val dir = Files.createTempDirectory("psg_race").toString
+      writeDocs(dir, baseDocs)
+      storeRows(dir) // cold ensure -> a delta_000 covering ONLY the base files
+      val fam = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("passages_")).head
+      val stash = Files.createTempDirectory("psg_winner").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fam, "delta_000"), stash)
+      // wipe the store (this JVM "never ensured") and grow the corpus —
+      // the planted winner will now cover a stale, smaller file set
+      org.apache.commons.io.FileUtils.deleteDirectory(fam)
+      writeDocs(dir, dropDocs, mode = "append")
+      // plant the stale winner in the window between OUR staging write
+      // and the commit rename (the race this seam exists for)
+      PassageStore.testBeforeDeltaCommit = seq =>
+        if (seq == 0) org.apache.commons.io.FileUtils.copyDirectory(
+          stash, new java.io.File(fam, "delta_000"))
+      try {
+        val rows = storeRows(dir) // loser path: adopt + residual re-check
+        assert(rows == inline(baseDocs ++ dropDocs),
+          "the adopted store must still cover the files the winner missed")
+        assert(deltasOf(root, dir) == Seq("delta_000", "delta_001"),
+          s"residual must land as the next delta: ${deltasOf(root, dir)}")
+        assert(fam.listFiles().exists(_.getName.startsWith("_fp_")),
+          "marker must land once coverage is complete")
+      } finally PassageStore.testBeforeDeltaCommit = _ => ()
+    }
+  }
+
   test("cold ensure over an empty documents table yields an EMPTY store, not a throw") {
     // r21 ADVICE: the cold/rebuild path passed a zero-path file list to a
     // schema-less parquet read, which threw AnalysisException from schema
