@@ -181,6 +181,13 @@ object Analytics {
     // is NULL — precisely the missing-side NULL the outer join produced.
     // DECIMAL money routing unchanged, so every total is bit-identical.
     // Oracle-hash-identical (driver CORRECTNESS re-check).
+    // ACCEPTED DIVERGENCE on NULL user_id (r21 ADVICE #2): an equi-join
+    // never matches NULL keys, so the old form (and the oracle SQL, which
+    // keeps the join) emits TWO rows for NULL-user clicks and views where
+    // groupBy emits ONE merged row. events.user_id is non-null in every
+    // fixture (and in the generator's schema), so the forms agree on all
+    // checked corpora; a corpus with NULL user_ids would diverge — the
+    // aggregate's single-row answer is the one this operator documents.
     // Scale: one fact scan instead of two; one (user_id, two DECIMAL
     // partials) exchange instead of two aggregate exchanges + a join.
     Tables.events(spark, dir)

@@ -1102,23 +1102,28 @@ object Similarity {
     // the per-n best over eligible tiers can never be empty
     require(floor >= 0.0 && floor <= 1.0,
       s"spark.graft.ann.advisorRecallFloor must be in [0, 1], got $floor")
-    // prefer the card measured under the CURRENT conf (same key components
-    // as annRecall: assignTag + rerank + nprobe) — after an nprobe/seed A/B
-    // the session can hold several ann_recall_* cards and peekPrefix's
-    // lexicographic-max pick would apply a superseded geometry's floor
-    // (r21 ADVICE). peekAssignTag, not assignTag: the advisor must never
-    // train a codebook itself, so the exact key resolves only when the
-    // current conf's codebook is already in the JVM (whenever annRecall
-    // measured under this conf, it is). Fall back to the prefix scan when
-    // the exact key is absent.
-    val exactCard = AnnIndex.peekAssignTag(spark, dir, ver).flatMap { tag =>
-      val k = s"ann_recall_${tag}_r${PqIndex.rerank(spark)}" +
-        s"_np${AnnIndex.probeCount(spark, AnnIndex.centroids(spark, dir, ver).size)}"
-      SessionCache.peek(spark, k, dir, ver)
-    }
+    // ONLY the card measured under the CURRENT conf counts (same key
+    // components as annRecall: assignTag + rerank + nprobe) — after an
+    // nprobe/seed A/B the session can hold several ann_recall_* cards and
+    // peekPrefix's lexicographic-max pick would apply a superseded
+    // geometry's floor (r21 ADVICE). peekAssignTag, not assignTag: the
+    // advisor must never train a codebook itself, so the exact key
+    // resolves only when the current conf's codebook is already in the
+    // JVM (whenever annRecall measured under this conf, it is).
+    // NO prefix fallback (r22, r21 ADVICE #4): centroidCache retains only
+    // the 2 newest codebooks per dir, so a 3-geometry A/B can evict the
+    // current conf's codebook while a stale card survives — the fallback
+    // then served exactly the superseded-geometry floor this exact-key
+    // path exists to prevent. An unmeasured conf now gets cost-only
+    // eligibility (every non-exact tier needs a measured recall to clear
+    // the floor), which degrades CONSERVATIVELY: the advisor routes to
+    // exact rather than onto a tier whose recall it cannot vouch for.
     val measured: Map[String, Double] =
-      exactCard
-        .orElse(SessionCache.peekPrefix(spark, "ann_recall_", dir, ver))
+      AnnIndex.peekAssignTag(spark, dir, ver).flatMap { tag =>
+        val k = s"ann_recall_${tag}_r${PqIndex.rerank(spark)}" +
+          s"_np${AnnIndex.probeCount(spark, AnnIndex.centroids(spark, dir, ver).size)}"
+        SessionCache.peek(spark, k, dir, ver)
+      }
         .map(_.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
         .getOrElse(Map.empty)
     def recallOf(t: String): Option[Double] =

@@ -597,6 +597,26 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.nprobe")
   }
 
+  test("tierAdvisor under an UNMEASURED conf surfaces no recalls — no stale-card fallback (r22 ADVICE)") {
+    // A session holding cards for other geometries must not lend them to
+    // a conf that never measured: centroidCache retains only 2 codebooks
+    // per dir, so after a 3-geometry A/B the current conf's codebook can
+    // be evicted while a stale ann_recall_* card survives — the old
+    // peekPrefix fallback then applied the superseded geometry's floor.
+    // Cost-only eligibility is the conservative degradation.
+    Similarity.annRecall(spark, sf).collect() // a card EXISTS in-session
+    spark.conf.set("spark.graft.ann.nprobe", "2") // unmeasured geometry
+    try {
+      val card = Similarity.tierAdvisor(spark, sf).collect()
+      val idx = card.head.fieldIndex("recall")
+      card.filter(_.getAs[String]("tier") != "exact").foreach { r =>
+        assert(r.isNullAt(idx),
+          s"unmeasured conf must surface NO recall for ${r.getAs[String]("tier")}, " +
+            s"got ${r.get(idx)} (stale-card fallback)")
+      }
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
+  }
+
   test("dupInflation: histogram reconciles with dedupExact; surplus exact on an injected corpus") {
     import graft.sources.Tables
     val hist = Dedup.dupInflation(spark, sf).collect()
