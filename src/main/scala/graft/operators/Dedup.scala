@@ -1180,10 +1180,22 @@ object Dedup {
       .select(col("band_id"), col("band_hash"), col("doc_id").as("match_id"))
       .join(broadcast(batchBands.select("band_id", "band_hash").distinct()),
         Seq("band_id", "band_hash"))
+    // EAGERLY MATERIALIZED (r22, guide §3.3 / r21 verdict #4): the probe's
+    // plan embedded this candidate subtree (banding + touched-bucket join
+    // + cap window) once per downstream consumer — candK alone, then
+    // verifiedC and the shC rep fetch each re-embed candK — multiplying
+    // the tree to ~1,055 formatted lines and 0.22-0.43 s of PHYSICAL
+    // PLANNING per call, more than the probe's own execution (0.18 s,
+    // DevPlanTime). Checkpointing the id-pair frame (16 B/row, ≤ batch ×
+    // cap rows) turns every re-embedding into an ExistingRDD leaf: same
+    // rows, same per-call work (the subtree executed exactly once at run
+    // time anyway via AQE exchange reuse), but planned ONCE. No cross-call
+    // state: the checkpoint lives inside this query invocation.
     val cand = batchBands
       .join(capBuckets(touched, Seq("band_id", "band_hash"), "match_id", cap),
         Seq("band_id", "band_hash"))
       .select(col("doc_id"), col("match_id")).distinct()
+      .localCheckpoint(true)
     // exact-Jaccard verification once per DISTINCT CONTENT pair (the
     // minhashPairsOf r19 discipline): the per-ID form shipped the shingle
     // arrays per candidate pair (~280 MB of the 500k decade probe's
@@ -1200,7 +1212,12 @@ object Dedup {
       coalesce(sha2(col("text"), 256), lit("∅")).as("ck"))
     val matchKeys = corpusDocs.select(col("doc_id").as("match_id"),
       coalesce(sha2(col("text"), 256), lit("∅")).as("ck_c"))
+    // same §3.3 truncation as cand: candK feeds THREE consumers (the rep
+    // fetch, the verified-content distinct, and the final score join-back)
+    // and re-embeds two more document scans per copy; still candidate-set-
+    // sized (id pair + two 64-hex content keys per row)
     val candK = cand.join(batchKeys, Seq("doc_id")).join(matchKeys, Seq("match_id"))
+      .localCheckpoint(true)
     val shB = batchSh
       .join(batchKeys.groupBy("ck").agg(min("doc_id").as("doc_id")), Seq("doc_id"))
       .select(col("ck"), col("sh"))
@@ -1225,14 +1242,18 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("sh"), col("sh_c"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (col("ca") + col("cb") - col("c")), 6))
       .select("ck", "ck_c", "jaccard")
+    // best-match argmax as max_by, not a rank window (r22, the
+    // q_upsert_latest discipline): rk=1 under (jaccard DESC, match_id ASC)
+    // is exactly argmax of (jaccard, -match_id) — match_ids are non-negative
+    // doc ids, so the negation cannot overflow — and the aggregate skips
+    // the window's per-partition sort + rank filter in one hash pass.
     val verified = candK
       .join(verifiedC, Seq("ck", "ck_c"))
-      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-        .orderBy(desc("jaccard"), asc("match_id"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"),
-        max(when(col("rk") === 1, col("match_id"))).as("match_id"),
-        max(when(col("rk") === 1, col("jaccard"))).as("jaccard"))
+        max_by(col("match_id"),
+          struct(col("jaccard"), negate(col("match_id")))).as("match_id"),
+        max(col("jaccard")).as("jaccard"))
     batchDocs.select("doc_id")
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"),
